@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics.{StarAnalytics, StockAnalytics}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is a pure (SparkSession, sfDir) => DataFrame;
+  * [[oracleSql]] carries the DuckDB-equivalent SQL the driver uses as the
+  * correctness oracle at sf0.01. Column names and value math are kept
+  * bit-identical between the two (see StockAnalytics/StarAnalytics
+  * scaladoc for the determinism rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
+    Seq(StockAnalytics.registry, StarAnalytics.registry)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
+    * pipeline exercises the whole stack: tick view → bar aggregation →
+    * windowed roll-up → pct-change → top-k.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    StockAnalytics.movers(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registries.flatMap(_.map { case (k, (fn, _)) => k -> fn }).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registries.flatMap(_.map { case (k, (_, sql)) => k -> sql }).toMap
 }

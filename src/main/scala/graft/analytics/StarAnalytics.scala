@@ -1,0 +1,174 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytics over the TPC-H-ish star schema — the scale-bearing
+  * query set (big shuffles, joins, distinct aggregation) that exercises
+  * the physical-plan properties SURVEY.md §4 calls out: predicate/column
+  * pushdown into the parquet scan, broadcast joins for small dimensions,
+  * partial aggregation before the shuffle.
+  *
+  * Money math: testdata stores doubles; double sums are order-dependent
+  * across engines, so every SUM input is cast to exact DECIMAL first
+  * (associative, engine-independent) and results are cast to double at the
+  * presentation edge. Ratio math is IEEE double in the same operation
+  * order as the oracle SQL.
+  */
+object StarAnalytics {
+
+  private val D124 = DecimalType(12, 4)
+  // Tight precisions keep decimal products exact (within precision 38) in
+  // BOTH engines: money is 2dp < 1e8, rates are 2dp in [0,2). A wide
+  // (12,4)^3 product overflows 38 and Spark silently reduces scale.
+  private val Money = DecimalType(10, 2)
+  private val Rate  = DecimalType(3, 2)
+
+  // ---- pricing summary (TPC-H Q1 shape): the heavy scan+agg ------------
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(Money)).as("_sq"),
+        sum(col("l_extendedprice").cast(Money)).as("_sbp"),
+        sum(col("l_extendedprice").cast(Money)
+          * (lit(1).cast(Rate) - col("l_discount").cast(Rate))).as("_sdp"),
+        sum(col("l_extendedprice").cast(Money)
+          * (lit(1).cast(Rate) - col("l_discount").cast(Rate))
+          * (lit(1).cast(Rate) + col("l_tax").cast(Rate))).as("_scp"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("_sq").cast("double").as("sum_qty"),
+        col("_sbp").cast("double").as("sum_base_price"),
+        col("_sdp").cast("double").as("sum_disc_price"),
+        col("_scp").cast("double").as("sum_charge"),
+        round(col("_sq").cast("double") / col("count_order"), 4).as("avg_qty"),
+        round(col("_sbp").cast("double") / col("count_order"), 4).as("avg_price"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- shipping priority (TPC-H Q3 shape): 3-way join + topk -----------
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust   = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord    = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li     = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast(Money)
+        * (lit(1).cast(Rate) - col("l_discount").cast(Rate))).as("_rev"))
+      .select(
+        col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("_rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- top customers by spend: join + agg + topk -----------------------
+  def topCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(
+        sum(col("o_totalprice").cast(D124)).as("_spend"),
+        count(lit(1)).as("order_count"))
+      .select(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("_spend").cast("double").as("total_spend"),
+        col("order_count"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(25)
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_spend,
+      |       count(*) AS order_count
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name, c_mktsegment
+      |ORDER BY total_spend DESC, c_custkey LIMIT 25""".stripMargin
+
+  // ---- nation revenue: snowflake join chain through dims ---------------
+  def nationRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast(D124)).as("_rev"),
+        count(lit(1)).as("order_count"))
+      .select(col("r_name"), col("n_name"),
+        col("_rev").cast("double").as("revenue"), col("order_count"))
+      .orderBy("r_name", "n_name")
+
+  val nationRevenueSql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS order_count
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---- event daily rollup: time bucketing + exact distinct count -------
+  def eventDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(col("value").cast(D124)).as("_sv"))
+      .select(col("event_type"), col("day"), col("events"), col("unique_users"),
+        col("_sv").cast("double").as("value_sum"))
+      .orderBy("event_type", "day")
+
+  val eventDailySql: String =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |       count(*) AS events,
+      |       count(DISTINCT user_id) AS unique_users,
+      |       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, day""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
+    "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
+    "top_customers"     -> (topCustomers _, topCustomersSql),
+    "nation_revenue"    -> (nationRevenue _, nationRevenueSql),
+    "event_daily"       -> (eventDaily _, eventDailySql),
+  )
+}

@@ -1,0 +1,289 @@
+package graft.analytics
+
+import graft.Tables
+import graft.agg.BarAggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics API surface (SURVEY.md §2.9), one pure
+  * `(SparkSession, sfDir) => DataFrame` per endpoint query, over the tick
+  * view (Tables.ticks).
+  *
+  * Determinism rules shared with the oracle SQL:
+  *  - time anchors ("NOW()", reference F2/P4) are derived from
+  *    max(event_time)/max(bucket_start) in the data, never the wall clock;
+  *  - anchors stay inside the plan via crossJoin(broadcast(1-row agg)) —
+  *    no driver-side collect;
+  *  - money math is exact DECIMAL(12,4) until the presentation edge, where
+  *    it is cast to double (the reference's float() casts, F16);
+  *  - ratio math (avg, pct-change) is IEEE double in the same operation
+  *    order as the oracle SQL, rounded to 4dp (reference F4).
+  */
+object StockAnalytics {
+
+  private val Sym        = "CLICK" // one of the 5 uppercased event types
+  private val SumMinutes = 720     // ticks_summary window (≤1440, P6 bound)
+  private val BarMinutes = 10080   // bars_summary / movers window (7 days)
+
+  // ---- /symbols — A9 distinct + W4 sort --------------------------------
+  def symbols(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir).select("symbol").distinct().orderBy("symbol")
+
+  val symbolsSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT DISTINCT symbol FROM ticks ORDER BY symbol""".stripMargin
+
+  // ---- /ticks/latest — P1,P2 + W1 ordered top-N ------------------------
+  def ticksLatest(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .filter(col("symbol") === lit(Sym))
+      .select(col("symbol"), col("price").cast("double").as("price"),
+        col("volume"), col("event_time"))
+      .orderBy(col("event_time").desc)
+      .limit(100)
+
+  val ticksLatestSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT symbol, CAST(price AS DOUBLE) AS price, volume, event_time FROM ticks
+       |WHERE symbol = '$Sym' ORDER BY event_time DESC LIMIT 100""".stripMargin
+
+  // ---- /ticks/summary — P4 sliding window + A4-A7,A10 global agg -------
+  def ticksSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t      = Tables.ticks(spark, dir)
+    val anchor = t.agg(max(col("event_time")).as("now"))
+    t.filter(col("symbol") === lit(Sym))
+      .crossJoin(broadcast(anchor))
+      .filter(col("event_time") >= col("now") - expr(s"INTERVAL $SumMinutes MINUTES"))
+      .agg(
+        count(lit(1)).as("tick_count"),
+        sum(col("price")).as("_psum"),
+        min(col("price")).as("_pmin"),
+        max(col("price")).as("_pmax"),
+        sum(coalesce(col("volume"), lit(0L))).as("volume_sum"),
+        min(col("event_time")).as("window_start"),
+        max(col("event_time")).as("window_end"))
+      .select(
+        col("tick_count"),
+        round(col("_psum").cast("double") / col("tick_count"), 4).as("avg_price"),
+        col("_pmin").cast("double").as("min_price"),
+        col("_pmax").cast("double").as("max_price"),
+        col("volume_sum"),
+        col("window_start"),
+        col("window_end"))
+  }
+
+  val ticksSummarySql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT count(*) AS tick_count,
+       |       round(CAST(sum(price) AS DOUBLE) / count(*), 4) AS avg_price,
+       |       CAST(min(price) AS DOUBLE) AS min_price,
+       |       CAST(max(price) AS DOUBLE) AS max_price,
+       |       CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
+       |       min(event_time) AS window_start,
+       |       max(event_time) AS window_end
+       |FROM ticks
+       |WHERE symbol = '$Sym'
+       |  AND event_time >= (SELECT max(event_time) FROM ticks) - INTERVAL '$SumMinutes minutes'""".stripMargin
+
+  // ---- bars build — A1-A6 (aggregator AGGREGATE_SQL) -------------------
+  def bars1m(spark: SparkSession, dir: String): DataFrame =
+    presentBars(BarAggregator.bars1m(Tables.ticks(spark, dir)))
+
+  private def presentBars(bars: DataFrame): DataFrame =
+    bars.select(
+      col("symbol"), col("bucket_start"),
+      col("open").cast("double").as("open"),
+      col("high").cast("double").as("high"),
+      col("low").cast("double").as("low"),
+      col("close").cast("double").as("close"),
+      col("volume_sum"), col("tick_count"))
+
+  private val barsPresentSql =
+    """SELECT symbol, bucket_start,
+      |       CAST("open" AS DOUBLE) AS "open", CAST(high AS DOUBLE) AS high,
+      |       CAST(low AS DOUBLE) AS low, CAST("close" AS DOUBLE) AS "close",
+      |       CAST(volume_sum AS BIGINT) AS volume_sum, tick_count
+      |FROM bars""".stripMargin
+
+  val bars1mSql: String =
+    s"""${Tables.BARS_CTE}
+       |$barsPresentSql""".stripMargin
+
+  // ---- /bars/latest — W2 ordered top-N on bars -------------------------
+  def barsLatest(spark: SparkSession, dir: String): DataFrame =
+    presentBars(BarAggregator.bars1m(
+        Tables.ticks(spark, dir).filter(col("symbol") === lit("VIEW"))))
+      .orderBy(col("bucket_start").desc)
+      .limit(1440)
+
+  val barsLatestSql: String =
+    s"""${Tables.BARS_CTE}
+       |$barsPresentSql
+       |WHERE symbol = 'VIEW' ORDER BY bucket_start DESC LIMIT 1440""".stripMargin
+
+  // ---- /bars/summary — A2-A5 roll-up + A11 pct change ------------------
+  def barsSummary(spark: SparkSession, dir: String): DataFrame = {
+    val bars   = BarAggregator.bars1m(Tables.ticks(spark, dir))
+    val anchor = bars.agg(max(col("bucket_start")).as("now"))
+    val agg = bars
+      .filter(col("symbol") === lit("PURCHASE"))
+      .crossJoin(broadcast(anchor))
+      .filter(col("bucket_start") >= col("now") - expr(s"INTERVAL $BarMinutes MINUTES"))
+      .agg(
+        min_by(col("open"), col("bucket_start")).cast("double").as("open"),
+        max(col("high")).cast("double").as("high"),
+        min(col("low")).cast("double").as("low"),
+        max_by(col("close"), col("bucket_start")).cast("double").as("close"),
+        sum(col("volume_sum")).as("volume_sum"),
+        sum(col("tick_count")).as("tick_total"),
+        count(lit(1)).as("bar_count"),
+        min(col("bucket_start")).as("window_start"),
+        max(col("bucket_start")).as("window_end"))
+    agg.withColumn(
+      "change_pct",
+      round((col("close") - col("open"))
+        / when(col("open") === 0d, lit(null).cast("double")).otherwise(col("open")) * 100, 4))
+  }
+
+  val barsSummarySql: String =
+    s"""${Tables.BARS_CTE}
+       |SELECT CAST(arg_min("open", bucket_start) AS DOUBLE) AS "open",
+       |       CAST(max(high) AS DOUBLE) AS high,
+       |       CAST(min(low) AS DOUBLE) AS low,
+       |       CAST(arg_max("close", bucket_start) AS DOUBLE) AS "close",
+       |       CAST(sum(volume_sum) AS BIGINT) AS volume_sum,
+       |       CAST(sum(tick_count) AS BIGINT) AS tick_total,
+       |       count(*) AS bar_count,
+       |       min(bucket_start) AS window_start,
+       |       max(bucket_start) AS window_end,
+       |       round((CAST(arg_max("close", bucket_start) AS DOUBLE) - CAST(arg_min("open", bucket_start) AS DOUBLE))
+       |             / nullif(CAST(arg_min("open", bucket_start) AS DOUBLE), 0) * 100, 4) AS change_pct
+       |FROM bars
+       |WHERE symbol = 'PURCHASE'
+       |  AND bucket_start >= (SELECT max(bucket_start) FROM bars) - INTERVAL '$BarMinutes minutes'""".stripMargin
+
+  // ---- /movers — J1′ single-aggregation shape (SURVEY.md §7.3) ---------
+  def movers(spark: SparkSession, dir: String): DataFrame = {
+    val bars   = BarAggregator.bars1m(Tables.ticks(spark, dir))
+    val anchor = bars.agg(max(col("bucket_start")).as("now"))
+    bars
+      .crossJoin(broadcast(anchor))
+      .filter(col("bucket_start") >= col("now") - expr(s"INTERVAL $BarMinutes MINUTES"))
+      .groupBy(col("symbol"))
+      .agg(
+        min_by(col("open"), col("bucket_start")).cast("double").as("open"),
+        max_by(col("close"), col("bucket_start")).cast("double").as("close"))
+      .withColumn(
+        "change_pct",
+        round((col("close") - col("open"))
+          / when(col("open") === 0d, lit(null).cast("double")).otherwise(col("open")) * 100, 4))
+      .orderBy(abs(col("change_pct")).desc_nulls_last, col("symbol"))
+      .limit(20)
+  }
+
+  val moversSql: String =
+    s"""${Tables.BARS_CTE},
+       |win AS (
+       |  SELECT * FROM bars
+       |  WHERE bucket_start >= (SELECT max(bucket_start) FROM bars) - INTERVAL '$BarMinutes minutes'),
+       |per AS (
+       |  SELECT symbol,
+       |         CAST(arg_min("open", bucket_start) AS DOUBLE) AS "open",
+       |         CAST(arg_max("close", bucket_start) AS DOUBLE) AS "close"
+       |  FROM win GROUP BY symbol)
+       |SELECT symbol, "open", "close",
+       |       round(("close" - "open") / nullif("open", 0) * 100, 4) AS change_pct
+       |FROM per
+       |ORDER BY abs(change_pct) DESC NULLS LAST, symbol LIMIT 20""".stripMargin
+
+  // ---- /movers literal shape — A8 DISTINCT ON via window + J1 join -----
+  def moversJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bars   = BarAggregator.bars1m(Tables.ticks(spark, dir))
+    val anchor = bars.agg(max(col("bucket_start")).as("now"))
+    val win = bars
+      .crossJoin(broadcast(anchor))
+      .filter(col("bucket_start") >= col("now") - expr(s"INTERVAL $BarMinutes MINUTES"))
+    val wAsc  = Window.partitionBy("symbol").orderBy(col("bucket_start").asc)
+    val wDesc = Window.partitionBy("symbol").orderBy(col("bucket_start").desc)
+    val first = win.withColumn("rn", row_number().over(wAsc)).filter(col("rn") === 1)
+      .select(col("symbol"), col("open").cast("double").as("open"))
+    val last = win.withColumn("rn", row_number().over(wDesc)).filter(col("rn") === 1)
+      .select(col("symbol"), col("close").cast("double").as("close"))
+    first.join(last, Seq("symbol"), "inner")
+      .withColumn(
+        "change_pct",
+        round((col("close") - col("open"))
+          / when(col("open") === 0d, lit(null).cast("double")).otherwise(col("open")) * 100, 4))
+      .orderBy(abs(col("change_pct")).desc_nulls_last, col("symbol"))
+      .limit(20)
+  }
+
+  val moversJoinSql: String =
+    s"""${Tables.BARS_CTE},
+       |win AS (
+       |  SELECT * FROM bars
+       |  WHERE bucket_start >= (SELECT max(bucket_start) FROM bars) - INTERVAL '$BarMinutes minutes'),
+       |first_bar AS (
+       |  SELECT symbol, CAST("open" AS DOUBLE) AS "open" FROM (
+       |    SELECT symbol, "open",
+       |           row_number() OVER (PARTITION BY symbol ORDER BY bucket_start ASC) AS rn
+       |    FROM win) WHERE rn = 1),
+       |last_bar AS (
+       |  SELECT symbol, CAST("close" AS DOUBLE) AS "close" FROM (
+       |    SELECT symbol, "close",
+       |           row_number() OVER (PARTITION BY symbol ORDER BY bucket_start DESC) AS rn
+       |    FROM win) WHERE rn = 1)
+       |SELECT f.symbol, f."open", l."close",
+       |       round((l."close" - f."open") / nullif(f."open", 0) * 100, 4) AS change_pct
+       |FROM first_bar f JOIN last_bar l ON f.symbol = l.symbol
+       |ORDER BY abs(round((l."close" - f."open") / nullif(f."open", 0) * 100, 4)) DESC NULLS LAST,
+       |         f.symbol LIMIT 20""".stripMargin
+
+  // ---- latest tick per symbol — A8 on ticks ----------------------------
+  def latestPerSymbol(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("event_time").desc)
+    Tables.ticks(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("symbol"), col("price").cast("double").as("price"),
+        col("volume"), col("event_time"))
+  }
+
+  val latestPerSymbolSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT symbol, CAST(price AS DOUBLE) AS price, volume, event_time FROM (
+       |  SELECT symbol, price, volume, event_time,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
+       |  FROM ticks) WHERE rn = 1""".stripMargin
+
+  // ---- /health, /ready — A10 global probes -----------------------------
+  def healthCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir).agg(
+      count(lit(1)).as("tick_rows"),
+      countDistinct(col("symbol")).as("symbol_count"),
+      min(col("event_time")).as("min_ts"),
+      max(col("event_time")).as("max_ts"))
+
+  val healthCountsSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT count(*) AS tick_rows,
+       |       count(DISTINCT symbol) AS symbol_count,
+       |       min(event_time) AS min_ts,
+       |       max(event_time) AS max_ts
+       |FROM ticks""".stripMargin
+
+  /** name → (query fn, oracle SQL) for SparkEntry registration. */
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "symbols"           -> (symbols _, symbolsSql),
+    "ticks_latest"      -> (ticksLatest _, ticksLatestSql),
+    "ticks_summary"     -> (ticksSummary _, ticksSummarySql),
+    "bars_1m"           -> (bars1m _, bars1mSql),
+    "bars_latest"       -> (barsLatest _, barsLatestSql),
+    "bars_summary"      -> (barsSummary _, barsSummarySql),
+    "movers"            -> (movers _, moversSql),
+    "movers_join"       -> (moversJoin _, moversJoinSql),
+    "latest_per_symbol" -> (latestPerSymbol _, latestPerSymbolSql),
+    "health_counts"     -> (healthCounts _, healthCountsSql),
+  )
+}
