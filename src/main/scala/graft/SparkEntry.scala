@@ -1,6 +1,9 @@
 package graft
 
-import graft.analytics.{StarAnalytics, StockAnalytics}
+import graft.analytics.{StarAnalytics, StockAnalytics, TextAnalytics}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
-    Seq(StockAnalytics.registry, StarAnalytics.registry)
+    Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
+      Dedup.registry, Similarity.registry, Multimodal.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →

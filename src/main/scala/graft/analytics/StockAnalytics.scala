@@ -257,6 +257,43 @@ object StockAnalytics {
        |         row_number() OVER (PARTITION BY symbol ORDER BY event_time DESC) AS rn
        |  FROM ticks) WHERE rn = 1""".stripMargin
 
+  // ---- gap-fill: carry-forward last non-null volume (S2 cache-fallback
+  // semantics — producer_yfinance.py:80-120 "serve from last cache") ------
+  def ticksGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("event_time")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.ticks(spark, dir).select(
+      col("tick_id"), col("symbol"), col("event_time"), col("volume"),
+      last(col("volume"), ignoreNulls = true).over(w).as("volume_filled"))
+  }
+
+  val ticksGapfillSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT tick_id, symbol, event_time, volume,
+       |       last_value(volume IGNORE NULLS) OVER (
+       |         PARTITION BY symbol ORDER BY event_time
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume_filled
+       |FROM ticks""".stripMargin
+
+  // ---- hourly bars — the generalized bucket roll-up (barsOf) -----------
+  def barsHourly(spark: SparkSession, dir: String): DataFrame =
+    presentBars(BarAggregator.barsOf(Tables.ticks(spark, dir), "1 hour"))
+
+  val barsHourlySql: String =
+    s"""${Tables.TICKS_CTE},
+       |bars AS (
+       |  SELECT symbol,
+       |         date_trunc('hour', event_time) AS bucket_start,
+       |         arg_min(price, event_time) AS open,
+       |         max(price) AS high,
+       |         min(price) AS low,
+       |         arg_max(price, event_time) AS close,
+       |         sum(coalesce(volume, 0)) AS volume_sum,
+       |         count(*) AS tick_count
+       |  FROM ticks
+       |  GROUP BY 1, 2)
+       |$barsPresentSql""".stripMargin
+
   // ---- /health, /ready — A10 global probes -----------------------------
   def healthCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.ticks(spark, dir).agg(
@@ -285,5 +322,7 @@ object StockAnalytics {
     "movers_join"       -> (moversJoin _, moversJoinSql),
     "latest_per_symbol" -> (latestPerSymbol _, latestPerSymbolSql),
     "health_counts"     -> (healthCounts _, healthCountsSql),
+    "ticks_gapfill"     -> (ticksGapfill _, ticksGapfillSql),
+    "bars_hourly"       -> (barsHourly _, barsHourlySql),
   )
 }

@@ -1,0 +1,164 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.TextFeatures._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a large-scale
+  * training-data pipeline runs before dedup (north-star extensions beyond
+  * the reference surface, SURVEY.md §7.5).
+  *
+  * Scale notes (100 TB): every query here is a narrow per-row projection
+  * followed by at most one hash aggregate — no self-joins, no windows over
+  * the full corpus. Stats and fingerprints stream through whole-stage
+  * codegen; `token_topk` and `lang_id` shuffle only (token|doc_id, lang)
+  * pairs after map-side partial aggregation.
+  */
+object TextAnalytics {
+
+  /** Stopword set used for the stop-ratio feature (the two function words
+    * in the synthetic vocabulary).
+    */
+  private val Stopwords = Seq("the", "a")
+
+  /** Marker-token vote lists for the n-gram-free language-ID heuristic:
+    * lang → tokens that vote for it. (The corpus is a synthetic word-soup,
+    * so markers are drawn from its actual vocabulary; the operator shape —
+    * explode → marker join → vote count → argmax — is the real thing.)
+    */
+  private val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a",
+    "de" -> "row", "de" -> "scan",
+    "es" -> "data", "es" -> "table",
+    "fr" -> "join", "fr" -> "merge",
+    "zh" -> "vector", "zh" -> "hash")
+
+  // ---- text_stats: token counting + quality scoring --------------------
+  // Doubles are produced with the same operation order as the oracle SQL
+  // (int/int division is double in both engines; round(x,4) last).
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        length(col("text")).as("n_chars"),
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).as("n_subtokens"),
+        size(expr(s"filter(toks, t -> array_contains($stopArr, t))")).as("n_stop"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("n_chars"),
+        col("n_subtokens"),
+        round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+        round(
+          least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4
+            + (col("n_distinct") / col("n_tokens")) * 0.4
+            + (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.2,
+          4).as("quality_score"))
+  }
+
+  val textStatsSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |         len(toks) AS n_tokens,
+       |         len(list_distinct(toks)) AS n_distinct,
+       |         length(text) AS n_chars,
+       |         len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subtokens,
+       |         len(list_filter(toks, t -> list_contains($stopList, t))) AS n_stop
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_distinct, n_chars, n_subtokens,
+       |       round(n_stop / n_tokens, 4) AS stop_ratio,
+       |       round(least(n_tokens / 100.0, 1.0) * 0.4
+       |             + (n_distinct / n_tokens) * 0.4
+       |             + (1.0 - n_stop / n_tokens) * 0.2, 4) AS quality_score
+       |FROM f""".stripMargin
+  }
+
+  // ---- lang_id: marker-vote language ID → confusion matrix -------------
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs    = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val markers = LangMarkers.toDF("cand_lang", "marker")
+    val votes = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(markers), col("token") === col("marker"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("votes").desc, col("cand_lang").asc)
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred"))
+    docs.join(pred, Seq("doc_id"), "left")
+      .select(col("lang"), coalesce(col("pred"), lit("unknown")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langIdSql: String = {
+    val vals = LangMarkers.map { case (l, m) => s"('$l', '$m')" }.mkString(", ")
+    s"""WITH m(cand_lang, marker) AS (VALUES $vals),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |votes AS (
+       |  SELECT doc_id, cand_lang, count(*) AS v
+       |  FROM tok JOIN m ON token = marker GROUP BY doc_id, cand_lang),
+       |pred AS (
+       |  SELECT doc_id, cand_lang AS pred FROM (
+       |    SELECT doc_id, cand_lang,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, cand_lang ASC) AS rn
+       |    FROM votes) WHERE rn = 1)
+       |SELECT d.lang, coalesce(p.pred, 'unknown') AS pred_lang, count(*) AS n_docs
+       |FROM documents d LEFT JOIN pred p USING (doc_id)
+       |GROUP BY d.lang, pred_lang
+       |ORDER BY d.lang, pred_lang""".stripMargin
+  }
+
+  // ---- token_topk: corpus-wide word count, top 20 ----------------------
+  def tokenTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  val tokenTopkSql: String =
+    """SELECT token, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
+
+  // ---- doc_fingerprint: content + bag-of-words fingerprints ------------
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))).as("bag_fp"),
+        hash60(col("text")).as("content_h60"))
+
+  val docFingerprintSql: String =
+    s"""SELECT doc_id,
+       |       md5(text) AS fp,
+       |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+       |       ${hash60Sql("text")} AS content_h60
+       |FROM documents""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "text_stats"      -> (textStats _, textStatsSql),
+    "lang_id"         -> (langId _, langIdSql),
+    "token_topk"      -> (tokenTopk _, tokenTopkSql),
+    "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
+  )
+}

@@ -1,0 +1,199 @@
+package graft.dedup
+
+import graft.Tables
+import graft.functions.TextFeatures._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication — exact, MinHash-LSH, and SimHash — over the
+  * `documents` table. The scale-first layer of a training-data pipeline
+  * (north-star extensions, SURVEY.md §7.5).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash aggregate on a 128-bit fingerprint — the
+  *    shuffle carries (fp, min_id, count), never document text;
+  *  - `dedup_jaccard` is the exact ground truth via an inverted shingle
+  *    index (explode → equi-join on shingle → distinct candidate pairs →
+  *    verify). The candidate join is the standard AllPairs shape; at real
+  *    scale the join would add prefix filtering (rarest-shingle prefix) to
+  *    bound the candidate set — the LSH variant below is the sub-quadratic
+  *    path we actually recommend at 100 TB;
+  *  - `dedup_minhash` never compares all pairs: 128 minhashes → 32 bands of
+  *    4 → candidates = pairs sharing a band bucket (equi-join on the band
+  *    hash), then exact-Jaccard verification on candidates only. For the
+  *    0.8 threshold the banding miss probability per true pair is
+  *    (1 − 0.8⁴)³² ≈ 2·10⁻¹⁴, so verified output equals the exact query —
+  *    which is exactly what the oracle checks;
+  *  - `dedup_simhash` is fully deterministic-recall: 60-bit simhash split
+  *    into 12 5-bit blocks; Hamming ≤ 10 ⇒ at least 2 blocks equal
+  *    (pigeonhole), so the block equi-join provably yields every pair the
+  *    brute-force oracle finds, at O(pairs-per-bucket) not O(n²).
+  */
+object Dedup {
+
+  private val JaccardThreshold = 0.8
+  private val NumHashes        = 128
+  private val NumBands         = 32
+  private val RowsPerBand      = 4
+  private val HammingMax       = 10
+  private val SimhashBlocks    = 12 // 5 bits each over the 60-bit simhash
+
+  /** doc_id → distinct shingle set (the shared feature extraction). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shingles("toks").as("sh"))
+
+  /** Exact Jaccard verification of candidate (doc_id_1 < doc_id_2) pairs:
+    * join the full shingle sets back and keep pairs ≥ threshold. Candidates
+    * are a small set, so both joins broadcast at test scale and shuffle on
+    * doc_id at cluster scale.
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame): DataFrame = {
+    val s1 = sets.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1"))
+    val s2 = sets.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
+    candidates
+      .join(s1, "doc_id_1")
+      .join(s2, "doc_id_2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+  }
+
+  /** Shared oracle for the two Jaccard-output queries: exact n-gram Jaccard
+    * over all pairs sharing ≥1 shingle (inverted-index SQL).
+    */
+  val jaccardOracleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_id_1, doc_id_2, c::DOUBLE / (s1.n + s2.n - c) AS jaccard
+       |FROM common
+       |JOIN sizes s1 ON doc_id_1 = s1.doc_id
+       |JOIN sizes s2 ON doc_id_2 = s2.doc_id
+       |WHERE c::DOUBLE / (s1.n + s2.n - c) >= $JaccardThreshold""".stripMargin
+
+  // ---- dedup_exact: hash-groupBy on the content fingerprint ------------
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("dup_count"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS fp, min(doc_id) AS survivor_id, count(*) AS dup_count
+      |FROM documents GROUP BY md5(text)""".stripMargin
+
+  // ---- dedup_jaccard: exact n-gram Jaccard near-dup pairs --------------
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets     = shingleSets(spark, dir)
+    val inverted = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val candidates = inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    verifyJaccard(candidates, sets)
+  }
+
+  // ---- dedup_minhash: MinHash + LSH banding, exact verification --------
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(spark, dir)
+    val banded = sets
+      .withColumn("sig", minhashSignature("sh", NumHashes))
+      .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    verifyJaccard(candidates, sets)
+  }
+
+  // ---- dedup_simhash: 60-bit simhash, 5-bit block join, Hamming ≤ 10 ---
+  /** doc_id → (simhash, 12 5-bit blocks). The simhash is one per-row fold:
+    * counts array referenced exactly once so Catalyst's project collapse
+    * cannot duplicate the heavy inner aggregate.
+    */
+  private def simhashes(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
+      .withColumn("hs", transform(col("sh"), s => hash60(s)))
+      .withColumn("simhash",
+        expr(
+          s"""aggregate(
+             |  zip_with(
+             |    ${simhashBitCountsSqlInline("hs")},
+             |    sequence(0, 59),
+             |    (c, b) -> IF(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+             |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
+  /** Inline SQL for the ±1 bit-vote fold over shingle hashes. */
+  private def simhashBitCountsSqlInline(hs: String): String =
+    s"""aggregate(
+       |  $hs,
+       |  array_repeat(0, 60),
+       |  (cnt, h) -> zip_with(
+       |    cnt,
+       |    transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
+       |    (x, y) -> x + y))""".stripMargin
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashes(spark, dir)
+    val blocks = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${SimhashBlocks - 1}), k -> cast(shiftright(simhash, k * 5) & 31 as int))")))
+      .withColumnRenamed("pos", "block")
+      .withColumnRenamed("col", "block_val")
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
+  }
+
+  /** Oracle: brute-force all-pairs simhash Hamming (the block join above is
+    * exhaustive for Hamming ≤ 10 by pigeonhole, so outputs are identical).
+    */
+  val dedupSimhashSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
+       |hb AS (
+       |  SELECT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM hb, (SELECT unnest(generate_series(0, 59)) AS b)
+       |  GROUP BY doc_id, b),
+       |sig AS (
+       |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_exact"   -> (dedupExact _, dedupExactSql),
+    "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
+    "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
+    "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
+  )
+}

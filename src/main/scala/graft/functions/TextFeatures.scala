@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for the training-data-pipeline text operators (dedup,
+  * fingerprinting, text stats) plus their DuckDB SQL twins, kept adjacent so
+  * Spark plan and oracle stay in lockstep.
+  *
+  * Determinism contract shared with the oracle:
+  *  - tokens = split on a single literal space (the documents table is
+  *    single-space separated by construction);
+  *  - shingles = DISTINCT word 3-grams joined by single spaces, 1-based
+  *    positions 1..n-2 (documents always have ≥3 tokens — min n_chars is 48);
+  *  - hash60(s) = first 15 hex chars of md5(s) as a 60-bit BIGINT. md5 hex
+  *    is identical in Spark and DuckDB and 60 bits keep the value positive
+  *    in a signed 64-bit long, so bit arithmetic (shifts, xor, bit_count)
+  *    matches exactly across engines.
+  */
+object TextFeatures {
+
+  /** Whitespace tokens of a single-space-separated text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word 3-gram shingles. */
+  def shingles(toksCol: String): Column =
+    expr(
+      s"""array_distinct(transform(
+         |  sequence(1, size($toksCol) - 2),
+         |  i -> concat(element_at($toksCol, i), ' ',
+         |              element_at($toksCol, i + 1), ' ',
+         |              element_at($toksCol, i + 2))))""".stripMargin)
+
+  /** DuckDB twin of [[shingles]] as a list expression over `toks`. */
+  def shinglesSql(toks: String): String =
+    s"""list_distinct(list_transform(
+       |  generate_series(1, len($toks) - 2),
+       |  i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))""".stripMargin
+
+  /** 60-bit md5-derived hash, reproducible in DuckDB (see [[hash60Sql]]). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[hash60]]. */
+  def hash60Sql(s: String): String =
+    s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+
+  /** Exact Jaccard similarity of two pre-deduplicated shingle arrays, as the
+    * double `|A∩B| / (|A| + |B| - |A∩B|)` — integer sizes, one double
+    * division, so the value is bit-identical across engines.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val common = size(array_intersect(a, b))
+    common.cast("double") / (size(a) + size(b) - common)
+  }
+
+  /** MinHash signature: k minimums over per-permutation xxhash64 of each
+    * shingle. Engine-internal only (the oracle checks LSH output against
+    * exact Jaccard, not the signature), so the fast native xxhash64 is used
+    * rather than the md5-derived oracle hash.
+    */
+  def minhashSignature(shinglesCol: String, numHashes: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${numHashes - 1}),
+         |  p -> array_min(transform($shinglesCol, s -> xxhash64(p, s))))""".stripMargin)
+
+  /** LSH band keys: one xxhash64 per band over `rowsPerBand` consecutive
+    * signature entries (banding via slice + hash of the slice).
+    */
+  def lshBands(sigCol: String, numBands: Int, rowsPerBand: Int): Column =
+    expr(
+      s"""transform(sequence(0, ${numBands - 1}),
+         |  b -> xxhash64(b, slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand)))""".stripMargin)
+
+  /** 60-bit SimHash over the document's distinct shingle set: per bit,
+    * sum +1/-1 over shingle-hash bits, emit 1 where the sum is positive.
+    * Pure per-row fold (no shuffle); integer math ⇒ engine-exact.
+    */
+  def simhash60(shingleHashesCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(0, 59),
+         |  cast(0 as bigint),
+         |  (acc, b) -> acc + IF(
+         |    element_at(
+         |      aggregate(
+         |        $shingleHashesCol,
+         |        array_repeat(0, 60),
+         |        (cnt, h) -> zip_with(
+         |          cnt,
+         |          transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
+         |          (x, y) -> x + y)),
+         |      b + 1) > 0,
+         |    shiftleft(cast(1 as bigint), b),
+         |    cast(0 as bigint)))""".stripMargin)
+
+  /** [[simhash60]] with the bit-count fold hoisted out (evaluate once). */
+  def simhashFromCounts(bitCountsCol: String): Column =
+    expr(
+      s"""aggregate(sequence(0, 59), cast(0 as bigint),
+         |  (acc, b) -> acc + IF(element_at($bitCountsCol, b + 1) > 0,
+         |                       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+
+  /** ±1 bit-vote counts over an array of 60-bit shingle hashes. */
+  def simhashBitCounts(shingleHashesCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  $shingleHashesCol,
+         |  array_repeat(0, 60),
+         |  (cnt, h) -> zip_with(
+         |    cnt,
+         |    transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
+         |    (x, y) -> x + y))""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.functions.TextFeatures.{hash60, hash60Sql}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded media frame/window feature row (the decode-stub output). */
+case class MediaFeature(
+    doc_id: Long,
+    modality: String,
+    byte_len: Int,
+    checksum: Long,
+    feature: Array[Double])
+
+/** Multimodal-column plumbing for a training-data pipeline: media content
+  * as opaque `binary` columns with typed metadata, plus a decode /
+  * feature-extract stage (north-star extensions, SURVEY.md §7.5).
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[decodeStub]]): it derives bytes and
+  * "decoded" metadata from md5 of the document text. Everything around it —
+  * BinaryType column through the plan, schema, partition-parallel
+  * `mapPartitions` decode, batch shape — is real Spark and is what the
+  * tests cover. Swap [[decodeStub]] for a codec UDF and nothing else
+  * changes.
+  *
+  * Scale notes (100 TB): blobs stay columnar in parquet and are never
+  * collected; the decode stage is `mapPartitions` (one iterator pass per
+  * parquet row-group worth of rows, no shuffle); metadata extraction is a
+  * pure projection that stays in whole-stage codegen.
+  */
+object Multimodal {
+
+  /** Synthetic media table: doc_id, modality, content (BinaryType blob of
+    * 16–128 bytes), derived deterministically from the documents table.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("modality",
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+      .withColumn("content",
+        unhex(expr("repeat(md5(text), cast(1 + pmod(doc_id, 8) as int))")))
+
+  // ---- multimodal_meta: typed metadata off the binary column -----------
+  // The "decoded" header fields pass through the real binary path
+  // (hex(substring(content, …))), so the plan genuinely carries BinaryType;
+  // the oracle reproduces the same values from the md5 hex string.
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(
+        col("doc_id"),
+        col("modality"),
+        length(col("content")).as("byte_len"),
+        conv(hex(expr("substring(content, 1, 4)")), 16, 10).cast("long").as("header_id"),
+        (lit(320) + pmod(hash60(concat(col("text"), lit("w"))), lit(1600)))
+          .cast("int").as("width"),
+        (lit(240) + pmod(hash60(concat(col("text"), lit("h"))), lit(840)))
+          .cast("int").as("height"),
+        when(col("modality") === "image", lit(null).cast("int"))
+          .otherwise((lit(1) + pmod(hash60(concat(col("text"), lit("d"))), lit(600)))
+            .cast("int")).as("duration_s"))
+
+  val multimodalMetaSql: String =
+    s"""SELECT doc_id,
+       |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       |       CAST(16 * (1 + doc_id % 8) AS INT) AS byte_len,
+       |       ('0x' || substr(md5(text), 1, 8))::BIGINT AS header_id,
+       |       CAST(320 + ${hash60Sql("text || 'w'")} % 1600 AS INT) AS width,
+       |       CAST(240 + ${hash60Sql("text || 'h'")} % 840 AS INT) AS height,
+       |       CASE WHEN doc_id % 3 = 0 THEN NULL
+       |            ELSE CAST(1 + ${hash60Sql("text || 'd'")} % 600 AS INT) END AS duration_s
+       |FROM documents""".stripMargin
+
+  /** Decode / feature-extract stage: partition-parallel iterator pass over
+    * the blobs. DECODE STUB — a real deployment would decode the codec
+    * here (image resize, audio window, video frame-sample); this fake
+    * derives a deterministic 4-dim feature from the blob bytes so the
+    * pipeline shape (batching, schema, parallelism) is fully testable.
+    */
+  def decodeStub(media: DataFrame): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "modality", "content")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, modality, bytes) =>
+          var checksum = 0L
+          var i        = 0
+          while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+          val feature = Array.tabulate(4) { k =>
+            var s = 0.0
+            var j = k
+            while (j < bytes.length) { s += (bytes(j) & 0xff) / 255.0; j += 4 }
+            s / math.max(1, (bytes.length + 3 - k) / 4)
+          }
+          MediaFeature(id, modality, bytes.length, checksum, feature)
+        }
+      }
+  }
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
+  )
+}

@@ -1,0 +1,177 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the `embeddings`
+  * table (64-dim float vectors) — brute-force cosine top-k as the exact
+  * baseline and an IVF (inverted-file) probe variant as the scale path
+  * (north-star extensions, SURVEY.md §7.5).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - vectors are cast element-wise float→double (exact), and every dot
+  *    product / squared norm is a sequential left fold in list order —
+  *    Spark `aggregate(…, 0.0D, (acc,x) -> acc+x)` and DuckDB
+  *    `list_reduce` produce bit-identical doubles because (0.0 + x₁) = x₁;
+  *  - cosine = dot / (sqrt(n2a) * sqrt(n2b)) in exactly that operation
+  *    order on both sides;
+  *  - ranking ties break on neighbor id, so top-k is stable.
+  *
+  * Scale notes (100 TB): brute force is O(Q·N) with the query side
+  * broadcast — the right baseline when Q is small; IVF cuts the scanned
+  * fraction to nprobe/k_centroids and is the shape that survives N in the
+  * billions (assignment is one broadcast-join + argmax per row; the search
+  * joins only the probed buckets, partitioned by centroid).
+  */
+object Similarity {
+
+  private val TopK    = 10
+  private val NProbe  = 3
+  private val QueryMod    = 100 // queries = vec_id % 100 == 0
+  private val CentroidMod = 50  // centroids = vec_id % 50 == 0
+
+  /** embeddings with double vector `v` and squared norm `n2`. */
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("n2", expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
+
+  /** Sequential-fold dot product of two double arrays (bit-exact twin of
+    * the oracle's list_reduce).
+    */
+  private val dotExpr =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    withVec(Tables.embeddings(spark, dir)).select(col("vec_id"), col("v"), col("n2"))
+
+  // ---- knn_brute: exact cosine top-k for the query subset --------------
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val scored = e.withColumnRenamed("v", "vb")
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Shared oracle CTE: vec_id, double vector, squared norm. */
+  private val EmbCte =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM embeddings)""".stripMargin
+
+  private def cosSql(va: String, vb: String, n2a: String, n2b: String): String =
+    s"list_reduce(list_transform(list_zip($va, $vb), p -> p[1] * p[2]), (a, b) -> a + b)" +
+      s" / (sqrt($n2a) * sqrt($n2b))"
+
+  val knnBruteSql: String =
+    s"""$EmbCte,
+       |q AS (SELECT vec_id AS query_id, v AS va, n2 AS qn2 FROM e WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${cosSql("q.va", "e.v", "q.qn2", "e.n2")} AS cosine
+       |  FROM q JOIN e ON q.query_id <> e.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
+
+  // ---- knn_ivf: inverted-file probe (assign → probe → bucket search) ---
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val c = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
+
+    // assignment: nearest centroid per vector (argmax cosine, tie → min id)
+    val assignScored = e.withColumnRenamed("v", "va").withColumnRenamed("n2", "an2")
+      .crossJoin(broadcast(c))
+      .withColumn("cos_c",
+        expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("cn2"))))
+    val wa = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("centroid_id").asc)
+    val assign = assignScored.withColumn("rn", row_number().over(wa))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+
+    // probes: top-nprobe centroids per query
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val probeScored = q.crossJoin(broadcast(c))
+      .withColumn("cos_c", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+    val wp = Window.partitionBy("query_id").orderBy(col("cos_c").desc, col("centroid_id").asc)
+    val probes = probeScored.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("centroid_id"))
+
+    // search only the probed buckets
+    val members = probes.join(assign, "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = members
+      .join(e.select(col("vec_id"), col("v").as("vb"), col("n2").as("bn2")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("va"), col("qn2"))), "query_id")
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("bn2"))))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  val knnIvfSql: String =
+    s"""$EmbCte,
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $CentroidMod = 0),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.v", "c.cv", "e.n2", "c.cn2")} DESC, c.centroid_id ASC) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % $QueryMod = 0),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT q.query_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosSql("q.qv", "c.cv", "q.qn2", "c.cn2")} DESC, c.centroid_id ASC) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
+       |members AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign a USING (centroid_id)
+       |  WHERE p.query_id <> a.vec_id),
+       |scored AS (
+       |  SELECT m.query_id, m.vec_id AS neighbor_id,
+       |         ${cosSql("q.qv", "e.v", "q.qn2", "e.n2")} AS cosine
+       |  FROM members m JOIN e ON m.vec_id = e.vec_id JOIN q ON m.query_id = q.query_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
+
+  // ---- sim_pairs_topk: global most-similar pairs -----------------------
+  def simPairsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val a = e.select(col("vec_id").as("vec_id_1"), col("v").as("va"), col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vec_id_2"), col("v").as("vb"), col("n2").as("n2b"))
+    a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id_1").asc, col("vec_id_2").asc)
+      .limit(20)
+  }
+
+  val simPairsTopkSql: String =
+    s"""$EmbCte
+       |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       |       ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cosine DESC, vec_id_1 ASC, vec_id_2 ASC LIMIT 20""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "knn_brute"      -> (knnBrute _, knnBruteSql),
+    "knn_ivf"        -> (knnIvf _, knnIvfSql),
+    "sim_pairs_topk" -> (simPairsTopk _, simPairsTopkSql),
+  )
+}
