@@ -39,11 +39,14 @@ object Dedup {
   private val SimhashBlocks    = 12 // 5 bits each over the 60-bit simhash
 
   /** doc_id → distinct shingle set (the shared feature extraction). */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles("toks").as("sh"))
+
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(Tables.documents(spark, dir))
 
   /** Exact Jaccard verification of candidate (doc_id_1 < doc_id_2) pairs:
     * join the full shingle sets back and keep pairs ≥ threshold. Candidates
@@ -81,18 +84,23 @@ object Dedup {
        |WHERE c::DOUBLE / (s1.n + s2.n - c) >= $JaccardThreshold""".stripMargin
 
   // ---- dedup_exact: hash-groupBy on the content fingerprint ------------
-  def dedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def dedupExactOn(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("dup_count"))
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExactOn(Tables.documents(spark, dir))
 
   val dedupExactSql: String =
     """SELECT md5(text) AS fp, min(doc_id) AS survivor_id, count(*) AS dup_count
       |FROM documents GROUP BY md5(text)""".stripMargin
 
   // ---- dedup_jaccard: exact n-gram Jaccard near-dup pairs --------------
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sets     = shingleSets(spark, dir)
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupJaccardOn(shingleSets(spark, dir))
+
+  def dedupJaccardOn(sets: DataFrame): DataFrame = {
     val inverted = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val candidates = inverted.as("a")
       .join(inverted.as("b"),
@@ -103,8 +111,10 @@ object Dedup {
   }
 
   // ---- dedup_minhash: MinHash + LSH banding, exact verification --------
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(spark, dir)
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    dedupMinhashOn(shingleSets(spark, dir))
+
+  def dedupMinhashOn(sets: DataFrame): DataFrame = {
     val banded = sets
       .withColumn("sig", minhashSignature("sh", NumHashes))
       .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
@@ -124,8 +134,8 @@ object Dedup {
     * counts array referenced exactly once so Catalyst's project collapse
     * cannot duplicate the heavy inner aggregate.
     */
-  private def simhashes(spark: SparkSession, dir: String): DataFrame =
-    shingleSets(spark, dir)
+  def simhashesOn(sets: DataFrame): DataFrame =
+    sets
       .withColumn("hs", transform(col("sh"), s => hash60(s)))
       .withColumn("simhash",
         expr(
@@ -147,8 +157,11 @@ object Dedup {
        |    transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
        |    (x, y) -> x + y))""".stripMargin
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashes(spark, dir)
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    dedupSimhashOn(shingleSets(spark, dir))
+
+  def dedupSimhashOn(sets: DataFrame): DataFrame = {
+    val sigs = simhashesOn(sets)
     val blocks = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(

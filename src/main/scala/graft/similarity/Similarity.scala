@@ -43,12 +43,18 @@ object Similarity {
   private val dotExpr =
     "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
 
+  /** (vec_id, double vector v, squared norm n2) off a raw embeddings table. */
+  def withNorms(df: DataFrame): DataFrame =
+    withVec(df).select(col("vec_id"), col("v"), col("n2"))
+
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    withVec(Tables.embeddings(spark, dir)).select(col("vec_id"), col("v"), col("n2"))
+    withNorms(Tables.embeddings(spark, dir))
 
   // ---- knn_brute: exact cosine top-k for the query subset --------------
-  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+  def knnBrute(spark: SparkSession, dir: String): DataFrame =
+    knnBruteOn(emb(spark, dir))
+
+  def knnBruteOn(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
     val scored = e.withColumnRenamed("v", "vb")
@@ -83,8 +89,10 @@ object Similarity {
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
   // ---- knn_ivf: inverted-file probe (assign → probe → bucket search) ---
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+  def knnIvf(spark: SparkSession, dir: String): DataFrame =
+    knnIvfOn(emb(spark, dir))
+
+  def knnIvfOn(e: DataFrame): DataFrame = {
     val c = e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
 
@@ -151,8 +159,10 @@ object Similarity {
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
   // ---- sim_pairs_topk: global most-similar pairs -----------------------
-  def simPairsTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
+  def simPairsTopk(spark: SparkSession, dir: String): DataFrame =
+    simPairsTopkOn(emb(spark, dir))
+
+  def simPairsTopkOn(e: DataFrame): DataFrame = {
     val a = e.select(col("vec_id").as("vec_id_1"), col("v").as("va"), col("n2").as("n2a"))
     val b = e.select(col("vec_id").as("vec_id_2"), col("v").as("vb"), col("n2").as("n2b"))
     a.join(b, col("vec_id_1") < col("vec_id_2"))

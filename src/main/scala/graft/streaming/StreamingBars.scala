@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Latest known tick per symbol (the mapGroupsWithState output shape). */
+final case class LatestTick(symbol: String, price: java.math.BigDecimal,
+    volume: java.lang.Long, event_time: Timestamp)
+
+/** Always-on streaming variants of the bar/tick derivations — native
+  * Structured Streaming with watermarks and keyed state (SURVEY.md §2.7
+  * ST2-ST4 as Spark primitives instead of hand-rolled loops).
+  *
+  * Scale notes: the windowed aggregation shuffles once on
+  * (symbol, window) with partial aggregation before the exchange and keyed
+  * state in the state store — the same physical shape as the batch bar
+  * build, plus incremental state; per-symbol state for [[latestPerSymbol]]
+  * is O(distinct symbols).
+  */
+object StreamingBars {
+
+  /** Streaming 1-minute OHLCV bars: event-time tumbling window + watermark.
+    * Emit-on-close (append mode downstream) reproduces the reference's
+    * "only completed minutes" rule (aggregator.py:123-127); the watermark
+    * delay is the late-data tolerance the reference gets from re-scanning
+    * `[wm, now-1m)` every cycle (ST4).
+    */
+  def bars1m(ticks: DataFrame, lateness: String = "2 minutes"): DataFrame =
+    ticks
+      .withWatermark("event_time", lateness)
+      .groupBy(col("symbol"), window(col("event_time"), "1 minute"))
+      .agg(
+        min_by(col("price"), col("event_time")).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), col("event_time")).as("close"),
+        sum(coalesce(col("volume"), lit(0L))).as("volume_sum"),
+        count(lit(1)).as("tick_count"))
+      .select(
+        col("symbol"), col("window.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume_sum"), col("tick_count"))
+
+  /** Keyed custom state: the latest tick per symbol, kept current across
+    * micro-batches with mapGroupsWithState — the streaming twin of the A8
+    * latest-per-key query and of the yfinance producer's cache-fallback
+    * (producer_yfinance.py:80-120).
+    */
+  def latestPerSymbol(ticks: DataFrame): Dataset[LatestTick] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .select(col("symbol"), col("price").cast("decimal(12,4)").as("price"),
+        col("volume"), col("event_time"))
+      .as[(String, java.math.BigDecimal, java.lang.Long, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (symbol: String,
+         rows: Iterator[(String, java.math.BigDecimal, java.lang.Long, Timestamp)],
+         state: GroupState[LatestTick]) => {
+          val newest = rows.maxBy(_._4.getTime)
+          val best = state.getOption match {
+            case Some(prev) if prev.event_time.after(newest._4) => prev
+            case _ => LatestTick(symbol, newest._2, newest._3, newest._4)
+          }
+          state.update(best)
+          best
+        })
+  }
+
+  /** Convenience sink for tests: run a streaming bars query into an
+    * in-memory table. Update mode surfaces bars as they refine (the
+    * reference's upsert-visible behavior, S9).
+    */
+  def startMemorySink(bars: DataFrame, tableName: String) =
+    bars.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Update())
+      .start()
+}

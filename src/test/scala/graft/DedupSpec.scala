@@ -1,0 +1,67 @@
+package graft
+
+import graft.dedup.Dedup
+
+/** Dedup operator laws on a hand-built corpus with known duplicates. */
+class DedupSpec extends SparkSpec {
+
+  // doc 1/2: identical; doc 3: near-dup of 1 (one word changed out of 36,
+  // so 3 of 34 shingles differ → Jaccard (34-3)/(34+3) ≈ 0.84 ≥ 0.8);
+  // doc 4: unrelated.
+  private val base = (1 to 36).map(i => s"w$i").mkString(" ")
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, base),
+      (2L, base),
+      (3L, base.replace("w18 ", "xx ")),
+      (4L, (1 to 36).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  private lazy val sets = Dedup.shingleSets(docs)
+
+  test("dedup_exact groups identical texts under one survivor") {
+    val rows = Dedup.dedupExactOn(docs).collect()
+    assert(rows.length == 3) // {1,2} collapse, 3 and 4 stand alone
+    val dupGroup = rows.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // min doc_id survives
+  }
+
+  test("exact Jaccard finds the identical and the near-dup pair") {
+    val pairs = Dedup.dedupJaccardOn(sets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val identical = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(identical._3 == 1.0)
+    val near = pairs.find(p => p._1 == 1L && p._2 == 3L).get
+    assert(near._3 > 0.8 && near._3 < 1.0)
+  }
+
+  test("MinHash-LSH candidates + exact verify match the exact pairs") {
+    val exact   = Dedup.dedupJaccardOn(sets).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = Dedup.dedupMinhashOn(sets).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minhash == exact)
+  }
+
+  test("simhash: identical docs at Hamming 0; block join ≡ brute force") {
+    val sigs = Dedup.simhashesOn(sets).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    // the law: the 12×5-bit block join finds EXACTLY the brute-force pairs
+    // with Hamming ≤ 10 (pigeonhole guarantees recall)
+    val ids = sigs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 10
+    } yield (i, j)).toSet
+    val pairs = Dedup.dedupSimhashOn(sets).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == expected)
+    assert(pairs.contains((1L, 2L))) // identical docs always survive
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash signatures stay within 60 bits (block join soundness)") {
+    val sigs = Dedup.simhashesOn(sets).collect().map(_.getLong(1))
+    assert(sigs.forall(s => s >= 0L && s < (1L << 60)))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.similarity.Similarity
+
+/** Cosine kNN laws on hand-built vectors. */
+class SimilaritySpec extends SparkSpec {
+
+  // vec 0 (a query: id % 100 == 0) along e1; 1 = same direction (cos 1),
+  // 2 = orthogonal (cos 0), 3 = opposite (cos -1), 4 = 45° (cos ≈ 0.707).
+  private lazy val emb = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 3f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f)),
+      (4L, Array(1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("knn_brute ranks by cosine with deterministic tie-breaks") {
+    val rows = Similarity.knnBruteOn(Similarity.withNorms(emb)).collect()
+      .sortBy(_.getInt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.map(_._1).forall(_ == 0L))          // only query id 0
+    assert(rows.map(_._2).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(rows(0)._4 == 1.0)                        // parallel
+    assert(math.abs(rows(1)._4 - math.sqrt(0.5)) < 1e-12)
+    assert(rows(2)._4 == 0.0)                        // orthogonal
+    assert(rows(3)._4 == -1.0)                       // opposite
+  }
+
+  test("IVF probe returns self-cluster neighbors ranked like brute force") {
+    // centroids = ids % 50 == 0 → just vec 0; every vector assigned to it,
+    // so IVF degenerates to brute force here — outputs must match exactly.
+    val brute = Similarity.knnBruteOn(Similarity.withNorms(emb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val ivf = Similarity.knnIvfOn(Similarity.withNorms(emb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(ivf == brute)
+  }
+
+  test("sim_pairs_topk ranks the parallel pair first") {
+    val top = Similarity.simPairsTopkOn(Similarity.withNorms(emb)).collect()
+    assert((top(0).getLong(0), top(0).getLong(1)) == (0L, 1L))
+    assert(top(0).getDouble(2) == 1.0)
+  }
+}

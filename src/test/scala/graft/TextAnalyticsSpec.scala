@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.TextFeatures
+import org.apache.spark.sql.functions._
+
+/** Text feature-extraction laws on known strings. */
+class TextAnalyticsSpec extends SparkSpec {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps")).toDF("doc_id", "text")
+  }
+
+  test("tokens and shingles: n-2 trigrams, distinct, space-joined") {
+    val r = df
+      .withColumn("toks", TextFeatures.tokens(col("text")))
+      .withColumn("sh", TextFeatures.shingles("toks"))
+      .select("sh").collect()(0).getSeq[String](0)
+    assert(r == Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+  }
+
+  test("hash60 is a positive 60-bit value matching the md5 prefix") {
+    val r = df.select(TextFeatures.hash60(col("text")).as("h")).collect()(0).getLong(0)
+    assert(r >= 0 && r < (1L << 60))
+    // independent recomputation via JDK md5
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("the quick brown fox jumps".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    assert(r == java.lang.Long.parseLong(hex, 16))
+  }
+
+  test("jaccard: identical = 1.0, disjoint = 0.0, half-overlap exact") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(TextFeatures.jaccard(col("x"), col("y")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(pairs(0) == 1.0 && pairs(1) == 0.0 && pairs(2) == 0.5)
+  }
+
+  test("minhash signature: length k, identical sets → identical signatures") {
+    import spark.implicits._
+    val sigs = Seq((1L, Seq("x y z", "y z w")), (2L, Seq("y z w", "x y z")))
+      .toDF("doc_id", "sh")
+      .withColumn("sig", TextFeatures.minhashSignature("sh", 16))
+      .select("sig").collect().map(_.getSeq[Long](0))
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1)) // order-independent (min over set)
+  }
+}
