@@ -38,9 +38,16 @@ object Dedup {
   private val HammingMax       = 10
   private val SimhashBlocks    = 12 // 5 bits each over the 60-bit simhash
 
-  /** doc_id → distinct shingle set (the shared feature extraction). */
+  /** doc_id → distinct shingle set (the shared feature extraction).
+    * The input is repartitioned to the session's parallelism first: the
+    * documents table arrives as few parquet files at test scale, and the
+    * per-row feature folds downstream (minhash, simhash) must run on all
+    * cores, not one input split. At real scale the table already has
+    * many splits and this is a cheap round-robin rebalance.
+    */
   def shingleSets(docs: DataFrame): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles("toks").as("sh"))
@@ -100,10 +107,28 @@ object Dedup {
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupJaccardOn(shingleSets(spark, dir))
 
+  /** Candidate generation uses AllPairs prefix filtering: order shingles by
+    * ascending document frequency (rarest first, global total order), keep
+    * only the first |d| − ⌈t·|d|⌉ + 1 shingles per document, and join on
+    * those. Any pair with Jaccard ≥ t provably shares a prefix shingle, so
+    * recall is exact while the join avoids the frequent-shingle blowup
+    * (a stop-shingle shared by thousands of docs never generates pairs).
+    */
   def dedupJaccardOn(sets: DataFrame): DataFrame = {
-    val inverted = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val candidates = inverted.as("a")
-      .join(inverted.as("b"),
+    val inverted = sets.select(
+      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    // prefix length = n − ⌈t·n⌉ + 1, in exact integer math for t = 4/5
+    // (doubles can undershoot the ceiling by one and silently lose recall)
+    val prefixLen = col("n") - floor((col("n") * 4 + 4) / 5) + 1
+    val prefix = inverted.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()

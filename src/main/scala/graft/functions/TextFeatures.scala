@@ -54,15 +54,21 @@ object TextFeatures {
     common.cast("double") / (size(a) + size(b) - common)
   }
 
-  /** MinHash signature: k minimums over per-permutation xxhash64 of each
-    * shingle. Engine-internal only (the oracle checks LSH output against
-    * exact Jaccard, not the signature), so the fast native xxhash64 is used
-    * rather than the md5-derived oracle hash.
+  /** MinHash signature: k minimums over permuted shingle hashes.
+    * Engine-internal only (the oracle checks LSH output against exact
+    * Jaccard, not the signature). Each shingle is string-hashed ONCE with
+    * native xxhash64; permutation p then re-hashes the 8-byte value as
+    * xxhash64(p, h) — native, seed-independent permutations at a fraction
+    * of the cost of re-hashing the string k times. The base-hash array is
+    * bound once via a single-element-array lambda so Catalyst's project
+    * collapse cannot re-inline the string hashing into every permutation.
     */
   def minhashSignature(shinglesCol: String, numHashes: Int): Column =
     expr(
-      s"""transform(sequence(0, ${numHashes - 1}),
-         |  p -> array_min(transform($shinglesCol, s -> xxhash64(p, s))))""".stripMargin)
+      s"""transform(
+         |  array(transform($shinglesCol, s -> xxhash64(s))),
+         |  hs -> transform(sequence(0, ${numHashes - 1}),
+         |          p -> array_min(transform(hs, h -> xxhash64(p, h)))))[0]""".stripMargin)
 
   /** LSH band keys: one xxhash64 per band over `rowsPerBand` consecutive
     * signature entries (banding via slice + hash of the slice).

@@ -43,9 +43,14 @@ object Similarity {
   private val dotExpr =
     "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
 
-  /** (vec_id, double vector v, squared norm n2) off a raw embeddings table. */
+  /** (vec_id, double vector v, squared norm n2) off a raw embeddings table.
+    * Repartitioned to session parallelism first — the table arrives as one
+    * parquet split at test scale and the per-pair cosine folds downstream
+    * must fan out across cores (no-op rebalance at real scale).
+    */
   def withNorms(df: DataFrame): DataFrame =
-    withVec(df).select(col("vec_id"), col("v"), col("n2"))
+    withVec(df.repartition(df.sparkSession.sparkContext.defaultParallelism))
+      .select(col("vec_id"), col("v"), col("n2"))
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     withNorms(Tables.embeddings(spark, dir))
