@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Constraint inference wraps heavy HOF join keys (minhash/simhash
+      // folds) in inferred isnotnull filters that get pushed into the
+      // scan — recomputing the fold 2-3x per row. The inferred filters
+      // save nothing on this workload.
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,9 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); read as Long, normalized
       // to µs in Tables.events (matches DuckDB's ns→µs truncation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench.scala: inferred isnotnull on heavy HOF join keys would
+      // recompute minhash/simhash folds inside the scan filter
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -52,6 +52,15 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles("toks").as("sh"))
 
+  /** Same sets with each shingle collapsed to its xxhash64 — set
+    * cardinalities (and so Jaccard) are preserved modulo 64-bit collisions
+    * (~n²/2⁶⁵, negligible), while joins and intersections move 8-byte longs
+    * instead of ~25-byte strings. All candidate generation and verification
+    * run on this compact form.
+    */
+  private def hashedSets(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     shingleSets(Tables.documents(spark, dir))
 
@@ -108,20 +117,26 @@ object Dedup {
     dedupJaccardOn(shingleSets(spark, dir))
 
   /** Candidate generation uses AllPairs prefix filtering: order shingles by
-    * ascending document frequency (rarest first, global total order), keep
-    * only the first |d| − ⌈t·|d|⌉ + 1 shingles per document, and join on
-    * those. Any pair with Jaccard ≥ t provably shares a prefix shingle, so
-    * recall is exact while the join avoids the frequent-shingle blowup
-    * (a stop-shingle shared by thousands of docs never generates pairs).
+    * ascending document frequency (rarest first — a frequent stop-shingle
+    * shared by thousands of docs must never generate pairs), keep only the
+    * first |d| − ⌈t·|d|⌉ + 1 shingles per document, and equi-join on
+    * those. Any pair with Jaccard ≥ t provably shares a prefix shingle
+    * under ANY consistent global order, so recall is exact. Prefix length
+    * uses exact integer math for t = 4/5 (doubles can undershoot the
+    * ceiling by one and silently lose recall).
+    *
+    * The hashed sets are repartitioned by doc_id first: every consumer
+    * (inverted index, both verify sides) shares that one exchange, so
+    * Spark's ReuseExchange computes the shingle+hash pipeline once instead
+    * of once per branch.
     */
-  def dedupJaccardOn(sets: DataFrame): DataFrame = {
+  def dedupJaccardOn(rawSets: DataFrame): DataFrame = {
+    val sets = hashedSets(rawSets).repartition(col("doc_id"))
     val inverted = sets.select(
       col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
     val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-    // prefix length = n − ⌈t·n⌉ + 1, in exact integer math for t = 4/5
-    // (doubles can undershoot the ceiling by one and silently lose recall)
     val prefixLen = col("n") - floor((col("n") * 4 + 4) / 5) + 1
     val prefix = inverted.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
@@ -139,9 +154,10 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleSets(spark, dir))
 
-  def dedupMinhashOn(sets: DataFrame): DataFrame = {
+  def dedupMinhashOn(rawSets: DataFrame): DataFrame = {
+    val sets = hashedSets(rawSets).repartition(col("doc_id"))
     val banded = sets
-      .withColumn("sig", minhashSignature("sh", NumHashes))
+      .withColumn("sig", minhashSignatureFromHashes("sh", NumHashes))
       .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
@@ -155,48 +171,48 @@ object Dedup {
   }
 
   // ---- dedup_simhash: 60-bit simhash, 5-bit block join, Hamming ≤ 10 ---
-  /** doc_id → (simhash, 12 5-bit blocks). The simhash is one per-row fold:
-    * counts array referenced exactly once so Catalyst's project collapse
-    * cannot duplicate the heavy inner aggregate.
+  /** Per bit i: the ±1 vote sum over shingles is positive iff strictly
+    * more than half the shingle hashes have bit i set, so the signature is
+    * one allocation-free integer fold per bit. The md5-derived hash array
+    * is bound once to a lambda variable (single-element-array idiom) so
+    * project collapse cannot re-inline the per-shingle md5 into each of
+    * the 60 bit folds.
     */
   def simhashesOn(sets: DataFrame): DataFrame =
     sets
       .withColumn("hs", transform(col("sh"), s => hash60(s)))
       .withColumn("simhash",
         expr(
-          s"""aggregate(
-             |  zip_with(
-             |    ${simhashBitCountsSqlInline("hs")},
-             |    sequence(0, 59),
-             |    (c, b) -> IF(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-             |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin))
+          """transform(array(hs), v ->
+            |  aggregate(
+            |    transform(sequence(0, 59), i ->
+            |      IF(2 * aggregate(v, 0, (a, h) -> a + int(shiftright(h, i) & 1)) > size(v),
+            |         shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+            |    cast(0 as bigint), (acc, x) -> acc + x))[0]""".stripMargin))
       .select(col("doc_id"), col("simhash"))
-
-  /** Inline SQL for the ±1 bit-vote fold over shingle hashes. */
-  private def simhashBitCountsSqlInline(hs: String): String =
-    s"""aggregate(
-       |  $hs,
-       |  array_repeat(0, 60),
-       |  (cnt, h) -> zip_with(
-       |    cnt,
-       |    transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
-       |    (x, y) -> x + y))""".stripMargin
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     dedupSimhashOn(shingleSets(spark, dir))
 
   def dedupSimhashOn(sets: DataFrame): DataFrame = {
-    val sigs = simhashesOn(sets)
-    val blocks = sigs.select(
+    // one exchange under both self-join sides → signatures computed once
+    val sigs = simhashesOn(sets).repartition(col("doc_id"))
+    // Hamming ≤ 10 damages at most 10 of the 12 blocks, so at least TWO
+    // blocks survive intact (pigeonhole) — candidates only need pairs that
+    // agree on a block PAIR, which squares the per-block collision rate
+    // (1/32 → 1/1024) and keeps the candidate set near-linear. The 66
+    // (k1 < k2) combos are encoded as one bigint join key.
+    val blockPairs = sigs.select(
       col("doc_id"), col("simhash"),
-      posexplode(expr(
-        s"transform(sequence(0, ${SimhashBlocks - 1}), k -> cast(shiftright(simhash, k * 5) & 31 as int))")))
-      .withColumnRenamed("pos", "block")
-      .withColumnRenamed("col", "block_val")
-    blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.block") === col("b.block") && col("a.block_val") === col("b.block_val")
-          && col("a.doc_id") < col("b.doc_id"))
+      explode(expr(
+        s"""flatten(transform(sequence(0, ${SimhashBlocks - 2}), k1 ->
+           |  transform(sequence(k1 + 1, ${SimhashBlocks - 1}), k2 ->
+           |    ((cast(k1 * ${SimhashBlocks} + k2 as bigint) * 32)
+           |      + (shiftright(simhash, k1 * 5) & 31)) * 32
+           |      + (shiftright(simhash, k2 * 5) & 31))))""".stripMargin)).as("bkey"))
+    blockPairs.as("a")
+      .join(blockPairs.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
         col("a.simhash").as("s1"), col("b.simhash").as("s2"))

@@ -70,6 +70,18 @@ object TextFeatures {
          |  hs -> transform(sequence(0, ${numHashes - 1}),
          |          p -> array_min(transform(hs, h -> xxhash64(p, h)))))[0]""".stripMargin)
 
+  /** [[minhashSignature]] over an already-hashed (array<bigint>) set.
+    * The input array is bound once to a lambda variable (single-element
+    * array + subscript) so a non-trivial upstream expression for the
+    * hashes column is evaluated once, not once per permutation.
+    */
+  def minhashSignatureFromHashes(hashesCol: String, numHashes: Int): Column =
+    expr(
+      s"""transform(
+         |  array($hashesCol),
+         |  hs -> transform(sequence(0, ${numHashes - 1}),
+         |          p -> array_min(transform(hs, h -> xxhash64(p, h)))))[0]""".stripMargin)
+
   /** LSH band keys: one xxhash64 per band over `rowsPerBand` consecutive
     * signature entries (banding via slice + hash of the slice).
     */
@@ -78,43 +90,4 @@ object TextFeatures {
       s"""transform(sequence(0, ${numBands - 1}),
          |  b -> xxhash64(b, slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand)))""".stripMargin)
 
-  /** 60-bit SimHash over the document's distinct shingle set: per bit,
-    * sum +1/-1 over shingle-hash bits, emit 1 where the sum is positive.
-    * Pure per-row fold (no shuffle); integer math ⇒ engine-exact.
-    */
-  def simhash60(shingleHashesCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  sequence(0, 59),
-         |  cast(0 as bigint),
-         |  (acc, b) -> acc + IF(
-         |    element_at(
-         |      aggregate(
-         |        $shingleHashesCol,
-         |        array_repeat(0, 60),
-         |        (cnt, h) -> zip_with(
-         |          cnt,
-         |          transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
-         |          (x, y) -> x + y)),
-         |      b + 1) > 0,
-         |    shiftleft(cast(1 as bigint), b),
-         |    cast(0 as bigint)))""".stripMargin)
-
-  /** [[simhash60]] with the bit-count fold hoisted out (evaluate once). */
-  def simhashFromCounts(bitCountsCol: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 59), cast(0 as bigint),
-         |  (acc, b) -> acc + IF(element_at($bitCountsCol, b + 1) > 0,
-         |                       shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
-
-  /** ±1 bit-vote counts over an array of 60-bit shingle hashes. */
-  def simhashBitCounts(shingleHashesCol: String): Column =
-    expr(
-      s"""aggregate(
-         |  $shingleHashesCol,
-         |  array_repeat(0, 60),
-         |  (cnt, h) -> zip_with(
-         |    cnt,
-         |    transform(sequence(0, 59), i -> IF((shiftright(h, i) & 1) = 1, 1, -1)),
-         |    (x, y) -> x + y))""".stripMargin)
 }
