@@ -20,13 +20,16 @@ object Bench {
       // scan — recomputing the fold 2-3x per row. The inferred filters
       // save nothing on this workload.
       .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM + parquet-footer warmup on the tiniest SF so per-query timings
-    // measure the query, not first-use class loading.
-    SparkEntry.queries.values.take(1).foreach { fn =>
+    // JVM + codegen + parquet-footer warmup: run EVERY query once on the
+    // tiniest SF so per-query timings measure the query, not first-use
+    // class loading or C2 compilation of its codegen'd stages (cold first
+    // runs are 4-10x the steady state).
+    SparkEntry.queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.{FloatVecDot, MinHashSig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Session extension registering the engine's native functions — wire up
+  * with `.config("spark.sql.extensions", "graft.GraftExtensions")`, or call
+  * [[GraftExtensions.register]] on an already-built session (e.g. the
+  * driver harness's own).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private[graft] val descriptors = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot takes exactly 2 arguments")
+        FloatVecDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_sig takes (array<bigint>, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }
+        MinHashSig(children.head, k)
+      }))
+
+  /** Idempotently register the native functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

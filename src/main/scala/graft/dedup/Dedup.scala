@@ -60,6 +60,12 @@ object Dedup {
     */
   private def hashedSets(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+      // Materialize once (lazily, on first action): three plan branches
+      // consume these sets (inverted index / both verify sides) and AQE's
+      // broadcast conversion would otherwise re-run the shingle+hash
+      // pipeline once per branch. Same pattern an iterative job uses for a
+      // reused intermediate at cluster scale.
+      .localCheckpoint(eager = false)
 
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     shingleSets(Tables.documents(spark, dir))
@@ -155,9 +161,10 @@ object Dedup {
     dedupMinhashOn(shingleSets(spark, dir))
 
   def dedupMinhashOn(rawSets: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(rawSets.sparkSession)
     val sets = hashedSets(rawSets).repartition(col("doc_id"))
     val banded = sets
-      .withColumn("sig", minhashSignatureFromHashes("sh", NumHashes))
+      .withColumn("sig", expr(s"minhash_sig(sh, $NumHashes)"))
       .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")

@@ -83,11 +83,15 @@ object TextFeatures {
          |          p -> array_min(transform(hs, h -> xxhash64(p, h)))))[0]""".stripMargin)
 
   /** LSH band keys: one xxhash64 per band over `rowsPerBand` consecutive
-    * signature entries (banding via slice + hash of the slice).
+    * signature entries (banding via slice + hash of the slice). The
+    * signature is bound once to a lambda variable so project collapse
+    * cannot re-inline the full minhash computation into every band.
     */
   def lshBands(sigCol: String, numBands: Int, rowsPerBand: Int): Column =
     expr(
-      s"""transform(sequence(0, ${numBands - 1}),
-         |  b -> xxhash64(b, slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand)))""".stripMargin)
+      s"""transform(
+         |  array($sigCol),
+         |  sg -> transform(sequence(0, ${numBands - 1}),
+         |          b -> xxhash64(b, slice(sg, b * $rowsPerBand + 1, $rowsPerBand))))[0]""".stripMargin)
 
 }

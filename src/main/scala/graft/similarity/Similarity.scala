@@ -32,25 +32,27 @@ object Similarity {
   private val QueryMod    = 100 // queries = vec_id % 100 == 0
   private val CentroidMod = 50  // centroids = vec_id % 50 == 0
 
-  /** embeddings with double vector `v` and squared norm `n2`. */
-  private def withVec(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("n2", expr("aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)"))
-
-  /** Sequential-fold dot product of two double arrays (bit-exact twin of
-    * the oracle's list_reduce).
+  /** Sequential-fold dot product via the native codegen'd
+    * [[graft.functions.FloatVecDot]] expression — bit-identical to the
+    * interpreted `aggregate(zip_with(...))` fold and to the oracle's
+    * `list_reduce` (floats widen to double, then 0.0 + x₁y₁ + … in element
+    * order), at native-loop speed with no boxing.
     */
-  private val dotExpr =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+  private val dotExpr = "vec_dot(va, vb)"
 
-  /** (vec_id, double vector v, squared norm n2) off a raw embeddings table.
+  /** (vec_id, float vector v, squared norm n2) off a raw embeddings table.
     * Repartitioned to session parallelism first — the table arrives as one
-    * parquet split at test scale and the per-pair cosine folds downstream
-    * must fan out across cores (no-op rebalance at real scale).
+    * parquet split at test scale and the per-pair cosine loops downstream
+    * must fan out across cores (no-op rebalance at real scale). Vectors
+    * stay `array<float>` end-to-end: half the shuffle bytes of a double
+    * array, widened per element inside the dot product.
     */
-  def withNorms(df: DataFrame): DataFrame =
-    withVec(df.repartition(df.sparkSession.sparkContext.defaultParallelism))
-      .select(col("vec_id"), col("v"), col("n2"))
+  def withNorms(df: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(df.sparkSession)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("v"),
+        expr("vec_dot(embedding, embedding)").as("n2"))
+  }
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     withNorms(Tables.embeddings(spark, dir))
@@ -163,6 +165,32 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
+  // ---- dedup_embedding: cosine near-dup pairs over a threshold ---------
+  /** Embedding-cosine near-duplicate detection: all pairs with cosine ≥
+    * threshold (blocked all-pairs at test scale; at 100 TB the candidate
+    * step becomes the IVF bucket join below — same verify shape).
+    */
+  private val NearDupCosine = 0.45
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOn(emb(spark, dir))
+
+  def dedupEmbeddingOn(e: DataFrame): DataFrame = {
+    val a = e.select(col("vec_id").as("vec_id_1"), col("v").as("va"), col("n2").as("n2a"))
+    val b = e.select(col("vec_id").as("vec_id_2"), col("v").as("vb"), col("n2").as("n2b"))
+    a.join(b, col("vec_id_1") < col("vec_id_2"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .filter(col("cosine") >= NearDupCosine)
+      .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""$EmbCte
+       |SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       |       ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.v", "b.v", "a.n2", "b.n2")} >= $NearDupCosine""".stripMargin
+
   // ---- sim_pairs_topk: global most-similar pairs -----------------------
   def simPairsTopk(spark: SparkSession, dir: String): DataFrame =
     simPairsTopkOn(emb(spark, dir))
@@ -185,8 +213,9 @@ object Similarity {
        |ORDER BY cosine DESC, vec_id_1 ASC, vec_id_2 ASC LIMIT 20""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "knn_brute"      -> (knnBrute _, knnBruteSql),
-    "knn_ivf"        -> (knnIvf _, knnIvfSql),
-    "sim_pairs_topk" -> (simPairsTopk _, simPairsTopkSql),
+    "knn_brute"       -> (knnBrute _, knnBruteSql),
+    "knn_ivf"         -> (knnIvf _, knnIvfSql),
+    "sim_pairs_topk"  -> (simPairsTopk _, simPairsTopkSql),
+    "dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
   )
 }
