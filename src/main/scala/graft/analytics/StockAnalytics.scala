@@ -241,14 +241,26 @@ object StockAnalytics {
        |         f.symbol LIMIT 20""".stripMargin
 
   // ---- latest tick per symbol — A8 on ticks ----------------------------
-  def latestPerSymbol(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy(col("event_time").desc)
+  // Aggregation shape, not a row_number window: max_by is partial-
+  // aggregable, so at scale the shuffle carries one row per (symbol, map
+  // task) instead of sorting every tick within symbol partitions. The
+  // row_number formulation (A8 literal) remains exercised by movers_join.
+  // event_time is unique per symbol in the testdata, so max_by ties are
+  // not observable (SURVEY.md §7.4).
+  // The row travels as one struct so a null volume on the winning tick is
+  // preserved verbatim (bare max_by on a nullable value would fall back to
+  // an older non-null row in some engines).
+  def latestPerSymbol(spark: SparkSession, dir: String): DataFrame =
     Tables.ticks(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("symbol"), col("price").cast("double").as("price"),
-        col("volume"), col("event_time"))
-  }
+      .groupBy(col("symbol"))
+      .agg(max_by(
+        struct(col("event_time"), col("price"), col("volume")),
+        col("event_time")).as("last"))
+      .select(
+        col("symbol"),
+        col("last.price").cast("double").as("price"),
+        col("last.volume").as("volume"),
+        col("last.event_time").as("event_time"))
 
   val latestPerSymbolSql: String =
     s"""${Tables.TICKS_CTE}

@@ -82,21 +82,28 @@ object IncrementalBars {
       .filter(col("event_time") < lit(toTime))
       .drop("d")
 
+    // persist: the frame is consumed twice (row count for the audit row +
+    // the partition write) and must not recompute the aggregation
     val bars = BarAggregator.bars1m(dayTicks)
       .withColumn("bucket_date", to_date(col("bucket_start")))
-    val n = bars.count()
-
+      .persist()
     val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      bars.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("bucket_date")
-        .parquet(barsPath)
-    finally prevOverwriteMode match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    val n =
+      try {
+        val c = bars.count()
+        bars.write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("bucket_date")
+          .parquet(barsPath)
+        c
+      } finally {
+        bars.unpersist()
+        prevOverwriteMode match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
 
     // Advance the watermark only after the bar write succeeded
     // (aggregator.py:135-136: bars + watermark in one transaction).
