@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{StarAnalytics, StockAnalytics, TextAnalytics}
+import graft.analytics.{StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
@@ -18,7 +18,8 @@ object SparkEntry {
 
   private val registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
-      Dedup.registry, Similarity.registry, Multimodal.registry)
+      TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
+      Multimodal.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →

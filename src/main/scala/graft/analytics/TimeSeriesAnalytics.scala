@@ -1,0 +1,117 @@
+package graft.analytics
+
+import graft.Tables
+import graft.agg.BarAggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators beyond the reference's surface that a market-data
+  * engine is expected to own: as-of joins and gap sessionization. Both are
+  * composed from built-ins per the custom-operator preference order
+  * (SURVEY.md §7.3) — no custom plan nodes needed.
+  *
+  * Scale notes (100 TB): both operators are one shuffle on symbol with
+  * in-partition ordered scans — the union/as-of trick never materializes a
+  * quadratic join, and sessionization is two window passes + one hash
+  * aggregate. Skewed symbols would salt the window key (symbol, month).
+  */
+object TimeSeriesAnalytics {
+
+  private val SessionGapUs = 1800L * 1000000 // 30 min, in exact microseconds
+
+  // ---- ticks_asof_bars: each tick joined to the latest COMPLETED bar ---
+  /** As-of join via the union + ordered carry-forward shape: a 1-minute
+    * bar becomes visible at `bucket_start + 1 minute`; bar-availability
+    * events and ticks merge into one per-symbol timeline, bars sort before
+    * ticks at equal timestamps, and `last(close, ignoreNulls)` carries the
+    * most recent visible close onto every tick. Equivalent to DuckDB's
+    * `ASOF LEFT JOIN` on `event_time >= avail` (the oracle).
+    */
+  def ticksAsofBars(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.ticks(spark, dir)
+    val nullDec  = lit(null).cast(DecimalType(12, 4))
+    val tickEvts = ticks.select(
+      col("symbol"), col("event_time").as("t"), lit(1).as("is_tick"),
+      col("tick_id"), col("price"), nullDec.as("close"))
+    val barEvts = BarAggregator.bars1m(ticks).select(
+      col("symbol"), (col("bucket_start") + expr("INTERVAL 1 MINUTE")).as("t"),
+      lit(0).as("is_tick"), lit(null).cast("long").as("tick_id"),
+      nullDec.as("price"), col("close"))
+    val w = Window.partitionBy("symbol").orderBy(col("t").asc, col("is_tick").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tickEvts.unionByName(barEvts)
+      .withColumn("prev_close", last(col("close"), ignoreNulls = true).over(w))
+      .filter(col("is_tick") === 1)
+      .select(
+        col("tick_id"), col("symbol"), col("t").as("event_time"),
+        col("price").cast("double").as("price"),
+        col("prev_close").cast("double").as("prev_close"))
+  }
+
+  val ticksAsofBarsSql: String =
+    s"""${Tables.BARS_CTE}
+       |SELECT t.tick_id, t.symbol, t.event_time,
+       |       CAST(t.price AS DOUBLE) AS price,
+       |       CAST(b."close" AS DOUBLE) AS prev_close
+       |FROM ticks t ASOF LEFT JOIN (
+       |  SELECT symbol, bucket_start + INTERVAL '1 minute' AS avail, "close" FROM bars) b
+       |  ON t.symbol = b.symbol AND t.event_time >= b.avail""".stripMargin
+
+  // ---- tick_sessions: 30-minute-gap sessionization ---------------------
+  /** Classic gap sessionization: a new session starts where the gap to the
+    * previous tick exceeds the threshold; session id is the running count
+    * of session starts. Gap math is exact integer microseconds on both
+    * engines (fractional-second timestamps make epoch-seconds comparisons
+    * engine-dependent).
+    */
+  def tickSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy("symbol").orderBy("event_time")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.ticks(spark, dir)
+      .withColumn("prev", lag(col("event_time"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull
+          || unix_micros(col("event_time")) - unix_micros(col("prev")) > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(wc))
+      .groupBy(col("symbol"), col("session_id"))
+      .agg(
+        min(col("event_time")).as("session_start"),
+        max(col("event_time")).as("session_end"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+  }
+
+  val tickSessionsSql: String =
+    s"""${Tables.TICKS_CTE},
+       |lagged AS (
+       |  SELECT symbol, event_time,
+       |         lag(event_time) OVER (PARTITION BY symbol ORDER BY event_time) AS prev
+       |  FROM ticks),
+       |flagged AS (
+       |  SELECT symbol, event_time,
+       |         CASE WHEN prev IS NULL
+       |                OR epoch_us(event_time) - epoch_us(prev) > $SessionGapUs
+       |              THEN 1 ELSE 0 END AS new_sess
+       |  FROM lagged),
+       |numbered AS (
+       |  SELECT symbol, event_time,
+       |         sum(new_sess) OVER (PARTITION BY symbol ORDER BY event_time
+       |                             ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM flagged)
+       |SELECT symbol, session_id,
+       |       min(event_time) AS session_start,
+       |       max(event_time) AS session_end,
+       |       count(*) AS n_ticks,
+       |       epoch_us(max(event_time)) - epoch_us(min(event_time)) AS duration_us
+       |FROM numbered
+       |GROUP BY symbol, session_id""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "ticks_asof_bars" -> (ticksAsofBars _, ticksAsofBarsSql),
+    "tick_sessions"   -> (tickSessions _, tickSessionsSql),
+  )
+}
