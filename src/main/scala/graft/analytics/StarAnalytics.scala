@@ -164,11 +164,40 @@ object StarAnalytics {
       |GROUP BY 1, 2
       |ORDER BY event_type, day""".stripMargin
 
+  // ---- brand profit (TPC-H Q9 shape): lineitem × part × supplier × nation
+  // Both dimensions broadcast (2k / 100 rows; at scale AQE falls back to
+  // shuffle joins); one hash aggregate on (nation, brand).
+  def brandProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(
+        sum(col("l_extendedprice").cast(Money)
+          * (lit(1).cast(Rate) - col("l_discount").cast(Rate))).as("_rev"),
+        count(lit(1)).as("line_count"))
+      .select(col("n_name"), col("p_brand"),
+        col("_rev").cast("double").as("revenue"), col("line_count"))
+      .orderBy("n_name", "p_brand")
+
+  val brandProfitSql: String =
+    """SELECT n_name, p_brand,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS line_count
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, p_brand
+      |ORDER BY n_name, p_brand""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
     "top_customers"     -> (topCustomers _, topCustomersSql),
     "nation_revenue"    -> (nationRevenue _, nationRevenueSql),
     "event_daily"       -> (eventDaily _, eventDailySql),
+    "brand_profit"      -> (brandProfit _, brandProfitSql),
   )
 }

@@ -110,8 +110,48 @@ object TimeSeriesAnalytics {
        |FROM numbered
        |GROUP BY symbol, session_id""".stripMargin
 
+  // ---- tick_sessions_native: Spark's built-in session_window -----------
+  /** The same sessionization through `session_window` (one aggregate, no
+    * window-function passes — Spark merges gap-adjacent events natively;
+    * this is also the construct the streaming variant would use). Session
+    * semantics: a new session starts when the gap is ≥ the 30-minute
+    * timeout; `session_close` is last event + gap (the window end), which
+    * the oracle reproduces as `max(event_time) + INTERVAL 30 minutes`.
+    */
+  def tickSessionsNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .groupBy(col("symbol"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_ticks"))
+      .select(
+        col("symbol"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_close"),
+        col("n_ticks"))
+
+  val tickSessionsNativeSql: String =
+    s"""${Tables.TICKS_CTE},
+       |lagged AS (
+       |  SELECT symbol, event_time,
+       |         lag(event_time) OVER (PARTITION BY symbol ORDER BY event_time) AS prev
+       |  FROM ticks),
+       |numbered AS (
+       |  SELECT symbol, event_time,
+       |         sum(CASE WHEN prev IS NULL
+       |                    OR epoch_us(event_time) - epoch_us(prev) >= $SessionGapUs
+       |                  THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY symbol ORDER BY event_time
+       |                 ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM lagged)
+       |SELECT symbol,
+       |       min(event_time) AS session_start,
+       |       max(event_time) + INTERVAL '30 minutes' AS session_close,
+       |       count(*) AS n_ticks
+       |FROM numbered
+       |GROUP BY symbol, sid""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "ticks_asof_bars" -> (ticksAsofBars _, ticksAsofBarsSql),
-    "tick_sessions"   -> (tickSessions _, tickSessionsSql),
+    "ticks_asof_bars"      -> (ticksAsofBars _, ticksAsofBarsSql),
+    "tick_sessions"        -> (tickSessions _, tickSessionsSql),
+    "tick_sessions_native" -> (tickSessionsNative _, tickSessionsNativeSql),
   )
 }
