@@ -80,4 +80,53 @@ object StreamingBars {
       .queryName(tableName)
       .outputMode(OutputMode.Update())
       .start()
+
+  /** Streaming gap sessionization with flatMapGroupsWithState + event-time
+    * timeout: per-symbol session state accumulates (start, end, count);
+    * when the watermark passes session_end + gap the state times out and
+    * the CLOSED session is emitted — the streaming twin of the batch
+    * `tick_sessions` query. State is O(open sessions) = O(symbols).
+    */
+  def sessionize(ticks: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "0 seconds"): Dataset[TickSession] = {
+    import ticks.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    ticks
+      .withWatermark("event_time", lateness)
+      .select(col("symbol"), col("event_time"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TickSession, TickSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (symbol: String, rows: Iterator[(String, Timestamp)],
+         state: GroupState[TickSession]) => {
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val times  = rows.map(_._2.getTime).toSeq.sorted
+            val merged = times.foldLeft(state.getOption.toVector) {
+              case (sessions, t) =>
+                sessions.lastOption match {
+                  case Some(open) if t - open.session_end.getTime < gapMs =>
+                    sessions.init :+ open.copy(
+                      session_end = new Timestamp(math.max(open.session_end.getTime, t)),
+                      n_ticks = open.n_ticks + 1)
+                  case _ =>
+                    sessions :+ TickSession(symbol, new Timestamp(t), new Timestamp(t), 1L)
+                }
+            }
+            // all but the newest session are separated by ≥ gap → closed
+            val (closed, open) = (merged.init, merged.last)
+            state.update(open)
+            state.setTimeoutTimestamp(open.session_end.getTime + gapMs)
+            closed.iterator
+          }
+        })
+  }
 }
+
+/** A per-symbol activity session (see [[StreamingBars.sessionize]]). */
+final case class TickSession(symbol: String, session_start: Timestamp,
+    session_end: Timestamp, n_ticks: Long)
