@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, MinHashSig}
+import graft.functions.{FloatVecDot, MinHashSig, TopKByScore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,6 +35,17 @@ object GraftExtensions {
             s"minhash_sig k must be an integer literal, got $other")
         }
         MinHashSig(children.head, k)
+      }),
+    (FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "topk_by_score takes (score, id, k)")
+        val k = children(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score k must be an integer literal, got $other")
+        }
+        TopKByScore(children.head, children(1), k)
       }))
 
   /** Idempotently register the native functions on a live session. */

@@ -306,6 +306,34 @@ object StockAnalytics {
        |  GROUP BY 1, 2)
        |$barsPresentSql""".stripMargin
 
+  // ---- price quantiles — exact interpolated percentiles per symbol -----
+  // Spark `percentile` and DuckDB `quantile_cont` both implement the R-7
+  // linear interpolation (index = p·(n−1)); values are computed on doubles
+  // and rounded to 4 dp, which absorbs any final-ulp difference in the
+  // interpolation arithmetic.
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        expr("percentile(cast(price as double), 0.5)").as("_p50"),
+        expr("percentile(cast(price as double), 0.95)").as("_p95"),
+        expr("percentile(cast(price as double), 0.99)").as("_p99"))
+      .select(col("symbol"),
+        round(col("_p50"), 4).as("p50"),
+        round(col("_p95"), 4).as("p95"),
+        round(col("_p99"), 4).as("p99"))
+      .orderBy("symbol")
+
+  val priceQuantilesSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT symbol,
+       |       round(quantile_cont(CAST(price AS DOUBLE), 0.5), 4) AS p50,
+       |       round(quantile_cont(CAST(price AS DOUBLE), 0.95), 4) AS p95,
+       |       round(quantile_cont(CAST(price AS DOUBLE), 0.99), 4) AS p99
+       |FROM ticks
+       |GROUP BY symbol
+       |ORDER BY symbol""".stripMargin
+
   // ---- /health, /ready — A10 global probes -----------------------------
   def healthCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.ticks(spark, dir).agg(
@@ -336,5 +364,6 @@ object StockAnalytics {
     "health_counts"     -> (healthCounts _, healthCountsSql),
     "ticks_gapfill"     -> (ticksGapfill _, ticksGapfillSql),
     "bars_hourly"       -> (barsHourly _, barsHourlySql),
+    "price_quantiles"   -> (priceQuantiles _, priceQuantilesSql),
   )
 }

@@ -61,16 +61,28 @@ object Similarity {
   def knnBrute(spark: SparkSession, dir: String): DataFrame =
     knnBruteOn(emb(spark, dir))
 
+  /** Top-k via the native bounded [[graft.functions.TopKByScore]]
+    * aggregate: partial aggregation keeps ≤ k candidates per (query, map
+    * task) before the shuffle, vs. a window rank that would shuffle and
+    * sort every scored pair — the O(k) vs O(N) difference per query at
+    * corpus scale. Ordering/tie-break (score desc, id asc) matches the
+    * oracle's row_number exactly. (knn_ivf below keeps the window-rank
+    * formulation as the built-in-composition variant.)
+    */
   def knnBruteOn(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
-    val scored = e.withColumnRenamed("v", "vb")
+    e.withColumnRenamed("v", "vb")
       .join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("cosine", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(cosine, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
   }
 
   /** Shared oracle CTE: vec_id, double vector, squared norm. */
