@@ -12,8 +12,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * driver harness's own).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -48,9 +50,15 @@ object GraftExtensions {
         TopKByScore(children.head, children(1), k)
       }))
 
-  /** Idempotently register the native functions on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register the native functions + planner strategy on a
+    * live session (for sessions built without `spark.sql.extensions`).
+    */
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+  }
 }

@@ -59,6 +59,26 @@ object TimeSeriesAnalytics {
        |  SELECT symbol, bucket_start + INTERVAL '1 minute' AS avail, "close" FROM bars) b
        |  ON t.symbol = b.symbol AND t.event_time >= b.avail""".stripMargin
 
+  // ---- ticks_asof_bars_native: the custom AsofJoin plan node -----------
+  /** Same semantics through [[graft.plans.AsofJoin]] — a native
+    * LogicalPlan/Strategy/SparkPlan operator doing one co-partitioned
+    * sorted merge with O(1) state per partition, instead of re-sorting a
+    * unioned table. Same oracle as the composition-based variant.
+    */
+  def ticksAsofBarsNative(spark: SparkSession, dir: String): DataFrame = {
+    val ticks = Tables.ticks(spark, dir)
+      .select(col("tick_id"), col("symbol"), col("event_time"), col("price"))
+    val bars = BarAggregator.bars1m(Tables.ticks(spark, dir)).select(
+      col("symbol"),
+      (col("bucket_start") + expr("INTERVAL 1 MINUTE")).as("avail"),
+      col("close"))
+    graft.plans.AsofJoin.asofJoin(ticks, bars, "symbol", "event_time", "avail")
+      .select(
+        col("tick_id"), col("symbol"), col("event_time"),
+        col("price").cast("double").as("price"),
+        col("close").cast("double").as("prev_close"))
+  }
+
   // ---- tick_sessions: 30-minute-gap sessionization ---------------------
   /** Classic gap sessionization: a new session starts where the gap to the
     * previous tick exceeds the threshold; session id is the running count
@@ -150,8 +170,9 @@ object TimeSeriesAnalytics {
        |GROUP BY symbol, sid""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "ticks_asof_bars"      -> (ticksAsofBars _, ticksAsofBarsSql),
-    "tick_sessions"        -> (tickSessions _, tickSessionsSql),
-    "tick_sessions_native" -> (tickSessionsNative _, tickSessionsNativeSql),
+    "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
+    "ticks_asof_bars_native" -> (ticksAsofBarsNative _, ticksAsofBarsSql),
+    "tick_sessions"          -> (tickSessions _, tickSessionsSql),
+    "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),
   )
 }

@@ -1,0 +1,60 @@
+package graft
+
+import graft.plans.AsofJoin
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The native as-of join operator: semantics, null handling, and
+  * equivalence with the composition-based formulation on real data.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("basic semantics: latest right row at or before left time, per key") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 105.0),
+      ("B", ts("2024-01-01 10:01:00"), 50.0))
+      .toDF("symbol", "qt", "quote")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:59:00"), 1L), // before any quote → null
+      ("A", ts("2024-01-01 10:00:00"), 2L), // exactly at → 100
+      ("A", ts("2024-01-01 10:04:59"), 3L), // between → 100
+      ("A", ts("2024-01-01 10:30:00"), 4L), // after both → 105
+      ("B", ts("2024-01-01 10:02:00"), 5L), // B's own quote, not A's → 50
+      ("C", ts("2024-01-01 12:00:00"), 6L)) // key with no quotes → null
+      .toDF("symbol", "tt", "trade_id")
+
+    val out = AsofJoin.asofJoin(trades, quotes, "symbol", "tt", "qt")
+      .select("trade_id", "quote").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(
+      1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(105.0), 5L -> Some(50.0), 6L -> None))
+  }
+
+  test("native operator matches the union+window composition on testdata") {
+    GraftExtensions.register(spark)
+    val dir    = "/root/testdata/sf0.001"
+    val native = graft.analytics.TimeSeriesAnalytics.ticksAsofBarsNative(spark, dir)
+      .collect().map(_.toString).sorted
+    val composed = graft.analytics.TimeSeriesAnalytics.ticksAsofBars(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(native.toSeq == composed.toSeq)
+  }
+
+  test("plan shape: clustered exchanges + sorts, no cartesian") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq(("A", ts("2024-01-01 10:00:00"), 1L)).toDF("symbol", "t", "v")
+    val r = Seq(("A", ts("2024-01-01 09:00:00"), 2.0)).toDF("symbol", "rt", "x")
+    val plan = AsofJoin.asofJoin(l, r, "symbol", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+}
