@@ -1,0 +1,25 @@
+package graft
+
+import graft.api.QueryParams
+import org.scalatest.funsuite.AnyFunSuite
+
+/** P5/P6 validation laws (reference tests/test_api.py:142-145 422 paths). */
+class QueryParamsSpec extends AnyFunSuite {
+
+  test("symbol validation: letters only, 1-10 chars, uppercased") {
+    assert(QueryParams.validateSymbol("aapl") == Right("AAPL"))
+    assert(QueryParams.validateSymbol("MSFT") == Right("MSFT"))
+    assert(QueryParams.validateSymbol("").isLeft)
+    assert(QueryParams.validateSymbol("ABC123").isLeft)
+    assert(QueryParams.validateSymbol("ELEVENCHARS").isLeft)
+    assert(QueryParams.validateSymbol("AA PL").isLeft)
+  }
+
+  test("range validation mirrors the endpoint caps") {
+    assert(QueryParams.validateLimit(100, QueryParams.TicksLimitMax) == Right(100))
+    assert(QueryParams.validateLimit(101, QueryParams.TicksLimitMax).isLeft)
+    assert(QueryParams.validateLimit(0, QueryParams.MoversLimitMax).isLeft)
+    assert(QueryParams.validateMinutes(1440) == Right(1440))
+    assert(QueryParams.validateMinutes(1441).isLeft)
+  }
+}
