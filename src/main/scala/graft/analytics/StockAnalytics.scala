@@ -287,9 +287,27 @@ object StockAnalytics {
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS volume_filled
        |FROM ticks""".stripMargin
 
-  // ---- hourly bars — the generalized bucket roll-up (barsOf) -----------
+  // ---- hourly/daily bars — the generalized bucket roll-up (barsOf) -----
   def barsHourly(spark: SparkSession, dir: String): DataFrame =
     presentBars(BarAggregator.barsOf(Tables.ticks(spark, dir), "1 hour"))
+
+  def barsDaily(spark: SparkSession, dir: String): DataFrame =
+    presentBars(BarAggregator.barsOf(Tables.ticks(spark, dir), "1 day"))
+
+  val barsDailySql: String =
+    s"""${Tables.TICKS_CTE},
+       |bars AS (
+       |  SELECT symbol,
+       |         date_trunc('day', event_time) AS bucket_start,
+       |         arg_min(price, event_time) AS open,
+       |         max(price) AS high,
+       |         min(price) AS low,
+       |         arg_max(price, event_time) AS close,
+       |         sum(coalesce(volume, 0)) AS volume_sum,
+       |         count(*) AS tick_count
+       |  FROM ticks
+       |  GROUP BY 1, 2)
+       |$barsPresentSql""".stripMargin
 
   val barsHourlySql: String =
     s"""${Tables.TICKS_CTE},
@@ -364,6 +382,7 @@ object StockAnalytics {
     "health_counts"     -> (healthCounts _, healthCountsSql),
     "ticks_gapfill"     -> (ticksGapfill _, ticksGapfillSql),
     "bars_hourly"       -> (barsHourly _, barsHourlySql),
+    "bars_daily"        -> (barsDaily _, barsDailySql),
     "price_quantiles"   -> (priceQuantiles _, priceQuantilesSql),
   )
 }
