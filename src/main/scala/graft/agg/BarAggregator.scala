@@ -49,4 +49,37 @@ object BarAggregator {
     */
   def bars1mBetween(ticks: DataFrame, from: Column, to: Column): DataFrame =
     bars1m(ticks.filter(col("event_time") >= from && col("event_time") < to))
+
+  /** Skew-resistant two-stage variant: when one (symbol, minute) key is
+    * hot (a meme-stock minute at 100 TB), the single-shuffle aggregate
+    * hotspots one reducer. Salting splits each key across `saltBuckets`
+    * partial groups, then combines partials — OHLCV is algebraic, so the
+    * combine is exact: open re-minimizes by each partial's first tick
+    * time, close by its last. Result ≡ [[bars1m]] for any salt count.
+    */
+  def bars1mSalted(ticks: DataFrame, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val partials = ticks
+      .withColumn("_salt", pmod(xxhash64(col("event_time"), col("price")), lit(saltBuckets)))
+      .groupBy(col("symbol"), date_trunc("minute", col("event_time")).as("bucket_start"),
+        col("_salt"))
+      .agg(
+        min_by(col("price"), col("event_time")).as("p_open"),
+        max(col("price")).as("p_high"),
+        min(col("price")).as("p_low"),
+        max_by(col("price"), col("event_time")).as("p_close"),
+        min(col("event_time")).as("p_first"),
+        max(col("event_time")).as("p_last"),
+        sum(coalesce(col("volume"), lit(0L))).as("p_volume"),
+        count(lit(1)).as("p_count"))
+    partials
+      .groupBy(col("symbol"), col("bucket_start"))
+      .agg(
+        min_by(col("p_open"), col("p_first")).as("open"),
+        max(col("p_high")).as("high"),
+        min(col("p_low")).as("low"),
+        max_by(col("p_close"), col("p_last")).as("close"),
+        sum(col("p_volume")).as("volume_sum"),
+        sum(col("p_count")).as("tick_count"))
+  }
 }
