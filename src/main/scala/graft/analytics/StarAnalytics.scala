@@ -192,6 +192,36 @@ object StarAnalytics {
       |GROUP BY n_name, p_brand
       |ORDER BY n_name, p_brand""".stripMargin
 
+  // ---- table_profile: per-column data profiling (training-pipeline QA) -
+  // One scan computes every column's stats; stack unpivots to one row per
+  // column. The oracle's UNION ALL shape produces identical values.
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val measures = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("double").as(s"min_$c"),
+      max(col(c)).cast("double").as(s"max_$c")))
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', n, nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    li.agg(measures.head, measures.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nonnull, n_distinct, min_v, max_v)")
+      .orderBy("column_name")
+  }
+
+  val tableProfileSql: String = {
+    val selects = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS n_nonnull,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v
+         |FROM lineitem""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
@@ -199,5 +229,6 @@ object StarAnalytics {
     "nation_revenue"    -> (nationRevenue _, nationRevenueSql),
     "event_daily"       -> (eventDaily _, eventDailySql),
     "brand_profit"      -> (brandProfit _, brandProfitSql),
+    "table_profile"     -> (tableProfile _, tableProfileSql),
   )
 }

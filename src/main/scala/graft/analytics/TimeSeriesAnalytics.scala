@@ -169,10 +169,57 @@ object TimeSeriesAnalytics {
        |FROM numbered
        |GROUP BY symbol, sid""".stripMargin
 
+  // ---- ticks_sma: rolling-frame moving average + running volume --------
+  /** Window frames over the per-symbol timeline: 5-tick simple moving
+    * average and cumulative volume. Frame sums stay exact DECIMAL until
+    * one double division + round, so sliding-frame evaluation order can't
+    * produce engine-dependent bits.
+    */
+  def ticksSma(spark: SparkSession, dir: String): DataFrame = {
+    val w5 = Window.partitionBy("symbol").orderBy("event_time").rowsBetween(-4, 0)
+    val wc = Window.partitionBy("symbol").orderBy("event_time")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.ticks(spark, dir).select(
+      col("tick_id"), col("symbol"), col("event_time"),
+      col("price").cast("double").as("price"),
+      round(sum(col("price")).over(w5).cast("double")
+        / count(lit(1)).over(w5), 4).as("sma5"),
+      sum(coalesce(col("volume"), lit(0L))).over(wc).as("cum_volume"))
+  }
+
+  val ticksSmaSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT tick_id, symbol, event_time,
+       |       CAST(price AS DOUBLE) AS price,
+       |       round(CAST(sum(price) OVER w5 AS DOUBLE)
+       |             / count(*) OVER w5, 4) AS sma5,
+       |       CAST(sum(coalesce(volume, 0)) OVER wc AS BIGINT) AS cum_volume
+       |FROM ticks
+       |WINDOW w5 AS (PARTITION BY symbol ORDER BY event_time
+       |              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       |       wc AS (PARTITION BY symbol ORDER BY event_time
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---- price_histogram: fixed-width binning ----------------------------
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .groupBy(col("symbol"),
+        floor(col("price").cast("double") / 50.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("symbol", "bin")
+
+  val priceHistogramSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT symbol, CAST(floor(CAST(price AS DOUBLE) / 50.0) AS BIGINT) AS bin,
+       |       count(*) AS n
+       |FROM ticks GROUP BY symbol, bin ORDER BY symbol, bin""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
     "ticks_asof_bars_native" -> (ticksAsofBarsNative _, ticksAsofBarsSql),
     "tick_sessions"          -> (tickSessions _, tickSessionsSql),
     "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),
+    "ticks_sma"              -> (ticksSma _, ticksSmaSql),
+    "price_histogram"        -> (priceHistogram _, priceHistogramSql),
   )
 }
