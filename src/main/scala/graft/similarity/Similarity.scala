@@ -203,6 +203,86 @@ object Similarity {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${cosSql("a.v", "b.v", "a.n2", "b.n2")} >= $NearDupCosine""".stripMargin
 
+  // ---- knn_lsh: random-hyperplane LSH bucketed ANN ---------------------
+  /** Sign-sketch LSH: 6 fixed random hyperplanes (md5-seeded, generated
+    * once here and embedded as literals in BOTH the Spark plan and the
+    * oracle SQL, so no cross-engine hashing is needed) → a 6-bit bucket
+    * per vector; each query searches only its own bucket and reranks by
+    * exact cosine. Deterministic by construction; recall is the classic
+    * LSH trade-off (queries return ≤ k in-bucket neighbors). Scale path:
+    * the bucket join touches ~N/2^bits vectors per query.
+    */
+  private val NumPlanes = 6
+  private val Dim       = 64
+
+  /** plane(p)(d) ∈ [-1, 1), from md5("p:d") — reproducible anywhere. */
+  private lazy val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h   = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (h % 2001 - 1000) / 1000.0
+    }
+  }
+
+  private def planeSqlLiteral(p: Int): String =
+    planes(p).mkString("[", ", ", "]::DOUBLE[]")
+
+  private def planeSparkLiteral(p: Int): String =
+    planes(p).mkString("array(", ", ", ")")
+
+  /** 6-bit sketch of a double-cast float vector column (same fold shape
+    * on both engines: per-plane sequential dot, sign, bit-pack).
+    */
+  private def sketchExpr(vCol: String): String =
+    (0 until NumPlanes).map { p =>
+      s"""IF(aggregate(zip_with($vCol, ${planeSparkLiteral(p)},
+         |  (x, y) -> cast(x as double) * y), cast(0 as double), (a, x) -> a + x) > 0,
+         |  ${1 << p}, 0)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def sketchSql(vCol: String): String =
+    (0 until NumPlanes).map { p =>
+      s"""CASE WHEN list_reduce(list_transform(list_zip($vCol, ${planeSqlLiteral(p)}),
+         |  q -> q[1] * q[2]), (a, x) -> a + x) > 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame =
+    knnLshOn(emb(spark, dir))
+
+  def knnLshOn(e: DataFrame): DataFrame = {
+    val sketched = e.withColumn("bucket", expr(sketchExpr("v")))
+    val q = sketched.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("n2").as("qn2"), col("bucket"))
+    val scored = sketched.withColumnRenamed("v", "vb")
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(cosine, vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+  }
+
+  val knnLshSql: String =
+    s"""$EmbCte,
+       |sk AS (SELECT vec_id, v, n2, ${sketchSql("v")} AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2, bucket
+       |      FROM sk WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT q.query_id, s.vec_id AS neighbor_id,
+       |         ${cosSql("q.qv", "s.v", "q.qn2", "s.n2")} AS cosine
+       |  FROM q JOIN sk s USING (bucket)
+       |  WHERE q.query_id <> s.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
+
   // ---- sim_pairs_topk: global most-similar pairs -----------------------
   def simPairsTopk(spark: SparkSession, dir: String): DataFrame =
     simPairsTopkOn(emb(spark, dir))
@@ -227,6 +307,7 @@ object Similarity {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_brute"       -> (knnBrute _, knnBruteSql),
     "knn_ivf"         -> (knnIvf _, knnIvfSql),
+    "knn_lsh"         -> (knnLsh _, knnLshSql),
     "sim_pairs_topk"  -> (simPairsTopk _, simPairsTopkSql),
     "dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
   )
