@@ -87,6 +87,18 @@ object IngestPipeline {
         col("value").as("raw_value"),
         col("error_message"))
 
+  /** Streaming dedup of the valid tick stream: the reference's delivery is
+    * at-least-once (auto-commit + per-row insert, consumer.py:114-134), so
+    * replays duplicate ticks into stock_ticks. Spark's
+    * dropDuplicatesWithinWatermark removes replays of the same
+    * (symbol, event_time) tick for as long as the watermark allows state
+    * retention — bounded state, exact within the replay horizon.
+    */
+  def dedupTicks(ticks: DataFrame, replayHorizon: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("event_time", replayHorizon)
+      .dropDuplicatesWithinWatermark("symbol", "event_time")
+
   /** Wire the split into a running streaming query: one foreachBatch that
     * appends the valid ticks and the DLQ rows as parquet per micro-batch.
     */

@@ -43,6 +43,22 @@ class IngestPipelineSpec extends SparkSpec {
     assert(reasons(malformed).contains("malformed JSON"))
   }
 
+  test("streaming dedup drops at-least-once replays within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val ticks = IngestPipeline.validTicks(IngestPipeline.parse(input.toDF()))
+    val query = IngestPipeline.dedupTicks(ticks).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(good, good) // same-batch replay
+      query.processAllAvailable()
+      input.addData(good)       // cross-batch replay within the horizon
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 1)
+    } finally query.stop()
+  }
+
   test("streaming end-to-end: MemoryStream → foreachBatch → parquet sinks") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
