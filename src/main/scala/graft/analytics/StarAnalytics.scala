@@ -222,6 +222,25 @@ object StarAnalytics {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---- event_rollup: grouping sets (ROLLUP) over the event stream ------
+  // Subtotal rows carry NULL in the aggregated-out dimension in both
+  // engines; counts/sums are exact integers/decimals.
+  def eventRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast(D124).as("v"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("events"), sum(col("v")).cast("double").as("value_sum"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  val eventRollupSql: String =
+    """SELECT event_type, date_trunc('day', ts) AS day,
+      |       count(*) AS events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
@@ -230,5 +249,6 @@ object StarAnalytics {
     "event_daily"       -> (eventDaily _, eventDailySql),
     "brand_profit"      -> (brandProfit _, brandProfitSql),
     "table_profile"     -> (tableProfile _, tableProfileSql),
+    "event_rollup"      -> (eventRollup _, eventRollupSql),
   )
 }
