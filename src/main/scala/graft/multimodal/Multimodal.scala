@@ -100,6 +100,44 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: split the blob into fixed 16-byte "frames" and keep
+    * every `stride`-th one — the video/audio frame-sample stage as a
+    * generator-shaped projection (posexplode; no shuffle, no collect).
+    * Output: (doc_id, modality, frame_idx, frame BinaryType).
+    */
+  def frameSample(media: DataFrame, stride: Int = 2): DataFrame =
+    media
+      .filter(col("modality") =!= "image")
+      .select(col("doc_id"), col("modality"),
+        posexplode(expr(
+          "transform(sequence(0, cast((length(content) - 1) / 16 as int)), " +
+            "i -> substring(content, i * 16 + 1, 16))")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .filter(col("frame_idx") % stride === 0)
+
+  /** Resize stub: average-pool a decoded feature vector down to `outDim`
+    * (the image-resize analog on the feature side). DECODE-ADJACENT STUB —
+    * a real deployment pools pixels; the batch shape (typed Dataset map,
+    * fixed output width) is the real thing.
+    */
+  def resizeStub(features: Dataset[MediaFeature], outDim: Int): DataFrame = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val in   = f.feature
+      val bins = math.max(1, outDim)
+      val out = Array.tabulate(bins) { b =>
+        val lo = b * in.length / bins
+        val hi = math.max(lo + 1, (b + 1) * in.length / bins)
+        var s  = 0.0
+        var i  = lo
+        while (i < hi) { s += in(i); i += 1 }
+        s / (hi - lo)
+      }
+      (f.doc_id, f.modality, out)
+    }.toDF("doc_id", "modality", "feature")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
   )

@@ -40,6 +40,31 @@ class MultimodalSpec extends SparkSpec {
         unhex(expr("repeat(md5(text), cast(1 + pmod(doc_id, 8) as int))")))
   }
 
+  test("frame sampling keeps every stride-th 16-byte block of av blobs") {
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.frameSample(docsMedia, stride = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { r =>
+      assert(r.getAs[String]("modality") != "image")
+      assert(r.getAs[Int]("frame_idx") % 2 == 0)
+      assert(r.getAs[Array[Byte]]("frame").length == 16)
+    }
+    // doc 1 (audio): 2 blocks of 16 bytes → frame 0 sampled, frame 1 dropped
+    val d1 = frames.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.map(_.getAs[Int]("frame_idx")).toSet == Set(0))
+  }
+
+  test("resize stub pools features to a fixed output width") {
+    val feats   = Multimodal.decodeStub(docsMedia)
+    val resized = Multimodal.resizeStub(feats, 2).collect()
+    assert(resized.length == 4)
+    resized.foreach { r =>
+      val f = r.getSeq[Double](2)
+      assert(f.length == 2)
+      assert(f.forall(v => v >= 0.0 && v <= 1.0))
+    }
+  }
+
   test("decode stub is deterministic and partition-parallel") {
     val feats = Multimodal.decodeStub(docsMedia).collect().sortBy(_.doc_id)
     assert(feats.length == 4)
