@@ -33,6 +33,24 @@ class TickStoreSpec extends SparkSpec {
       == ticks.agg(sum("volume")).collect()(0).getLong(0))
   }
 
+  test("bucketed table: symbol-keyed aggregation plans without an exchange") {
+    TickStore.writeBucketed(TickGenerator.batch(spark, 5000), "ticks_bucketed", 4)
+    try {
+      val agg = spark.table("ticks_bucketed")
+        .groupBy("symbol").agg(sum("volume").as("v"))
+      val plan = agg.queryExecution.executedPlan.toString
+      // bucket pruning satisfies the hash-clustered requirement: the
+      // aggregate must run with NO shuffle exchange
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      assert(agg.count() == TickGenerator.Symbols.length)
+      // self-join on the bucket key is exchange-free too
+      val t = spark.table("ticks_bucketed")
+      val joined = t.as("a").join(t.as("b"), "symbol")
+      val jplan = joined.queryExecution.executedPlan.toString
+      assert(!jplan.contains("Exchange hashpartitioning"), jplan.take(2000))
+    } finally spark.sql("DROP TABLE IF EXISTS ticks_bucketed")
+  }
+
   test("streaming sessionize emits closed sessions on watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
