@@ -51,6 +51,34 @@ class StreamingBarsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("append mode emits a bar only after the watermark closes its minute") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double, java.lang.Long, Timestamp)]
+    val ticks = input.toDF()
+      .toDF("symbol", "p", "volume", "event_time")
+      .selectExpr("symbol", "cast(p as decimal(12,4)) as price", "volume", "event_time")
+
+    val query = StreamingBars.bars1m(ticks, lateness = "0 seconds").writeStream
+      .format("memory").queryName("append_bars").outputMode("append").start()
+    try {
+      input.addData(("AAPL", 10.0, Long.box(1L), ts("2024-01-01 10:00:10")))
+      query.processAllAvailable()
+      // watermark still inside the 10:00 minute → nothing final yet
+      assert(spark.table("append_bars").count() == 0)
+
+      // an event past the minute boundary advances the watermark → the
+      // completed 10:00 bar is emitted exactly once (reference's
+      // "only completed minutes", aggregator.py:123-127)
+      input.addData(("AAPL", 11.0, Long.box(2L), ts("2024-01-01 10:01:30")))
+      query.processAllAvailable()
+      val emitted = spark.table("append_bars").collect()
+      assert(emitted.length == 1)
+      assert(emitted(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+      assert(emitted(0).getLong(7) == 1L)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState keeps the latest tick per symbol across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
