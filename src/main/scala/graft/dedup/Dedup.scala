@@ -202,12 +202,11 @@ object Dedup {
     dedupSimhashOn(shingleSets(spark, dir))
 
   def dedupSimhashOn(sets: DataFrame): DataFrame = {
-    // Scale note (measured, PLANS.md): with FIXED 60-bit signatures the
-    // block-pair buckets crowd as N grows, so candidates scale ~N²/2¹⁰ —
-    // fine to ~10⁵ docs; beyond that widen the signature (e.g. a second
-    // salted 60-bit simhash doubles the block space) or tighten the
-    // Hamming budget. MinHash-LSH above is the recommended sub-quadratic
-    // path at corpus scale.
+    // Scale note (measured, PLANS.md): block-pair buckets crowd as N
+    // grows — candidates ~N²/2^(2w) with block width w ≈ bits/(T+2) fixed
+    // by the Hamming budget T. Fine to ~10⁵ docs; beyond that widen the
+    // signature while keeping T absolute (stricter relative similarity)
+    // or use MinHash-LSH above, the recommended sub-quadratic path.
     // one exchange under both self-join sides → signatures computed once
     val sigs = simhashesOn(sets).repartition(col("doc_id"))
     // Hamming ≤ 10 damages at most 10 of the 12 blocks, so at least TWO
