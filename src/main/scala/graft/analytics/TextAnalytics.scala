@@ -155,10 +155,71 @@ object TextAnalytics {
        |       ${hash60Sql("text")} AS content_h60
        |FROM documents""".stripMargin
 
+  // ---- corpus_curation: the integrated training-data pipeline ----------
+  /** Quality filter → near-dup removal → deterministic sample, reported as
+    * per-stage corpus stats — the composed curation flow a training-data
+    * pipeline runs, end-to-end in one plan:
+    *  1. quality: keep docs with ≥ 20 tokens and stop-ratio ≤ 0.2;
+    *  2. dedup: among exact-Jaccard near-dup pairs (the verified MinHash
+    *     output), greedily drop the higher doc_id;
+    *  3. sample: md5-hash-based 30% subsample (deterministic, reproducible
+    *     on any engine — no RNG state).
+    */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        expr("size(filter(toks, t -> array_contains(array('the', 'a'), t)))").as("n_stop"))
+    val quality = docs.filter(col("n_tokens") >= 20
+      && col("n_stop") / col("n_tokens") <= 0.2)
+    val removed = graft.dedup.Dedup
+      .dedupJaccard(spark, dir).select(col("doc_id_2").as("doc_id")).distinct()
+    val deduped = quality.join(removed, Seq("doc_id"), "left_anti")
+    val sampled = deduped.filter(pmod(hash60(col("text")), lit(10)) < 3)
+
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("total_tokens"))
+    stage("1_raw", docs)
+      .unionByName(stage("2_quality", quality))
+      .unionByName(stage("3_dedup", deduped))
+      .unionByName(stage("4_sample", sampled))
+      .orderBy("stage")
+  }
+
+  val corpusCurationSql: String = {
+    import graft.dedup.Dedup
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, len(toks) AS n_tokens,
+       |         len(list_filter(toks, t -> list_contains(['the', 'a'], t))) AS n_stop
+       |  FROM d),
+       |quality AS (
+       |  SELECT * FROM f WHERE n_tokens >= 20 AND n_stop / n_tokens <= 0.2),
+       |pairs AS (${Dedup.jaccardOracleSql.replace("\n", "\n  ")}),
+       |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs),
+       |deduped AS (
+       |  SELECT q.* FROM quality q LEFT JOIN removed r USING (doc_id)
+       |  WHERE r.doc_id IS NULL),
+       |sampled AS (
+       |  SELECT * FROM deduped WHERE ${hash60Sql("text")} % 10 < 3)
+       |SELECT '1_raw' AS stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM f
+       |UNION ALL
+       |SELECT '2_quality', count(*), CAST(sum(n_tokens) AS BIGINT) FROM quality
+       |UNION ALL
+       |SELECT '3_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM deduped
+       |UNION ALL
+       |SELECT '4_sample', count(*), CAST(sum(n_tokens) AS BIGINT) FROM sampled
+       |ORDER BY stage""".stripMargin
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
+    "corpus_curation" -> (corpusCuration _, corpusCurationSql),
   )
 }
