@@ -222,6 +222,34 @@ object StarAnalytics {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---- dormant_customers: anti + semi join coverage --------------------
+  // Customers with no high-value order (anti join against the filtered
+  // orders — the predicate pushes into the scan) who sit in a nation any
+  // supplier serves (semi on the broadcast nation set) — the join kinds
+  // the reference never needed, in one broadcast-friendly plan.
+  def dormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    val supplierNations = Tables.supplier(spark, dir)
+      .select(col("s_nationkey")).distinct()
+    cust
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(supplierNations),
+        col("c_nationkey") === col("s_nationkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+      .orderBy("c_custkey")
+  }
+
+  val dormantCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |  AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- event_rollup: grouping sets (ROLLUP) over the event stream ------
   // Subtotal rows carry NULL in the aggregated-out dimension in both
   // engines; counts/sums are exact integers/decimals.
@@ -250,5 +278,6 @@ object StarAnalytics {
     "brand_profit"      -> (brandProfit _, brandProfitSql),
     "table_profile"     -> (tableProfile _, tableProfileSql),
     "event_rollup"      -> (eventRollup _, eventRollupSql),
+    "dormant_customers" -> (dormantCustomers _, dormantCustomersSql),
   )
 }
