@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsofJoin)
   }
 }
 
@@ -60,5 +61,8 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsofJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsofJoin
   }
 }

@@ -90,6 +90,34 @@ case class AsofJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push a Filter that references only LEFT-side columns
+  * below [[AsofJoinNode]]. Sound because the as-of match of each left row
+  * depends only on that row's (key, time) and the right side — never on
+  * other left rows — so dropping left rows early cannot change any
+  * surviving row's match. Catalyst's own PushDownPredicates cannot see
+  * through a foreign node, so without this rule a `symbol = 'X'` filter
+  * above an as-of join would scan and merge the whole left table.
+  */
+object PushFilterThroughAsofJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, j: AsofJoinNode) if cond.deterministic =>
+      // push the left-only conjuncts below the join, keep the rest above
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(AttributeSet(j.left.output)))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+  }
+}
+
 /** Plans [[AsofJoinNode]] onto [[AsofJoinExec]]. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -47,6 +47,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(native.toSeq == composed.toSeq)
   }
 
+  test("optimizer rule pushes left-only filters below the as-of join") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val l = Seq(("A", ts("2024-01-01 10:00:00"), 1L),
+      ("B", ts("2024-01-01 10:00:00"), 2L)).toDF("symbol", "t", "v")
+    val r = Seq(("A", ts("2024-01-01 09:00:00"), 2.0)).toDF("symbol", "rt", "x")
+    val joined   = AsofJoin.asofJoin(l, r, "symbol", "t", "rt")
+    val filtered = joined.filter(col("symbol") === "A" && col("x") > 1.0)
+    // left-only conjunct sits BELOW the join in the optimized plan…
+    val opt = filtered.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case n: graft.plans.AsofJoinNode => n }.get
+    assert(node.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty, opt.toString)
+    // …and results are correct
+    val rows = filtered.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "A" && rows(0).getDouble(3) == 2.0)
+  }
+
   test("plan shape: clustered exchanges + sorts, no cartesian") {
     GraftExtensions.register(spark)
     import spark.implicits._
