@@ -182,25 +182,36 @@ case class AsofJoinExec(
       lIter.map { lRow =>
         val lKey  = lKeyRef.eval(lRow)
         val lTime = lTimeRef.eval(lRow)
-        // advance the right side while its (key, time) <= (lKey, lTime)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rHead = rBuf.head
-          val rKey  = rKeyRef.eval(rHead)
-          val kCmp  = keyOrdering.asInstanceOf[Ordering[Any]].compare(rKey, lKey)
-          if (kCmp < 0 || (kCmp == 0
-              && timeOrdering.asInstanceOf[Ordering[Any]].compare(rTimeRef.eval(rHead), lTime) <= 0)) {
-            // copy both: the underlying UnsafeRow buffer is reused on next()
-            heldKey = InternalRow.copyValue(rKey)
-            heldValues = valueProj(rHead).copy()
-            rBuf.next()
-          } else advancing = false
+        // null keys/times match nothing (SQL join semantics); they sort
+        // first under Spark's null-first ascending order, so no right
+        // rows are consumed on their behalf
+        if (lKey == null || lTime == null) outProj(joined(lRow, nullRow))
+        else {
+          // advance the right side while its (key, time) <= (lKey, lTime)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rHead = rBuf.head
+            val rKey  = rKeyRef.eval(rHead)
+            if (rKey == null) rBuf.next() // skip unmatched null-key rows
+            else {
+              val kCmp = keyOrdering.asInstanceOf[Ordering[Any]].compare(rKey, lKey)
+              val rTime = if (kCmp == 0) rTimeRef.eval(rHead) else null
+              if (kCmp < 0 || (kCmp == 0 && rTime != null
+                  && timeOrdering.asInstanceOf[Ordering[Any]].compare(rTime, lTime) <= 0)) {
+                // copy both: the underlying UnsafeRow buffer is reused on next()
+                heldKey = InternalRow.copyValue(rKey)
+                heldValues = valueProj(rHead).copy()
+                rBuf.next()
+              } else if (kCmp == 0 && rTime == null) rBuf.next() // null time: no match
+              else advancing = false
+            }
+          }
+          val rSide =
+            if (heldValues != null
+                && keyOrdering.asInstanceOf[Ordering[Any]].compare(heldKey, lKey) == 0) heldValues
+            else nullRow
+          outProj(joined(lRow, rSide))
         }
-        val rSide =
-          if (heldValues != null
-              && keyOrdering.asInstanceOf[Ordering[Any]].compare(heldKey, lKey) == 0) heldValues
-          else nullRow
-        outProj(joined(lRow, rSide))
       }
     }
   }

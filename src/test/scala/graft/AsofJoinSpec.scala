@@ -66,6 +66,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getString(0) == "A" && rows(0).getDouble(3) == 2.0)
   }
 
+  test("null keys and times match nothing, without corrupting the merge") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val quotes = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:00:00")), 100.0),
+      (None: Option[String], Option(ts("2024-01-01 09:00:00")), 666.0),
+      (Option("A"), None: Option[Timestamp], 777.0))
+      .toDF("symbol", "qt", "quote")
+    val trades = Seq(
+      (Option("A"), Option(ts("2024-01-01 10:30:00")), 1L),
+      (None: Option[String], Option(ts("2024-01-01 10:30:00")), 2L),
+      (Option("A"), None: Option[Timestamp], 3L))
+      .toDF("symbol", "tt", "trade_id")
+    val out = AsofJoin.asofJoin(trades, quotes, "symbol", "tt", "qt")
+      .select("trade_id", "quote").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(100.0), 2L -> None, 3L -> None))
+  }
+
   test("plan shape: clustered exchanges + sorts, no cartesian") {
     GraftExtensions.register(spark)
     import spark.implicits._
