@@ -32,6 +32,13 @@ class FloatVecDotSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot participates in whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val plan = vecs.select(expr("vec_dot(a, b)").as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan.take(1500))
+  }
+
   test("vec_dot null and edge semantics") {
     GraftExtensions.register(spark)
     import spark.implicits._
