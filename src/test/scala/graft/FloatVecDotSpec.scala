@@ -34,9 +34,17 @@ class FloatVecDotSpec extends SparkSpec {
 
   test("vec_dot participates in whole-stage codegen") {
     GraftExtensions.register(spark)
-    val plan = vecs.select(expr("vec_dot(a, b)").as("d"))
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan.take(1500))
+    // plain parquet array columns: the projection stays codegen'd (HOF
+    // lambdas like transform would fall back, a LocalTableScan never
+    // enters codegen — this asserts vec_dot itself doesn't break a stage)
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_dot(embedding, embedding) as n2")
+    val codegenStages = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenStages.exists(_.toString.contains("vec_dot")),
+      df.queryExecution.executedPlan.toString.take(1500))
+    assert(df.collect().forall(_.getDouble(0) >= 0.0))
   }
 
   test("vec_dot null and edge semantics") {
