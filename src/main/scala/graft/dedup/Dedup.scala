@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import graft.functions.TextFeatures._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication — exact, MinHash-LSH, and SimHash — over the
@@ -13,11 +13,9 @@ import org.apache.spark.sql.functions._
   *  - exact dedup is one hash aggregate on a 128-bit fingerprint — the
   *    shuffle carries (fp, min_id, count), never document text;
   *  - `dedup_jaccard` is the exact ground truth via an inverted shingle
-  *    index (explode → equi-join on shingle → distinct candidate pairs →
-  *    verify). The candidate join is the standard AllPairs shape; at real
-  *    scale the join would add prefix filtering (rarest-shingle prefix) to
-  *    bound the candidate set — the LSH variant below is the sub-quadratic
-  *    path we actually recommend at 100 TB;
+  *    index with AllPairs prefix filtering (rarest-shingle prefixes bound
+  *    the candidate join with exact recall — see dedupJaccardOn); the LSH
+  *    variant below remains the sub-quadratic path we recommend at 100 TB;
   *  - `dedup_minhash` never compares all pairs: 128 minhashes → 32 bands of
   *    4 → candidates = pairs sharing a band bucket (equi-join on the band
   *    hash), then exact-Jaccard verification on candidates only. For the
