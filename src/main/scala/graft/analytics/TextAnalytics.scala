@@ -160,8 +160,9 @@ object TextAnalytics {
     * per-stage corpus stats — the composed curation flow a training-data
     * pipeline runs, end-to-end in one plan:
     *  1. quality: keep docs with ≥ 20 tokens and stop-ratio ≤ 0.2;
-    *  2. dedup: among exact-Jaccard near-dup pairs (the verified MinHash
-    *     output), greedily drop the higher doc_id;
+    *  2. dedup: among near-dup pairs from MinHash-LSH + exact verification
+    *     (output provably equals the exact Jaccard pairs the oracle
+    *     computes), greedily drop the higher doc_id;
     *  3. sample: md5-hash-based 30% subsample (deterministic, reproducible
     *     on any engine — no RNG state).
     */
@@ -174,7 +175,7 @@ object TextAnalytics {
     val quality = docs.filter(col("n_tokens") >= 20
       && col("n_stop") / col("n_tokens") <= 0.2)
     val removed = graft.dedup.Dedup
-      .dedupJaccard(spark, dir).select(col("doc_id_2").as("doc_id")).distinct()
+      .dedupMinhash(spark, dir).select(col("doc_id_2").as("doc_id")).distinct()
     val deduped = quality.join(removed, Seq("doc_id"), "left_anti")
     val sampled = deduped.filter(pmod(hash60(col("text")), lit(10)) < 3)
 
