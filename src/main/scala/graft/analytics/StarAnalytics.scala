@@ -222,6 +222,48 @@ object StarAnalytics {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---- forecast_revenue (TPC-H Q6 shape): selective band scan-agg ------
+  // Three conjunctive predicates all push into the parquet scan; the agg
+  // is a single global sum — the minimal scan-dominated query.
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(Money)
+        * col("l_discount").cast(Rate)).cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+
+  val forecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS line_count
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---- priority_lines (TPC-H Q12 shape): conditional CASE aggregation --
+  def priorityLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  val priorityLinesSql: String =
+    """SELECT l_returnflag,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---- dormant_customers: anti + semi join coverage --------------------
   // Customers with no high-value order (anti join against the filtered
   // orders — the predicate pushes into the scan) who sit in a nation any
@@ -279,5 +321,7 @@ object StarAnalytics {
     "table_profile"     -> (tableProfile _, tableProfileSql),
     "event_rollup"      -> (eventRollup _, eventRollupSql),
     "dormant_customers" -> (dormantCustomers _, dormantCustomersSql),
+    "forecast_revenue"  -> (forecastRevenue _, forecastRevenueSql),
+    "priority_lines"    -> (priorityLines _, priorityLinesSql),
   )
 }
