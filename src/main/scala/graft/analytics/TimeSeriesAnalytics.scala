@@ -119,8 +119,9 @@ object TimeSeriesAnalytics {
        |  FROM lagged),
        |numbered AS (
        |  SELECT symbol, event_time,
-       |         sum(new_sess) OVER (PARTITION BY symbol ORDER BY event_time
-       |                             ROWS UNBOUNDED PRECEDING) AS session_id
+       |         CAST(sum(new_sess) OVER (PARTITION BY symbol ORDER BY event_time
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS session_id
        |  FROM flagged)
        |SELECT symbol, session_id,
        |       min(event_time) AS session_start,
