@@ -5,6 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Results are fully materialized via a noop write
   * (count() alone would let Catalyst prune most of the work).
+  *
+  * Failure handling: a query that throws is recorded in the `failed` list
+  * of the JSON line (and its stack printed to stderr) — never silently
+  * timed as "fast". A transient `attempted to access non-existent
+  * accumulator` trace in the DAGScheduler event loop can still appear in
+  * local-mode back-to-back runs: per-query SQLMetrics are weakly
+  * referenced on the driver, and a late task-end event (e.g. from a
+  * broadcast-exchange job thread) that drains after its query's action
+  * returned and its metrics were GC'd fails the accumulator lookup. The
+  * scheduler logs and drops it; timings and results are unaffected (no
+  * repo code creates accumulators — see AsofJoinExec's declared metrics).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,16 +45,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: $e")
+        e.printStackTrace()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftops.PlanUtils
 import org.apache.spark.sql.internal.SQLConf
@@ -140,6 +141,13 @@ case class AsofJoinExec(
     override val output: Seq[Attribute])
   extends BinaryExecNode {
 
+  // Well-formed SQLMetrics (strongly referenced by the plan node, so task
+  // updates always resolve on the driver) — numOutputRows is the standard
+  // join metric; numMatchedRows counts left rows that found an as-of match.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows"  -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched rows"))
+
   // pin the partition count so AQE cannot coalesce the two shuffles
   // differently (the merge zips co-partitions one-to-one)
   override def requiredChildDistribution: Seq[Distribution] = {
@@ -166,6 +174,8 @@ case class AsofJoinExec(
     val rTimeRef = BindReferences.bindReference(rightTime: org.apache.spark.sql.catalyst.expressions.Expression, right.output)
     val rightValueAttrs = rightValueInputs
     val numValues = rightValueAttrs.length
+    val numOutputRows  = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valueProj = UnsafeProjection.create(rightValueAttrs, right.output)
@@ -185,8 +195,10 @@ case class AsofJoinExec(
         // null keys/times match nothing (SQL join semantics); they sort
         // first under Spark's null-first ascending order, so no right
         // rows are consumed on their behalf
-        if (lKey == null || lTime == null) outProj(joined(lRow, nullRow))
-        else {
+        if (lKey == null || lTime == null) {
+          numOutputRows += 1
+          outProj(joined(lRow, nullRow))
+        } else {
           // advance the right side while its (key, time) <= (lKey, lTime)
           var advancing = true
           while (advancing && rBuf.hasNext) {
@@ -206,11 +218,11 @@ case class AsofJoinExec(
               else advancing = false
             }
           }
-          val rSide =
-            if (heldValues != null
-                && keyOrdering.asInstanceOf[Ordering[Any]].compare(heldKey, lKey) == 0) heldValues
-            else nullRow
-          outProj(joined(lRow, rSide))
+          val matched = heldValues != null &&
+            keyOrdering.asInstanceOf[Ordering[Any]].compare(heldKey, lKey) == 0
+          if (matched) numMatchedRows += 1
+          numOutputRows += 1
+          outProj(joined(lRow, if (matched) heldValues else nullRow))
         }
       }
     }
