@@ -115,15 +115,19 @@ object Similarity {
     val c = e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
 
-    // assignment: nearest centroid per vector (argmax cosine, tie → min id)
+    // assignment: nearest centroid per vector (argmax cosine, tie → min
+    // id), as a PARTIAL-AGGREGABLE min_by over struct(-cos, id) — one row
+    // per vector per map task crosses the shuffle, vs a row_number window
+    // that would shuffle and sort all N×C scored rows (the O(1) vs O(C)
+    // shuffle-bytes-per-vector difference at corpus scale)
     val assignScored = e.withColumnRenamed("v", "va").withColumnRenamed("n2", "an2")
       .crossJoin(broadcast(c))
       .withColumn("cos_c",
         expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("cn2"))))
-    val wa = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("centroid_id").asc)
-    val assign = assignScored.withColumn("rn", row_number().over(wa))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"))
+    val assign = assignScored
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"), struct(-col("cos_c"), col("centroid_id")))
+        .as("centroid_id"))
 
     // probes: top-nprobe centroids per query
     val q = e.filter(col("vec_id") % QueryMod === 0)
@@ -177,24 +181,65 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
+  // ---- exact unordered-pair stream: triangle block partitioning --------
+  /** Exact all-pairs as an EQUI-join, not a nested loop: each vector is
+    * assigned a block `vec_id mod B`; every unordered block pair (i ≤ j)
+    * is one join key; a vector in block b is replicated to keys
+    * {(b, j) : j ≥ b} on the left and {(i, b) : i ≤ b} on the right, so
+    * pair {u, v} meets at exactly one key. The plan is a shuffled
+    * hash/sort-merge join over B(B+1)/2 uniformly-loaded keys — O(N·B)
+    * shuffle bytes, O(N²/B²) comparisons per task, no
+    * BroadcastNestedLoopJoin / CartesianProduct anywhere — the canonical
+    * distributed shape for an exact pair scan (B grows as √(2·tasks) on a
+    * real cluster).
+    *
+    * Why exact and not LSH-candidates here: the oracle threshold (0.45 ≈
+    * a 63° angle) sits inside the bulk of the corpus' cosine distribution
+    * (measured top pairs span 0.43-0.51 with no planted high-cosine
+    * dups), where a random-hyperplane plane agrees on a qualifying pair
+    * with probability only ≈0.65 — any banding scheme either misses true
+    * pairs or enumerates essentially every bucket. Exactness at such a
+    * loose threshold inherently costs the full pair scan; the banded-LSH
+    * candidates→verify scale path (recall < 1, tunable) is
+    * [[dedupEmbeddingLshOn]] below.
+    *
+    * Swap-safety: cosine is bit-identical no matter which side of the
+    * pair lands left (element products and the final sqrt-product commute
+    * in IEEE754), so normalizing ids with least/greatest after the join
+    * reproduces the oracle's `a.vec_id < b.vec_id` orientation exactly.
+    */
+  private val PairBlocks = 8
+
+  private def blockedPairs(e: DataFrame): DataFrame = {
+    val B = PairBlocks
+    val a = e.select(col("vec_id").as("id_l"), col("v").as("va"), col("n2").as("n2a"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("bl"))
+      .withColumn("bj", explode(sequence(col("bl"), lit(B - 1))))
+    val b = e.select(col("vec_id").as("id_r"), col("v").as("vb"), col("n2").as("n2b"),
+        pmod(col("vec_id"), lit(B)).cast("int").as("br"))
+      .withColumn("bi", explode(sequence(lit(0), col("br"))))
+    a.join(b, col("bl") === col("bi") && col("bj") === col("br"))
+      .filter(col("bl") =!= col("br") || col("id_l") < col("id_r"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .select(
+        least(col("id_l"), col("id_r")).as("vec_id_1"),
+        greatest(col("id_l"), col("id_r")).as("vec_id_2"),
+        col("cosine"))
+  }
+
   // ---- dedup_embedding: cosine near-dup pairs over a threshold ---------
   /** Embedding-cosine near-duplicate detection: all pairs with cosine ≥
-    * threshold (blocked all-pairs at test scale; at 100 TB the candidate
-    * step becomes the IVF bucket join below — same verify shape).
+    * threshold, exact, via the blocked pair stream above.
     */
   private val NearDupCosine = 0.45
 
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     dedupEmbeddingOn(emb(spark, dir))
 
-  def dedupEmbeddingOn(e: DataFrame): DataFrame = {
-    val a = e.select(col("vec_id").as("vec_id_1"), col("v").as("va"), col("n2").as("n2a"))
-    val b = e.select(col("vec_id").as("vec_id_2"), col("v").as("vb"), col("n2").as("n2b"))
-    a.join(b, col("vec_id_1") < col("vec_id_2"))
-      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+  def dedupEmbeddingOn(e: DataFrame): DataFrame =
+    blockedPairs(e)
       .filter(col("cosine") >= NearDupCosine)
       .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
-  }
 
   val dedupEmbeddingSql: String =
     s"""$EmbCte
@@ -214,11 +259,19 @@ object Similarity {
     */
   private val NumPlanes = 6
   private val Dim       = 64
+  // banded variant below: LshTables independent hash tables of LshBits
+  // sign-bits each, slicing planes (t*LshBits until (t+1)*LshBits)
+  private val LshTables = 6
+  private val LshBits   = 4
 
-  /** plane(p)(d) ∈ [-1, 1), from md5("p:d") — reproducible anywhere. */
+  /** plane(p)(d) ∈ [-1, 1), from md5("p:d") — reproducible anywhere.
+    * Pool sized for both the knn_lsh sketch (planes 0-5) and the banded
+    * tables (0-23); values are seeded per (p, d), so pool growth never
+    * changes an existing plane.
+    */
   private lazy val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (p, d) =>
+    Array.tabulate(math.max(NumPlanes, LshTables * LshBits), Dim) { (p, d) =>
       val hex = md.digest(s"$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val h   = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       (h % 2001 - 1000) / 1000.0
@@ -283,19 +336,92 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
+  // ---- dedup_embedding_lsh: banded sign-sketch candidates + verify -----
+  /** The candidates→verify scale path for embedding near-dup: LshTables
+    * independent sign-sketch tables of LshBits planes each; a pair is a
+    * candidate iff it shares a (table, bucket); candidates are distinct'd
+    * as ids only (vectors re-fetched for the verify join, so the wide
+    * arrays never ride the candidate shuffle), then exact-verified
+    * against the cosine threshold. Every join is an equi-join.
+    *
+    * Recall is the classic banding trade-off, NOT 1: a pair at cosine s
+    * shares one table with probability p = (1 - acos(s)/π)^LshBits, and
+    * is missed with (1-p)^LshTables — at s=0.9 that is ≈1% missed; at the
+    * 0.45 boundary ≈31% missed (which is why the oracle-exact
+    * `dedup_embedding` uses the blocked pair scan instead). The oracle
+    * for THIS entry expresses the identical banded pipeline in SQL (the
+    * md5-seeded planes are embedded as literals on both engines), so the
+    * correctness row checks the mechanism bit-for-bit; the recall-vs-
+    * exact law is covered in SimilaritySpec.
+    */
+  private def bandSketchExpr(t: Int, vCol: String): String =
+    (0 until LshBits).map { i =>
+      val p = t * LshBits + i
+      s"""IF(aggregate(zip_with($vCol, ${planeSparkLiteral(p)},
+         |  (x, y) -> cast(x as double) * y), cast(0 as double), (a, x) -> a + x) > 0,
+         |  ${1 << i}, 0)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private def bandSketchSql(t: Int, vCol: String): String =
+    (0 until LshBits).map { i =>
+      val p = t * LshBits + i
+      s"""CASE WHEN list_reduce(list_transform(list_zip($vCol, ${planeSqlLiteral(p)}),
+         |  q -> q[1] * q[2]), (a, x) -> a + x) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingLshOn(emb(spark, dir))
+
+  def dedupEmbeddingLshOn(e: DataFrame): DataFrame = {
+    val sk = e.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(t => expr(bandSketchExpr(t, "v"))): _*))
+        .as(Seq("tbl", "bucket")))
+    val cand = sk.as("a").join(sk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_id_1"), col("v").as("va"), col("n2").as("n2a")),
+        "vec_id_1")
+      .join(e.select(col("vec_id").as("vec_id_2"), col("v").as("vb"), col("n2").as("n2b")),
+        "vec_id_2")
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .filter(col("cosine") >= NearDupCosine)
+      .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
+  }
+
+  val dedupEmbeddingLshSql: String = {
+    val skUnion = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bandSketchSql(t, "v")} AS bucket FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""$EmbCte,
+       |sk AS (
+       |$skUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+       |  FROM sk a JOIN sk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT c.vec_id_1, c.vec_id_2,
+       |       ${cosSql("x.v", "y.v", "x.n2", "y.n2")} AS cosine
+       |FROM cand c
+       |JOIN e x ON c.vec_id_1 = x.vec_id
+       |JOIN e y ON c.vec_id_2 = y.vec_id
+       |WHERE ${cosSql("x.v", "y.v", "x.n2", "y.n2")} >= $NearDupCosine""".stripMargin
+  }
+
   // ---- sim_pairs_topk: global most-similar pairs -----------------------
+  /** Global top-20 most-similar pairs over the exact blocked pair stream;
+    * orderBy+limit plans TakeOrderedAndProject (per-partition partial
+    * top-k, 20 rows per task cross the final exchange).
+    */
   def simPairsTopk(spark: SparkSession, dir: String): DataFrame =
     simPairsTopkOn(emb(spark, dir))
 
-  def simPairsTopkOn(e: DataFrame): DataFrame = {
-    val a = e.select(col("vec_id").as("vec_id_1"), col("v").as("va"), col("n2").as("n2a"))
-    val b = e.select(col("vec_id").as("vec_id_2"), col("v").as("vb"), col("n2").as("n2b"))
-    a.join(b, col("vec_id_1") < col("vec_id_2"))
-      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
-      .select(col("vec_id_1"), col("vec_id_2"), col("cosine"))
+  def simPairsTopkOn(e: DataFrame): DataFrame =
+    blockedPairs(e)
       .orderBy(col("cosine").desc, col("vec_id_1").asc, col("vec_id_2").asc)
       .limit(20)
-  }
 
   val simPairsTopkSql: String =
     s"""$EmbCte
@@ -310,5 +436,6 @@ object Similarity {
     "knn_lsh"         -> (knnLsh _, knnLshSql),
     "sim_pairs_topk"  -> (simPairsTopk _, simPairsTopkSql),
     "dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _, dedupEmbeddingLshSql),
   )
 }

@@ -45,4 +45,45 @@ class SimilaritySpec extends SparkSpec {
     assert((top(0).getLong(0), top(0).getLong(1)) == (0L, 1L))
     assert(top(0).getDouble(2) == 1.0)
   }
+
+  test("blocked pair scan equals the naive all-pairs set") {
+    import org.apache.spark.sql.functions._
+    val rnd  = new scala.util.Random(11)
+    val rows = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    import spark.implicits._
+    val e = Similarity.withNorms(rows.toDF("vec_id", "embedding"))
+    // naive reference: collect vectors, compute all unordered pairs driver-side
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expect = (for {
+      i <- vecs.keys; j <- vecs.keys if i < j
+      c = cos(vecs(i), vecs(j)) if c >= 0.45
+    } yield (i, j)).toSet
+    val got = Similarity.dedupEmbeddingOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("dedup_embedding_lsh: subset of exact; parallel pairs always survive banding") {
+    val rnd  = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val rows = (0L until 40L).map {
+      case 3L => (3L, base)
+      case 7L => (7L, base.map(_ * 2f)) // cos(3,7)=1 → same bucket in EVERY table
+      case i  => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    }
+    import spark.implicits._
+    val e = Similarity.withNorms(rows.toDF("vec_id", "embedding"))
+    val exact = Similarity.dedupEmbeddingOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.dedupEmbeddingLshOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))     // verify step admits no false positives
+    assert(lsh.contains((3L, 7L)))  // scale-invariant sketch: recall 1 at cos=1
+  }
 }
