@@ -36,13 +36,21 @@ object IncrementalBars {
 
   /** Read the persisted watermark: `completed_to` of the latest successful
     * run (the reference reads completed_at of the last 'complete' etl_runs
-    * row, aggregator.py:94-103).
+    * row, aggregator.py:94-103). Rows with status != 'complete' (the
+    * error-audit rows below) never advance the watermark.
+    *
+    * The existence probe goes through the Hadoop FileSystem of the path
+    * (not java.io.File), so the store works on HDFS/S3/ABFS deployments,
+    * where a local-file probe would always report absent and silently
+    * rebootstrap every run from min(event_time).
     */
   def readWatermark(spark: SparkSession, etlRunsPath: String): Option[Timestamp] = {
-    val files = new java.io.File(etlRunsPath)
-    if (!files.exists() || files.listFiles() == null || files.listFiles().isEmpty) None
+    val path = new org.apache.hadoop.fs.Path(etlRunsPath)
+    val fs   = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path) || fs.listStatus(path).isEmpty) None
     else
       spark.read.parquet(etlRunsPath)
+        .filter(col("status") === "complete")
         .agg(max(col("completed_to")).as("wm"))
         .collect()(0).getAs[Timestamp]("wm") match {
           case null => None
@@ -82,23 +90,38 @@ object IncrementalBars {
       .filter(col("event_time") < lit(toTime))
       .drop("d")
 
-    // persist: the frame is consumed twice (row count for the audit row +
-    // the partition write) and must not recompute the aggregation
-    val bars = BarAggregator.bars1m(dayTicks)
-      .withColumn("bucket_date", to_date(col("bucket_start")))
-      .persist()
     val prevOverwriteMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val n =
       try {
-        val c = bars.count()
-        bars.write
-          .mode(SaveMode.Overwrite)
-          .partitionBy("bucket_date")
-          .parquet(barsPath)
-        c
+        // persist: the frame is consumed twice (row count for the audit
+        // row + the partition write) and must not recompute the
+        // aggregation. Built INSIDE the audited region — persist()
+        // plans (and with a local source, optimize-time-evaluates) the
+        // derivation eagerly, so even a planning failure must produce an
+        // error-audit row.
+        val bars = BarAggregator.bars1m(dayTicks)
+          .withColumn("bucket_date", to_date(col("bucket_start")))
+          .persist()
+        try {
+          val c = bars.count()
+          bars.write
+            .mode(SaveMode.Overwrite)
+            .partitionBy("bucket_date")
+            .parquet(barsPath)
+          c
+        } finally bars.unpersist()
+      } catch {
+        case e: Throwable =>
+          // Failed-run audit (aggregator.py:148-153 records status='error'
+          // and rolls back; etl_runs DDL init.sql:41-48): append an error
+          // row — with a NULL completed_to, so it can never advance the
+          // watermark — and rethrow. The next cycle re-runs the same
+          // window; the partition overwrite makes the retry idempotent.
+          appendRun(spark, etlRunsPath, completedTo = None, windowTo = toTime,
+            rows = 0, status = "error", error = Some(String.valueOf(e.getMessage)))
+          throw e
       } finally {
-        bars.unpersist()
         prevOverwriteMode match {
           case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
           case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -107,11 +130,28 @@ object IncrementalBars {
 
     // Advance the watermark only after the bar write succeeded
     // (aggregator.py:135-136: bars + watermark in one transaction).
-    import spark.implicits._
-    Seq((toTime, n, new Timestamp(System.currentTimeMillis())))
-      .toDF("completed_to", "rows_upserted", "completed_at")
-      .write.mode(SaveMode.Append).parquet(etlRunsPath)
+    appendRun(spark, etlRunsPath, completedTo = Some(toTime), windowTo = toTime,
+      rows = n, status = "complete", error = None)
 
     RunResult(n, Some(toTime))
+  }
+
+  /** One etl_runs audit row. `completed_to` is the watermark column (NULL
+    * on error rows); `window_to` records the attempted window bound either
+    * way, mirroring the reference's run log (init.sql:41-48).
+    */
+  private def appendRun(
+      spark: SparkSession,
+      etlRunsPath: String,
+      completedTo: Option[Timestamp],
+      windowTo: Timestamp,
+      rows: Long,
+      status: String,
+      error: Option[String]): Unit = {
+    import spark.implicits._
+    Seq((completedTo, windowTo, rows, new Timestamp(System.currentTimeMillis()), status, error))
+      .toDF("completed_to", "window_to", "rows_upserted", "completed_at", "status",
+        "error_message")
+      .write.mode(SaveMode.Append).parquet(etlRunsPath)
   }
 }

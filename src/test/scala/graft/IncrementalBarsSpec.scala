@@ -67,4 +67,41 @@ class IncrementalBarsSpec extends SparkSpec {
     assert(b1000.getAs[Long]("tick_count") == 2L)
     assert(bars.count() == 3)
   }
+
+  test("failed write records a status='error' run and advances nothing (ST8)") {
+    val tmp = Files.createTempDirectory("incbars").toString
+    // establish a watermark with a good run first
+    IncrementalBars.runOnce(spark, ticksDf(t0), s"$tmp/bars", s"$tmp/etl",
+      ts("2024-01-01 10:01:30"))
+    val wmBefore = IncrementalBars.readWatermark(spark, s"$tmp/etl")
+    assert(wmBefore.contains(ts("2024-01-01 10:01:00")))
+
+    // a tick whose evaluation throws mid-aggregation → the bar write fails
+    val poisoned = ticksDf(t0, t1).selectExpr(
+      "symbol",
+      "CASE WHEN volume = 200 THEN CAST(raise_error('boom') AS DECIMAL(12,4)) " +
+        "ELSE price END AS price",
+      "volume", "event_time")
+    val ex = intercept[Exception] {
+      IncrementalBars.runOnce(spark, poisoned, s"$tmp/bars", s"$tmp/etl",
+        ts("2024-01-01 10:02:30"))
+    }
+    info(s"intercepted: ${ex.getClass.getName}: ${String.valueOf(ex.getMessage).take(300)}")
+
+    // watermark untouched; audit trail has exactly one error row with the
+    // attempted window bound and no completed_to
+    assert(IncrementalBars.readWatermark(spark, s"$tmp/etl") == wmBefore)
+    val runs = spark.read.parquet(s"$tmp/etl")
+    val errs = runs.filter("status = 'error'").collect()
+    assert(errs.length == 1)
+    assert(errs(0).getAs[Timestamp]("completed_to") == null)
+    assert(errs(0).getAs[Timestamp]("window_to") == ts("2024-01-01 10:02:00"))
+    assert(runs.filter("status = 'complete'").count() == 1)
+
+    // the next good cycle recovers and re-covers the failed window
+    val res = IncrementalBars.runOnce(spark, ticksDf(t0, t1), s"$tmp/bars", s"$tmp/etl",
+      ts("2024-01-01 10:02:30"))
+    assert(res.watermarkTo.contains(ts("2024-01-01 10:02:00")))
+    assert(spark.read.parquet(s"$tmp/bars").count() == 2)
+  }
 }
