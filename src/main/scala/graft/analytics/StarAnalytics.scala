@@ -222,6 +222,43 @@ object StarAnalytics {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---- table_profile_approx: the 100 TB profiling path -----------------
+  /** Sketch-based distinct counts: `approx_count_distinct` (HLL++, rsd
+    * 2%) needs no Expand — one pass, constant sketch memory per
+    * column, partial-merge across the shuffle — where exact
+    * countDistinct×4 expands lineitem 4× (the `table_profile` cost). At
+    * 100 TB the production profile runs ONLY the sketches; this
+    * oracle-checked entry computes both and emits the within-5% law as a
+    * boolean per column (HLL estimates are engine-specific, so the bound,
+    * not the estimate, is what both engines can agree on — the oracle's
+    * exact side answers `true`).
+    */
+  def tableProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val measures = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      approx_count_distinct(col(c), 0.02).as(s"ad_$c")))
+    val stackArgs = ProfileCols
+      .map(c => s"'$c', n, nn_$c, nd_$c, ad_$c").mkString(", ")
+    li.agg(measures.head, measures.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nonnull, nd, ad)")
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        (abs(col("ad") - col("nd")).cast("double") <= col("nd") * lit(0.05))
+          .as("approx_within_5pct"))
+      .orderBy("column_name")
+  }
+
+  val tableProfileApproxSql: String = {
+    val selects = ProfileCols.map { c =>
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows, count($c) AS n_nonnull,
+         |       true AS approx_within_5pct
+         |FROM lineitem""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   // ---- forecast_revenue (TPC-H Q6 shape): selective band scan-agg ------
   // Three conjunctive predicates all push into the parquet scan; the agg
   // is a single global sum — the minimal scan-dominated query.
@@ -319,6 +356,7 @@ object StarAnalytics {
     "event_daily"       -> (eventDaily _, eventDailySql),
     "brand_profit"      -> (brandProfit _, brandProfitSql),
     "table_profile"     -> (tableProfile _, tableProfileSql),
+    "table_profile_approx" -> (tableProfileApprox _, tableProfileApproxSql),
     "event_rollup"      -> (eventRollup _, eventRollupSql),
     "dormant_customers" -> (dormantCustomers _, dormantCustomersSql),
     "forecast_revenue"  -> (forecastRevenue _, forecastRevenueSql),

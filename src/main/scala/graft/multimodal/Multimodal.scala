@@ -138,7 +138,35 @@ object Multimodal {
     }.toDF("doc_id", "modality", "feature")
   }
 
+  // ---- multimodal_frames: the frame-sample stage, oracle-checked -------
+  /** [[frameSample]] over the synthetic media table. SQL-expressible
+    * because the synthetic blob is m = 1+doc_id%8 repeats of the 16-byte
+    * md5 digest, so frame i of a non-image doc is exactly `unhex(md5
+    * (text))` and stride-2 keeps indices {0, 2, …} < m — the oracle
+    * checks the generator laws (frame count, index arithmetic, 16-byte
+    * slicing). The BinaryType slices flow through the whole plan; only
+    * the final edge hex-encodes them, because the compare harness (like
+    * most exchange edges) can't carry raw bytes.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(mediaTable(spark, dir), stride = 2)
+      .select(col("doc_id"), col("modality"), col("frame_idx"),
+        lower(hex(col("frame"))).as("frame_hex"))
+
+  val multimodalFramesSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |         CAST(1 + doc_id % 8 AS INT) AS nframes,
+      |         md5(text) AS frame_hex
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, modality, CAST(unnest(range(0, nframes)) AS INT) AS frame_idx, frame_hex
+      |  FROM m WHERE modality <> 'image')
+      |SELECT doc_id, modality, frame_idx, frame_hex FROM f WHERE frame_idx % 2 = 0""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "multimodal_meta" -> (multimodalMeta _, multimodalMetaSql),
+    "multimodal_meta"   -> (multimodalMeta _, multimodalMetaSql),
+    "multimodal_frames" -> (multimodalFrames _, multimodalFramesSql),
   )
 }
