@@ -18,14 +18,20 @@ import org.apache.spark.sql.functions._
   *    variant below remains the sub-quadratic path we recommend at 100 TB;
   *  - `dedup_minhash` never compares all pairs: 128 minhashes → 32 bands of
   *    4 → candidates = pairs sharing a band bucket (equi-join on the band
-  *    hash), then exact-Jaccard verification on candidates only. For the
-  *    0.8 threshold the banding miss probability per true pair is
-  *    (1 − 0.8⁴)³² ≈ 2·10⁻¹⁴, so verified output equals the exact query —
-  *    which is exactly what the oracle checks;
-  *  - `dedup_simhash` is fully deterministic-recall: 60-bit simhash split
-  *    into 12 5-bit blocks; Hamming ≤ 10 ⇒ at least 2 blocks equal
-  *    (pigeonhole), so the block equi-join provably yields every pair the
-  *    brute-force oracle finds, at O(pairs-per-bucket) not O(n²).
+  *    hash), then exact-Jaccard verification on candidates only. The
+  *    banding miss probability for a true pair AT the 0.8 threshold is
+  *    (1 − 0.8⁴)³² ≈ 4.8·10⁻⁸ (higher-similarity pairs miss far less), so
+  *    the oracle equality to the exact query is probabilistic, not
+  *    absolute — at ≈5·10⁻⁸ per true pair it holds on any realistic run;
+  *  - `dedup_simhash` is fully deterministic-recall: 96-bit simhash (two
+  *    48-bit words) split into 12 8-bit blocks; Hamming ≤ 10 ⇒ at least 2
+  *    blocks equal (pigeonhole), so the block-PAIR equi-join provably
+  *    yields every pair the brute-force oracle finds. Block-pair keys
+  *    span 2¹⁶ values per combo, so random-signature crowding is 64×
+  *    sparser than the previous 60-bit/5-bit scheme at equal N; the
+  *    Hamming budget stays ABSOLUTE as corpora grow (stricter relative
+  *    similarity), which is what keeps the candidate volume controlled —
+  *    the crowding trade-off PLANS.md documents.
   */
 object Dedup {
 
@@ -34,7 +40,7 @@ object Dedup {
   private val NumBands         = 32
   private val RowsPerBand      = 4
   private val HammingMax       = 10
-  private val SimhashBlocks    = 12 // 5 bits each over the 60-bit simhash
+  private val SimhashBlocks    = 12 // 8 bits each over the 96-bit simhash
 
   /** doc_id → distinct shingle set (the shared feature extraction).
     * The input is repartitioned to the session's parallelism first: the
@@ -163,6 +169,9 @@ object Dedup {
     val sets = hashedSets(rawSets).repartition(col("doc_id"))
     val banded = sets
       .withColumn("sig", expr(s"minhash_sig(sh, $NumHashes)"))
+      // empty shingle sets have a null signature (MinHashSig) and cannot
+      // be near-dups of anything — drop them before banding
+      .filter(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
@@ -175,65 +184,68 @@ object Dedup {
     verifyJaccard(candidates, sets)
   }
 
-  // ---- dedup_simhash: 60-bit simhash, 5-bit block join, Hamming ≤ 10 ---
-  /** Per bit i: the ±1 vote sum over shingles is positive iff strictly
-    * more than half the shingle hashes have bit i set, so the signature is
-    * one allocation-free integer fold per bit. The md5-derived hash array
-    * is bound once to a lambda variable (single-element-array idiom) so
-    * project collapse cannot re-inline the per-shingle md5 into each of
-    * the 60 bit folds.
+  // ---- dedup_simhash: 96-bit simhash, 8-bit block-pair join, Hamming ≤ 10
+  /** 96-bit simhash carried as two 48-bit vote-fold words (md5 hex chars
+    * 1-12 / 13-24 per shingle). Per bit i: the ±1 vote sum over shingles
+    * is positive iff strictly more than half the shingle hashes have bit
+    * i set, so each word is one allocation-free integer fold per bit. The
+    * hash arrays are bound once to a lambda variable (single-element-
+    * array idiom) so project collapse cannot re-inline the per-shingle
+    * md5 into each of the 96 bit folds.
     */
-  def simhashesOn(sets: DataFrame): DataFrame =
+  def simhashesOn(sets: DataFrame): DataFrame = {
+    def fold(hsCol: String) = expr(
+      s"""transform(array($hsCol), v ->
+         |  aggregate(
+         |    transform(sequence(0, 47), i ->
+         |      IF(2 * aggregate(v, 0, (a, h) -> a + int(shiftright(h, i) & 1)) > size(v),
+         |         shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+         |    cast(0 as bigint), (acc, x) -> acc + x))[0]""".stripMargin)
     sets
-      .withColumn("hs", transform(col("sh"), s => hash60(s)))
-      .withColumn("simhash",
-        expr(
-          """transform(array(hs), v ->
-            |  aggregate(
-            |    transform(sequence(0, 59), i ->
-            |      IF(2 * aggregate(v, 0, (a, h) -> a + int(shiftright(h, i) & 1)) > size(v),
-            |         shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-            |    cast(0 as bigint), (acc, x) -> acc + x))[0]""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .withColumn("ha", transform(col("sh"), s => hash48a(s)))
+      .withColumn("hb", transform(col("sh"), s => hash48b(s)))
+      .select(col("doc_id"), fold("ha").as("sim_a"), fold("hb").as("sim_b"))
+  }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     dedupSimhashOn(shingleSets(spark, dir))
 
   def dedupSimhashOn(sets: DataFrame): DataFrame = {
-    // Scale note (measured, PLANS.md): block-pair buckets crowd as N
-    // grows — candidates ~N²/2^(2w) with block width w ≈ bits/(T+2) fixed
-    // by the Hamming budget T. Fine to ~10⁵ docs; beyond that widen the
-    // signature while keeping T absolute (stricter relative similarity)
-    // or use MinHash-LSH above, the recommended sub-quadratic path.
     // one exchange under both self-join sides → signatures computed once
     val sigs = simhashesOn(sets).repartition(col("doc_id"))
     // Hamming ≤ 10 damages at most 10 of the 12 blocks, so at least TWO
     // blocks survive intact (pigeonhole) — candidates only need pairs that
     // agree on a block PAIR, which squares the per-block collision rate
-    // (1/32 → 1/1024) and keeps the candidate set near-linear. The 66
-    // (k1 < k2) combos are encoded as one bigint join key.
+    // (1/256 → 1/65536). Random-signature crowding is candidates ≈
+    // 66·N²/2¹⁷ — 64× sparser than the retired 60-bit/5-bit scheme; the
+    // 10× probe in PLANS.md measures the effect. Blocks 0-5 slice sim_a,
+    // 6-11 slice sim_b; the 66 (k1 < k2) combos are one bigint join key.
     val blockPairs = sigs.select(
-      col("doc_id"), col("simhash"),
+      col("doc_id"), col("sim_a"), col("sim_b"),
       explode(expr(
         s"""flatten(transform(sequence(0, ${SimhashBlocks - 2}), k1 ->
            |  transform(sequence(k1 + 1, ${SimhashBlocks - 1}), k2 ->
-           |    ((cast(k1 * ${SimhashBlocks} + k2 as bigint) * 32)
-           |      + (shiftright(simhash, k1 * 5) & 31)) * 32
-           |      + (shiftright(simhash, k2 * 5) & 31))))""".stripMargin)).as("bkey"))
+           |    (cast(k1 * ${SimhashBlocks} + k2 as bigint) * 256
+           |      + (shiftright(IF(k1 < 6, sim_a, sim_b), (k1 % 6) * 8) & 255)) * 256
+           |      + (shiftright(IF(k2 < 6, sim_a, sim_b), (k2 % 6) * 8) & 255))))""".stripMargin)).as("bkey"))
     blockPairs.as("a")
       .join(blockPairs.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
-        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+        col("a.sim_a").as("a1"), col("a.sim_b").as("a2"),
+        col("b.sim_a").as("b1"), col("b.sim_b").as("b2"))
       .distinct()
-      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))))
+      .withColumn("hamming",
+        bit_count(col("a1").bitwiseXOR(col("b1")))
+          + bit_count(col("a2").bitwiseXOR(col("b2"))))
       .filter(col("hamming") <= HammingMax)
       .select(col("doc_id_1"), col("doc_id_2"), col("hamming"))
   }
 
-  /** Oracle: brute-force all-pairs simhash Hamming (the block join above is
-    * exhaustive for Hamming ≤ 10 by pigeonhole, so outputs are identical).
+  /** Oracle: brute-force all-pairs simhash Hamming over both words (the
+    * block-pair join above is exhaustive for Hamming ≤ 10 by pigeonhole,
+    * so outputs are identical).
     */
   val dedupSimhashSql: String =
     s"""WITH docs AS (
@@ -241,18 +253,23 @@ object Dedup {
        |sh AS (
        |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
        |hb AS (
-       |  SELECT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |  SELECT doc_id, ${hash48aSql("shingle")} AS h1, ${hash48bSql("shingle")} AS h2 FROM sh),
        |bits AS (
-       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM hb, (SELECT unnest(generate_series(0, 59)) AS b)
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS va,
+       |         sum(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vb
+       |  FROM hb, (SELECT unnest(generate_series(0, 47)) AS b)
        |  GROUP BY doc_id, b),
        |sig AS (
-       |  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN va > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sim_a,
+       |         CAST(sum(CASE WHEN vb > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sim_b
        |  FROM bits GROUP BY doc_id)
        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |       CAST(bit_count(xor(a.sim_a, b.sim_a))
+       |            + bit_count(xor(a.sim_b, b.sim_b)) AS INTEGER) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingMax""".stripMargin
+       |WHERE bit_count(xor(a.sim_a, b.sim_a)) + bit_count(xor(a.sim_b, b.sim_b)) <= $HammingMax""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact"   -> (dedupExact _, dedupExactSql),

@@ -25,6 +25,9 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // null also for empty (or all-null) input sets — see nullSafeEval
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -34,6 +37,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override def nullSafeEval(input: Any): Any = {
     val xs  = input.asInstanceOf[ArrayData]
     val n   = xs.numElements()
+    // An empty (or all-null) set has no signature: return null rather
+    // than an all-Long.MaxValue sentinel, which would put every such row
+    // into the SAME bucket of every LSH band — an O(m²) candidate clique
+    // (output would stay correct via the 0/0→NaN Jaccard filter, but the
+    // plan would degenerate). Callers drop null signatures.
+    var hasValue = false
+    var j = 0
+    while (j < n && !hasValue) { hasValue = !xs.isNullAt(j); j += 1 }
+    if (!hasValue) return null
     val out = new Array[Long](numHashes)
     var p   = 0
     while (p < numHashes) {

@@ -45,6 +45,21 @@ object TextFeatures {
   def hash60Sql(s: String): String =
     s"('0x' || substr(md5($s), 1, 15))::BIGINT"
 
+  /** Two independent 48-bit md5-derived words (hex chars 1-12 / 13-24) —
+    * together the 96-bit hash behind the wide simhash. Each word stays
+    * positive in a signed long, so shifts/xor/bit_count match across
+    * engines exactly.
+    */
+  def hash48a(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long")
+
+  def hash48b(s: Column): Column =
+    conv(substring(md5(s), 13, 12), 16, 10).cast("long")
+
+  def hash48aSql(s: String): String = s"('0x' || substr(md5($s), 1, 12))::BIGINT"
+
+  def hash48bSql(s: String): String = s"('0x' || substr(md5($s), 13, 12))::BIGINT"
+
   /** Exact Jaccard similarity of two pre-deduplicated shingle arrays, as the
     * double `|A∩B| / (|A| + |B| - |A∩B|)` — integer sizes, one double
     * division, so the value is bit-identical across engines.

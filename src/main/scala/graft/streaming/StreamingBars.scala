@@ -82,10 +82,17 @@ object StreamingBars {
       .start()
 
   /** Streaming gap sessionization with flatMapGroupsWithState + event-time
-    * timeout: per-symbol session state accumulates (start, end, count);
-    * when the watermark passes session_end + gap the state times out and
-    * the CLOSED session is emitted — the streaming twin of the batch
-    * `tick_sessions` query. State is O(open sessions) = O(symbols).
+    * timeout — the streaming twin of the batch `tick_sessions` query.
+    *
+    * Correctness under allowed lateness: state holds ALL open sessions of
+    * the symbol (sorted by start, pairwise ≥ gap apart), and a session is
+    * emitted ONLY once the watermark passes `session_end + gap` — at that
+    * point no admissible event can extend or re-open it, so emission is
+    * final (append-mode safe for any `lateness`, not just 0s). A late
+    * event folds into whichever session(s) it touches: it can lower
+    * `session_start`, extend `session_end`, or bridge two sessions into
+    * one (the merge below collapses the touched run). State is O(open
+    * sessions per symbol), bounded by lateness/gap.
     */
   def sessionize(ticks: DataFrame, gapMinutes: Int = 30,
       lateness: String = "0 seconds"): Dataset[TickSession] = {
@@ -96,33 +103,34 @@ object StreamingBars {
       .select(col("symbol"), col("event_time"))
       .as[(String, Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[TickSession, TickSession](
+      .flatMapGroupsWithState[Vector[TickSession], TickSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (symbol: String, rows: Iterator[(String, Timestamp)],
-         state: GroupState[TickSession]) => {
-          if (state.hasTimedOut) {
-            val done = state.get
-            state.remove()
-            Iterator.single(done)
-          } else {
-            val times  = rows.map(_._2.getTime).toSeq.sorted
-            val merged = times.foldLeft(state.getOption.toVector) {
-              case (sessions, t) =>
-                sessions.lastOption match {
-                  case Some(open) if t - open.session_end.getTime < gapMs =>
-                    sessions.init :+ open.copy(
-                      session_end = new Timestamp(math.max(open.session_end.getTime, t)),
-                      n_ticks = open.n_ticks + 1)
-                  case _ =>
-                    sessions :+ TickSession(symbol, new Timestamp(t), new Timestamp(t), 1L)
-                }
-            }
-            // all but the newest session are separated by ≥ gap → closed
-            val (closed, open) = (merged.init, merged.last)
-            state.update(open)
-            state.setTimeoutTimestamp(open.session_end.getTime + gapMs)
-            closed.iterator
+         state: GroupState[Vector[TickSession]]) => {
+          // Fold one event into the sorted session list: sessions within
+          // gap of t (strictly — an exact-gap distance starts a new
+          // session, matching session_window) collapse with t into one.
+          def insert(ss: Vector[TickSession], t: Long): Vector[TickSession] = {
+            val before = ss.filter(s => t - s.session_end.getTime >= gapMs)
+            val after  = ss.filter(s => s.session_start.getTime - t >= gapMs)
+            val touched = ss.filterNot(s =>
+              t - s.session_end.getTime >= gapMs || s.session_start.getTime - t >= gapMs)
+            val start = (t +: touched.map(_.session_start.getTime)).min
+            val end   = (t +: touched.map(_.session_end.getTime)).max
+            val n     = touched.map(_.n_ticks).sum + 1
+            (before :+ TickSession(symbol, new Timestamp(start), new Timestamp(end), n)) ++ after
           }
+          val wm = state.getCurrentWatermarkMs()
+          val merged = rows.map(_._2.getTime).toSeq.sorted
+            .foldLeft(state.getOption.getOrElse(Vector.empty))(insert)
+          // closed = unreachable by any future (≥ watermark) event
+          val (closed, open) = merged.partition(_.session_end.getTime + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.session_end.getTime).min + gapMs)
+          }
+          closed.iterator
         })
   }
 }

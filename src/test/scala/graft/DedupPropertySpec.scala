@@ -46,15 +46,17 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
-  test("property: simhash block join equals brute-force Hamming on random corpora") {
+  test("property: simhash block-pair join equals brute-force Hamming on random corpora") {
     import spark.implicits._
     (1 to 3).foreach { s =>
       val sets = Dedup.shingleSets(corpus(s.toLong + 100, 40).toDF("doc_id", "text"))
-      val sigs = Dedup.simhashesOn(sets).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sigs = Dedup.simhashesOn(sets).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       val ids  = sigs.keys.toSeq.sorted
       val brute = (for {
         i <- ids; j <- ids if i < j
-        if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 10
+        if java.lang.Long.bitCount(sigs(i)._1 ^ sigs(j)._1) +
+          java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 10
       } yield (i, j)).toSet
       assert(pairs(Dedup.dedupSimhashOn(sets)) == brute, s"seed $s")
     }

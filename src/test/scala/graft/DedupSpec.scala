@@ -44,15 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(minhash == exact)
   }
 
-  test("simhash: identical docs at Hamming 0; block join ≡ brute force") {
-    val sigs = Dedup.simhashesOn(sets).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  test("simhash: identical docs at Hamming 0; block-pair join ≡ brute force") {
+    val sigs = Dedup.simhashesOn(sets).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sigs(1L) == sigs(2L))
-    // the law: the 12×5-bit block join finds EXACTLY the brute-force pairs
-    // with Hamming ≤ 10 (pigeonhole guarantees recall)
+    // the law: the 12×8-bit block-pair join finds EXACTLY the brute-force
+    // pairs with Hamming ≤ 10 over the 96-bit signature (pigeonhole
+    // guarantees recall)
     val ids = sigs.keys.toSeq.sorted
+    def ham(i: Long, j: Long): Int =
+      java.lang.Long.bitCount(sigs(i)._1 ^ sigs(j)._1) +
+        java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
     val expected = (for {
       i <- ids; j <- ids if i < j
-      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 10
+      if ham(i, j) <= 10
     } yield (i, j)).toSet
     val pairs = Dedup.dedupSimhashOn(sets).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == expected)
@@ -60,8 +65,9 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("simhash signatures stay within 60 bits (block join soundness)") {
-    val sigs = Dedup.simhashesOn(sets).collect().map(_.getLong(1))
-    assert(sigs.forall(s => s >= 0L && s < (1L << 60)))
+  test("simhash words stay within 48 bits each (block join soundness)") {
+    val sigs = Dedup.simhashesOn(sets).collect()
+      .flatMap(r => Seq(r.getLong(1), r.getLong(2)))
+    assert(sigs.forall(s => s >= 0L && s < (1L << 48)))
   }
 }

@@ -24,6 +24,22 @@ class MinHashSigSpec extends SparkSpec {
     assert(sigs(1L) == merged.toSeq)
   }
 
+  test("empty and all-null sets have a null signature (no sentinel clique)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(10L)),
+      (2L, Seq.empty[Long]))
+      .toDF("id", "hs")
+      .withColumn("sig", expr("minhash_sig(hs, 8)"))
+    val rows = df.select("id", "sig").collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(rows(1L) != null)
+    assert(rows(2L) == null)
+    val allNull = spark.sql("SELECT minhash_sig(array(cast(null as bigint)), 8) AS s")
+      .collect()(0).get(0)
+    assert(allNull == null)
+  }
+
   test("identical sets collide in every LSH band; disjoint sets in none") {
     GraftExtensions.register(spark)
     import spark.implicits._

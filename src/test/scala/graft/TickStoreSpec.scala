@@ -83,4 +83,37 @@ class TickStoreSpec extends SparkSpec {
       assert(first.getLong(3) == 2L)
     } finally query.stop()
   }
+
+  test("sessionize with lateness: a late event bridges two open sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val ticks = input.toDF().toDF("symbol", "event_time")
+
+    val query = StreamingBars.sessionize(ticks, gapMinutes = 30, lateness = "2 hours")
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      // two sessions 50 min apart — both stay open (watermark lags 2 h)
+      input.addData(("AAPL", Timestamp.valueOf("2024-01-01 10:00:00")),
+        ("AAPL", Timestamp.valueOf("2024-01-01 10:50:00")))
+      query.processAllAvailable()
+      assert(spark.table("sessions_late").count() == 0)
+
+      // a permitted late event at 10:25 is within gap of BOTH: they merge
+      input.addData(("AAPL", Timestamp.valueOf("2024-01-01 10:25:00")))
+      query.processAllAvailable()
+      // advance the watermark past merged end + gap (11:20): wm = 14:00-2h
+      input.addData(("AAPL", Timestamp.valueOf("2024-01-01 14:00:00")))
+      query.processAllAvailable()
+      input.addData(("AAPL", Timestamp.valueOf("2024-01-01 18:00:00")))
+      query.processAllAvailable()
+
+      val closed = spark.table("sessions_late").collect()
+        .filter(_.getTimestamp(1) == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(closed.length == 1) // ONE bridged session, not two overlapping
+      assert(closed(0).getTimestamp(2) == Timestamp.valueOf("2024-01-01 10:50:00"))
+      assert(closed(0).getLong(3) == 3L)
+    } finally query.stop()
+  }
 }
