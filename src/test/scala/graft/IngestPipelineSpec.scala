@@ -76,6 +76,55 @@ class IngestPipelineSpec extends SparkSpec {
     val dlq = spark.read.parquet(s"$tmp/dlq")
     assert(dlq.count() == 2)
     assert(dlq.columns.toSeq ==
-      Seq("source", "topic", "partition", "offset", "raw_value", "error_message"))
+      Seq("source", "topic", "partition", "offset", "raw_value", "error_message", "batch_id"))
+  }
+
+  test("kill-and-restart: checkpoint recovery is exactly-once (ST5)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val tmp = Files.createTempDirectory("ingest_recover").toString
+    val srcDir = s"$tmp/src"
+    new java.io.File(srcDir).mkdirs()
+    def writeFile(name: String, lines: String*): Unit =
+      JFiles.writeString(Paths.get(s"$srcDir/$name"), lines.mkString("\n"))
+    def fileSource = spark.readStream.format("text")
+      .load(srcDir).withColumnRenamed("value", "value")
+    def runOnce(): Unit = {
+      val q = IngestPipeline.run(fileSource, s"$tmp/ticks", s"$tmp/dlq",
+        s"$tmp/chk", Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    // run 1: two valid ticks
+    writeFile("a.json", good, yfinance)
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/ticks").count() == 2)
+
+    // simulate a crash INSIDE the at-least-once window: the sink write
+    // landed but the checkpoint commit didn't — delete the commit marker,
+    // so the restart MUST replay the batch with the same batch id
+    val commits = new java.io.File(s"$tmp/chk/commits").listFiles()
+      .map(_.getName).filterNot(_.startsWith("."))
+    JFiles.delete(Paths.get(s"$tmp/chk/commits/${commits.max}"))
+    // also drop the local-FS checksum sidecar, or the re-written commit
+    // fails its rename against the stale crc
+    JFiles.deleteIfExists(Paths.get(s"$tmp/chk/commits/.${commits.max}.crc"))
+    runOnce()
+    // replayed batch overwrote its own partition: still 2, not 4
+    assert(spark.read.parquet(s"$tmp/ticks").count() == 2)
+
+    // run 3: new data after recovery processes exactly once; old batches
+    // are not re-read (offsets committed)
+    writeFile("b.json", missingPrice, malformed,
+      """{"symbol":"NVDA","price":1.23,"volume":7,"event_time":"2024-01-01T10:00:09+00:00"}""")
+    runOnce()
+    val ticks = spark.read.parquet(s"$tmp/ticks")
+    assert(ticks.count() == 3)
+    assert(ticks.filter("symbol = 'NVDA'").count() == 1)
+    assert(spark.read.parquet(s"$tmp/dlq").count() == 2)
+
+    // run 4: nothing new — counts unchanged
+    runOnce()
+    assert(spark.read.parquet(s"$tmp/ticks").count() == 3)
+    assert(spark.read.parquet(s"$tmp/dlq").count() == 2)
   }
 }
