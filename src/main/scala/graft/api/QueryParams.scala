@@ -33,4 +33,13 @@ object QueryParams {
   val TicksLimitMax  = 100
   val BarsLimitMax   = 1440
   val MoversLimitMax = 20
+
+  /** The reference's 404-on-empty rule (ticks.py:86-90, bars.py:83-88): a
+    * summary window that matched no rows is a named absence, not a
+    * zero-row success. The API layer inspects the aggregate's count and
+    * converts zero into Left before serializing.
+    */
+  def requireData(count: Long, what: String): Either[String, Long] =
+    if (count > 0) Right(count)
+    else Left(s"not found: no data for $what")
 }

@@ -22,4 +22,11 @@ class QueryParamsSpec extends AnyFunSuite {
     assert(QueryParams.validateMinutes(1440) == Right(1440))
     assert(QueryParams.validateMinutes(1441).isLeft)
   }
+
+  test("404-on-empty rule: zero-count summary is a named absence (ticks.py:86-90)") {
+    assert(QueryParams.requireData(3, "symbol 'AAPL' in the last 60 minutes") == Right(3L))
+    val miss = QueryParams.requireData(0, "symbol 'AAPL' in the last 60 minutes")
+    assert(miss.isLeft)
+    assert(miss.left.exists(_.contains("not found")))
+  }
 }
