@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, MinHashSig, TopKByScore}
+import graft.functions.{FloatVecDot, MinHashSig, SimhashFold, TopKByScore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,17 @@ object GraftExtensions {
             s"minhash_sig k must be an integer literal, got $other")
         }
         MinHashSig(children.head, k)
+      }),
+    (FunctionIdentifier("simhash_fold"),
+      new ExpressionInfo(classOf[SimhashFold].getName, "simhash_fold"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "simhash_fold takes (array<bigint>, bits)")
+        val bits = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"simhash_fold bits must be an integer literal, got $other")
+        }
+        SimhashFold(children.head, bits)
       }),
     (FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

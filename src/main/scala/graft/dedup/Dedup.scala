@@ -188,30 +188,30 @@ object Dedup {
   /** 96-bit simhash carried as two 48-bit vote-fold words (md5 hex chars
     * 1-12 / 13-24 per shingle). Per bit i: the ±1 vote sum over shingles
     * is positive iff strictly more than half the shingle hashes have bit
-    * i set, so each word is one allocation-free integer fold per bit. The
-    * hash arrays are bound once to a lambda variable (single-element-
-    * array idiom) so project collapse cannot re-inline the per-shingle
-    * md5 into each of the 96 bit folds.
+    * i set. The fold runs through the native
+    * [[graft.functions.SimhashFold]] expression — one primitive loop per
+    * row instead of 96 interpreted lambda folds; empty sets yield null
+    * words (dropped before the block join, same guard as minhash).
     */
   def simhashesOn(sets: DataFrame): DataFrame = {
-    def fold(hsCol: String) = expr(
-      s"""transform(array($hsCol), v ->
-         |  aggregate(
-         |    transform(sequence(0, 47), i ->
-         |      IF(2 * aggregate(v, 0, (a, h) -> a + int(shiftright(h, i) & 1)) > size(v),
-         |         shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-         |    cast(0 as bigint), (acc, x) -> acc + x))[0]""".stripMargin)
+    graft.GraftExtensions.register(sets.sparkSession)
     sets
       .withColumn("ha", transform(col("sh"), s => hash48a(s)))
       .withColumn("hb", transform(col("sh"), s => hash48b(s)))
-      .select(col("doc_id"), fold("ha").as("sim_a"), fold("hb").as("sim_b"))
+      .select(col("doc_id"),
+        expr("simhash_fold(ha, 48)").as("sim_a"),
+        expr("simhash_fold(hb, 48)").as("sim_b"))
   }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     dedupSimhashOn(shingleSets(spark, dir))
 
   def dedupSimhashOn(sets: DataFrame): DataFrame = {
-    // one exchange under both self-join sides → signatures computed once
+    // one exchange under both self-join sides → signatures computed once.
+    // No isNotNull filter on the computed words: filter pushdown would
+    // substitute (and so re-evaluate) the whole md5+fold chain into the
+    // predicate; null words (empty sets) instead yield null block keys
+    // below, which match nothing in the equi-join — same outcome, free.
     val sigs = simhashesOn(sets).repartition(col("doc_id"))
     // Hamming ≤ 10 damages at most 10 of the 12 blocks, so at least TWO
     // blocks survive intact (pigeonhole) — candidates only need pairs that
