@@ -373,9 +373,14 @@ object Similarity {
     dedupEmbeddingLshOn(emb(spark, dir))
 
   def dedupEmbeddingLshOn(e: DataFrame): DataFrame = {
+    // materialize the sketched table once (lazily, on first action): both
+    // self-join sides consume it, and AQE's broadcast conversion would
+    // otherwise run the 24-plane sketch pipeline once per side — same
+    // idiom as Dedup's hashed shingle sets
     val sk = e.select(col("vec_id"),
       posexplode(array((0 until LshTables).map(t => expr(bandSketchExpr(t, "v"))): _*))
         .as(Seq("tbl", "bucket")))
+      .localCheckpoint(eager = false)
     val cand = sk.as("a").join(sk.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
