@@ -39,9 +39,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n   = xs.numElements()
     // An empty (or all-null) set has no signature: return null rather
     // than an all-Long.MaxValue sentinel, which would put every such row
-    // into the SAME bucket of every LSH band — an O(m²) candidate clique
-    // (output would stay correct via the 0/0→NaN Jaccard filter, but the
-    // plan would degenerate). Callers drop null signatures.
+    // into the SAME bucket of every LSH band — an O(m²) candidate clique,
+    // AND an output bug: the pair's 0/0 Jaccard is NaN, and NaN >= t is
+    // TRUE under Spark's NaN-greatest ordering, so empty-doc pairs would
+    // be emitted as duplicates. Callers drop null signatures.
     var hasValue = false
     var j = 0
     while (j < n && !hasValue) { hasValue = !xs.isNullAt(j); j += 1 }

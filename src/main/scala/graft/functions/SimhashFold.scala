@@ -11,8 +11,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * i set. Engine-internal twin of the brute-force oracle's per-bit ±1 vote
   * sums — value-identical to the HOF formulation
   * `aggregate(transform(sequence(0, bits-1), i -> IF(2*aggregate(...) >
-  * size(v), 1<<i, 0)), 0, +)`, but one tight primitive double loop per row
-  * instead of `bits` interpreted lambda folds with per-element boxing.
+  * size(v), 1<<i, 0)), 0, +)` on null-free arrays (the only inputs the
+  * dedup call sites produce: distinct md5-derived hashes), but one tight
+  * primitive double loop per row instead of `bits` interpreted lambda
+  * folds with per-element boxing. On arrays with SOME null elements the
+  * two diverge by design: this fold votes over the non-null elements
+  * (denominator = valid count), where the HOF's null-poisoned inner sum
+  * nulls the whole word.
   *
   * Empty (or all-null) inputs return null rather than the 0L signature —
   * a shared zero signature would put every empty doc at Hamming 0 of every

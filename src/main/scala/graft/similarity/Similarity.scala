@@ -124,9 +124,13 @@ object Similarity {
       .crossJoin(broadcast(c))
       .withColumn("cos_c",
         expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("cn2"))))
+    // max_by(…, struct(cos, -id)), not min_by over struct(-cos, id): both
+    // break ties toward the smaller centroid id, but only the max form
+    // keeps a NaN score ranked FIRST (Spark and DuckDB both sort NaN above
+    // all numbers), matching the oracle's row_number ORDER BY cos DESC
     val assign = assignScored
       .groupBy(col("vec_id"))
-      .agg(min_by(col("centroid_id"), struct(-col("cos_c"), col("centroid_id")))
+      .agg(max_by(col("centroid_id"), struct(col("cos_c"), -col("centroid_id")))
         .as("centroid_id"))
 
     // probes: top-nprobe centroids per query
@@ -284,21 +288,29 @@ object Similarity {
   private def planeSparkLiteral(p: Int): String =
     planes(p).mkString("array(", ", ", ")")
 
-  /** 6-bit sketch of a double-cast float vector column (same fold shape
-    * on both engines: per-plane sequential dot, sign, bit-pack).
+  /** Sign-sketch generators, parameterized by the plane slice: bit i of
+    * the sketch is the sign of the dot with plane `firstPlane + i` (same
+    * fold shape on both engines: sequential dot, sign, bit-pack). The
+    * knn_lsh sketch is the width-[[NumPlanes]] slice at 0; each banded
+    * table below is a width-[[LshBits]] slice — ONE string template per
+    * engine keeps the two uses bit-identical.
     */
-  private def sketchExpr(vCol: String): String =
-    (0 until NumPlanes).map { p =>
-      s"""IF(aggregate(zip_with($vCol, ${planeSparkLiteral(p)},
+  private def planeSketchExpr(vCol: String, firstPlane: Int, width: Int): String =
+    (0 until width).map { i =>
+      s"""IF(aggregate(zip_with($vCol, ${planeSparkLiteral(firstPlane + i)},
          |  (x, y) -> cast(x as double) * y), cast(0 as double), (a, x) -> a + x) > 0,
-         |  ${1 << p}, 0)""".stripMargin
+         |  ${1 << i}, 0)""".stripMargin
     }.mkString("(", " + ", ")")
 
-  private def sketchSql(vCol: String): String =
-    (0 until NumPlanes).map { p =>
-      s"""CASE WHEN list_reduce(list_transform(list_zip($vCol, ${planeSqlLiteral(p)}),
-         |  q -> q[1] * q[2]), (a, x) -> a + x) > 0 THEN ${1 << p} ELSE 0 END""".stripMargin
+  private def planeSketchSql(vCol: String, firstPlane: Int, width: Int): String =
+    (0 until width).map { i =>
+      s"""CASE WHEN list_reduce(list_transform(list_zip($vCol, ${planeSqlLiteral(firstPlane + i)}),
+         |  q -> q[1] * q[2]), (a, x) -> a + x) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
     }.mkString("(", " + ", ")")
+
+  private def sketchExpr(vCol: String): String = planeSketchExpr(vCol, 0, NumPlanes)
+
+  private def sketchSql(vCol: String): String = planeSketchSql(vCol, 0, NumPlanes)
 
   def knnLsh(spark: SparkSession, dir: String): DataFrame =
     knnLshOn(emb(spark, dir))
@@ -355,19 +367,10 @@ object Similarity {
     * exact law is covered in SimilaritySpec.
     */
   private def bandSketchExpr(t: Int, vCol: String): String =
-    (0 until LshBits).map { i =>
-      val p = t * LshBits + i
-      s"""IF(aggregate(zip_with($vCol, ${planeSparkLiteral(p)},
-         |  (x, y) -> cast(x as double) * y), cast(0 as double), (a, x) -> a + x) > 0,
-         |  ${1 << i}, 0)""".stripMargin
-    }.mkString("(", " + ", ")")
+    planeSketchExpr(vCol, t * LshBits, LshBits)
 
   private def bandSketchSql(t: Int, vCol: String): String =
-    (0 until LshBits).map { i =>
-      val p = t * LshBits + i
-      s"""CASE WHEN list_reduce(list_transform(list_zip($vCol, ${planeSqlLiteral(p)}),
-         |  q -> q[1] * q[2]), (a, x) -> a + x) > 0 THEN ${1 << i} ELSE 0 END""".stripMargin
-    }.mkString("(", " + ", ")")
+    planeSketchSql(vCol, t * LshBits, LshBits)
 
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
     dedupEmbeddingLshOn(emb(spark, dir))

@@ -48,14 +48,21 @@ object IncrementalBars {
     val path = new org.apache.hadoop.fs.Path(etlRunsPath)
     val fs   = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path) || fs.listStatus(path).isEmpty) None
-    else
-      spark.read.parquet(etlRunsPath)
-        .filter(col("status") === "complete")
+    else {
+      val runs = spark.read.parquet(etlRunsPath)
+      // legacy stores (pre-status schema) recorded only successful runs —
+      // treat every row as complete rather than failing the read or
+      // silently regressing the watermark
+      val complete =
+        if (runs.columns.contains("status")) runs.filter(col("status") === "complete")
+        else runs
+      complete
         .agg(max(col("completed_to")).as("wm"))
         .collect()(0).getAs[Timestamp]("wm") match {
           case null => None
           case t    => Some(t)
         }
+    }
   }
 
   /** One aggregation cycle. `now` is a parameter (not the wall clock) for

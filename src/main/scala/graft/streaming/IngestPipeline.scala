@@ -108,6 +108,11 @@ object IngestPipeline {
     * across kill-and-restart (ST5; strictly stronger than the
     * reference's at-least-once per-row insert). Readers of the parent
     * path see `batch_id` as an ordinary partition column.
+    *
+    * Layout-migration note: sinks written by the pre-`batch_id` layout
+    * (part files at the path root) must be moved into a `batch_id=-1/`
+    * subdir once before pointing this version at them — parquet partition
+    * discovery rejects a mix of root-level files and partition dirs.
     */
   def run(
       raw: DataFrame,
