@@ -68,6 +68,17 @@ class IncrementalBarsSpec extends SparkSpec {
     assert(bars.count() == 3)
   }
 
+  test("legacy etl_runs store (no status column) still yields its watermark") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("incbars").toString
+    // a store written by the pre-status schema: successful runs only
+    Seq((ts("2024-01-01 10:05:00"), 7L, ts("2024-01-01 10:05:01")))
+      .toDF("completed_to", "rows_upserted", "completed_at")
+      .write.parquet(s"$tmp/etl")
+    assert(IncrementalBars.readWatermark(spark, s"$tmp/etl")
+      .contains(ts("2024-01-01 10:05:00")))
+  }
+
   test("failed write records a status='error' run and advances nothing (ST8)") {
     val tmp = Files.createTempDirectory("incbars").toString
     // establish a watermark with a good run first
