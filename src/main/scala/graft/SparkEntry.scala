@@ -3,7 +3,7 @@ package graft
 import graft.analytics.{StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Quantize, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,7 @@ object SparkEntry {
   private val registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
-      Multimodal.registry)
+      Quantize.registry, Multimodal.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →
