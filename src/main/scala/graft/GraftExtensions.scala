@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, MinHashSig, SimhashFold, TopKByScore}
+import graft.functions.{FloatVecDot, MinHashSig, SimhashFold, TopKByScore, VecSum}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,6 +38,12 @@ object GraftExtensions {
             s"minhash_sig k must be an integer literal, got $other")
         }
         MinHashSig(children.head, k)
+      }),
+    (FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vec_sum takes exactly 1 argument")
+        VecSum(children.head)
       }),
     (FunctionIdentifier("simhash_fold"),
       new ExpressionInfo(classOf[SimhashFold].getName, "simhash_fold"),

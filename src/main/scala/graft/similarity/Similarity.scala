@@ -231,6 +231,50 @@ object Similarity {
         col("cosine"))
   }
 
+  // ---- k-means centroid refinement (distributed Lloyd iterations) ------
+  /** Refine seed centroids with `iters` Lloyd iterations: assign every
+    * vector to its nearest centroid (the same partial-aggregable max_by
+    * argmax as knn_ivf's assignment), then recompute each centroid as the
+    * element-wise mean of its members via the native [[graft.functions.VecSum]]
+    * aggregate — an O(dim) buffer per group, so one 64-double partial row
+    * per (centroid, map task) crosses the shuffle instead of dim×
+    * posexploded rows per vector. Each iteration materializes the (tiny)
+    * centroid table eagerly, cutting lineage growth across iterations —
+    * the standard shape for iterative refinement on a cluster.
+    *
+    * Spec-checked (planted-cluster recovery; VecSum partial-merge laws).
+    * Deliberately NO DuckDB oracle: iterated floating group-sums are
+    * fold-order-sensitive, so cross-engine bit parity is not defendable —
+    * the oracle-checked knn_ivf keeps its deterministic modulo seeds,
+    * and this refinement slots in as a drop-in centroid table.
+    *
+    * @param e     withNorms output (vec_id, v, n2)
+    * @param seeds (centroid_id, vb) seed vectors
+    */
+  def kmeansCentroids(e: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    graft.GraftExtensions.register(e.sparkSession)
+    var centroids = seeds
+      .withColumn("cn2", expr("vec_dot(vb, vb)"))
+      .select(col("centroid_id"), col("vb"), col("cn2"))
+    (1 to iters).foreach { _ =>
+      val members = e.withColumnRenamed("v", "va").withColumnRenamed("n2", "an2")
+        .crossJoin(broadcast(centroids))
+        .withColumn("cos_c", expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("cn2"))))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("centroid_id"), struct(col("cos_c"), -col("centroid_id")))
+          .as("centroid_id"))
+        .join(e.select(col("vec_id"), col("v")), "vec_id")
+      centroids = members
+        .groupBy(col("centroid_id"))
+        .agg(expr("vec_sum(v)").as("s"), count(lit(1)).as("n"))
+        .select(col("centroid_id"),
+          expr("transform(s, x -> cast(x / n as float))").as("vb"))
+        .withColumn("cn2", expr("vec_dot(vb, vb)"))
+        .localCheckpoint(eager = true)
+    }
+    centroids
+  }
+
   // ---- dedup_embedding: cosine near-dup pairs over a threshold ---------
   /** Embedding-cosine near-duplicate detection: all pairs with cosine ≥
     * threshold, exact, via the blocked pair stream above.
