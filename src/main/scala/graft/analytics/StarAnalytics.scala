@@ -357,7 +357,51 @@ object StarAnalytics {
       |GROUP BY ROLLUP(event_type, date_trunc('day', ts))
       |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
 
+  // ---- user_churn: set-operation coverage (EXCEPT / INTERSECT / UNION) -
+  /** Period-over-period user segmentation over the events table: churned
+    * (active in the prior 30 days, silent in the last 30), new (the
+    * reverse), retained (both) — the set-operation family the reference
+    * never uses (SURVEY.md §2.5), as distinct-shaped shuffles on user_id.
+    * The anchor derives from max(ts) and stays in-plan (broadcast 1-row).
+    */
+  def userChurn(spark: SparkSession, dir: String): DataFrame = {
+    val ev     = Tables.events(spark, dir)
+    val anchor = ev.agg(max(col("ts")).as("now"))
+    val withNow = ev.crossJoin(broadcast(anchor))
+    val recent = withNow
+      .filter(col("ts") >= col("now") - expr("INTERVAL 30 DAYS"))
+      .select("user_id").distinct()
+    val prior = withNow
+      .filter(col("ts") < col("now") - expr("INTERVAL 30 DAYS")
+        && col("ts") >= col("now") - expr("INTERVAL 60 DAYS"))
+      .select("user_id").distinct()
+    prior.except(recent).withColumn("status", lit("churned"))
+      .unionByName(recent.except(prior).withColumn("status", lit("new")))
+      .unionByName(recent.intersect(prior).withColumn("status", lit("retained")))
+      .select(col("status"), col("user_id"))
+      .orderBy("status", "user_id")
+  }
+
+  val userChurnSql: String =
+    """WITH anchor AS (SELECT max(ts) AS now FROM events),
+      |recent AS (
+      |  SELECT DISTINCT user_id FROM events, anchor
+      |  WHERE ts >= now - INTERVAL 30 DAY),
+      |prior AS (
+      |  SELECT DISTINCT user_id FROM events, anchor
+      |  WHERE ts < now - INTERVAL 30 DAY AND ts >= now - INTERVAL 60 DAY)
+      |SELECT 'churned' AS status, user_id
+      |FROM (SELECT user_id FROM prior EXCEPT SELECT user_id FROM recent)
+      |UNION ALL
+      |SELECT 'new', user_id
+      |FROM (SELECT user_id FROM recent EXCEPT SELECT user_id FROM prior)
+      |UNION ALL
+      |SELECT 'retained', user_id
+      |FROM (SELECT user_id FROM recent INTERSECT SELECT user_id FROM prior)
+      |ORDER BY status, user_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "user_churn"        -> (userChurn _, userChurnSql),
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
     "top_customers"     -> (topCustomers _, topCustomersSql),

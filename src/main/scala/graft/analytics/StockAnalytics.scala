@@ -369,8 +369,45 @@ object StockAnalytics {
        |FROM ticks""".stripMargin
 
   /** name → (query fn, oracle SQL) for SparkEntry registration. */
+  // ---- ticks_vwap: hourly volume-weighted average price ----------------
+  /** The classic market-data aggregation the reference's endpoints stop
+    * short of: VWAP = Σ(price·volume)/Σ(volume) per (symbol, hour). The
+    * weighted sum stays exact DECIMAL (volume cast to DECIMAL(12,0) keeps
+    * the product/sum precision identical — and under 38 — on both
+    * engines); the single division runs in double at the edge, and the
+    * 4dp rounding is floor(x·10⁴ + 0.5)/10⁴ — exact IEEE ops identical on
+    * both engines, where round() differs at representation boundaries
+    * (observed one row off by 1 ulp-of-4dp). One hash aggregate with
+    * map-side partials — the same shuffle shape as the bar build.
+    */
+  def ticksVwap(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .groupBy(col("symbol"), date_trunc("hour", col("event_time")).as("bucket_hour"))
+      .agg(
+        sum(col("price") * coalesce(col("volume"), lit(0L))
+          .cast(org.apache.spark.sql.types.DecimalType(12, 0))).as("_pv"),
+        sum(coalesce(col("volume"), lit(0L))).as("volume_sum"))
+      .filter(col("volume_sum") > 0)
+      .select(col("symbol"), col("bucket_hour"),
+        (floor(col("_pv").cast("double") / col("volume_sum") * 1e4 + 0.5) / 1e4)
+          .as("vwap"),
+        col("volume_sum"))
+      .orderBy("symbol", "bucket_hour")
+
+  val ticksVwapSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT symbol, date_trunc('hour', event_time) AS bucket_hour,
+       |       floor(CAST(sum(price * CAST(coalesce(volume, 0) AS DECIMAL(12,0))) AS DOUBLE)
+       |             / sum(coalesce(volume, 0)) * 10000.0 + 0.5) / 10000.0 AS vwap,
+       |       CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum
+       |FROM ticks
+       |GROUP BY symbol, bucket_hour
+       |HAVING sum(coalesce(volume, 0)) > 0
+       |ORDER BY symbol, bucket_hour""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "symbols"           -> (symbols _, symbolsSql),
+    "ticks_vwap"        -> (ticksVwap _, ticksVwapSql),
     "ticks_latest"      -> (ticksLatest _, ticksLatestSql),
     "ticks_summary"     -> (ticksSummary _, ticksSummarySql),
     "bars_1m"           -> (bars1m _, bars1mSql),
