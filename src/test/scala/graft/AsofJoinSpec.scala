@@ -37,6 +37,32 @@ class AsofJoinSpec extends SparkSpec {
       4L -> Some(105.0), 5L -> Some(50.0), 6L -> None))
   }
 
+  test("exec node populates its SQLMetrics (output and matched rows)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 1.0)).toDF("symbol", "qt", "q")
+    val trades = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L), // before the quote → unmatched
+      ("A", ts("2024-01-01 11:00:00"), 2L),
+      ("A", ts("2024-01-01 12:00:00"), 3L))
+      .toDF("symbol", "tt", "trade_id")
+    val df = AsofJoin.asofJoin(trades, quotes, "symbol", "tt", "qt")
+    assert(df.collect().length == 3)
+    // AQE wraps the node in query stages, which are leaves for tree
+    // traversal — recurse through both children and stage plans
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Option[graft.plans.AsofJoinExec] =
+      p match {
+        case a: graft.plans.AsofJoinExec => Some(a)
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          find(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => find(q.plan)
+        case other => other.children.iterator.flatMap(c => find(c).iterator).nextOption()
+      }
+    val exec = find(df.queryExecution.executedPlan).get
+    assert(exec.metrics("numOutputRows").value == 3L)
+    assert(exec.metrics("numMatchedRows").value == 2L)
+  }
+
   test("native operator matches the union+window composition on testdata") {
     GraftExtensions.register(spark)
     val dir    = "/root/testdata/sf0.001"
