@@ -42,6 +42,21 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = parquet(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = parquet(spark, dir, "embeddings")
 
+  /** Register every table (plus the derived `ticks` and `bars` views) as
+    * temp views, so the whole engine surface is reachable through
+    * `spark.sql(...)` exactly like the reference's SQL strings — Catalyst
+    * plans SQL text and the DataFrame builders onto the same logical
+    * plans, so both paths share pushdown, pruning, and join strategies.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings")
+      .foreach(n => parquet(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+    ticks(spark, dir).createOrReplaceTempView("ticks")
+    graft.agg.BarAggregator.bars1m(ticks(spark, dir)).createOrReplaceTempView("bars")
+  }
+
   /** Tick view: the reference's `stock_ticks` table (init.sql:1-8) over
     * `events`. symbol ≙ upper(event_type) (F10 normalization), price ≙
     * value as DECIMAL(12,4) (NUMERIC(12,4), init.sql:4), volume ≙ user_id
