@@ -74,6 +74,22 @@ object Dedup {
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     shingleSets(Tables.documents(spark, dir))
 
+  /** doc_id → distinct character 5-gram set — the char-level n-gram
+    * flavor (robust to tokenization/whitespace differences, the variant
+    * CCNet-style pipelines run). Same downstream machinery as the word
+    * shingles: every candidate/verify path takes (doc_id, sh) sets.
+    */
+  def charShingleSets(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(
+               |  sequence(1, length(text) - 4),
+               |  i -> substring(text, i, 5)))""".stripMargin).as("sh"))
+
+  private def charShingleSets(spark: SparkSession, dir: String): DataFrame =
+    charShingleSets(Tables.documents(spark, dir))
+
   /** Exact Jaccard verification of candidate (doc_id_1 < doc_id_2) pairs:
     * join the full shingle sets back and keep pairs ≥ threshold. Candidates
     * are a small set, so both joins broadcast at test scale and shuffle on
@@ -98,6 +114,25 @@ object Dedup {
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |sh AS (
        |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_id_1, doc_id_2, c::DOUBLE / (s1.n + s2.n - c) AS jaccard
+       |FROM common
+       |JOIN sizes s1 ON doc_id_1 = s1.doc_id
+       |JOIN sizes s2 ON doc_id_2 = s2.doc_id
+       |WHERE c::DOUBLE / (s1.n + s2.n - c) >= $JaccardThreshold""".stripMargin
+
+  /** Char-5-gram twin of [[jaccardOracleSql]]. */
+  val jaccardCharOracleSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(
+       |           generate_series(1, length(text) - 4),
+       |           i -> substr(text, i, 5)))) AS shingle
+       |  FROM documents),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
@@ -159,6 +194,10 @@ object Dedup {
       .distinct()
     verifyJaccard(candidates, sets)
   }
+
+  // ---- dedup_jaccard_char: the char-n-gram flavor, same machinery ------
+  def dedupJaccardChar(spark: SparkSession, dir: String): DataFrame =
+    dedupJaccardOn(charShingleSets(spark, dir))
 
   // ---- dedup_minhash: MinHash + LSH banding, exact verification --------
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
@@ -274,6 +313,7 @@ object Dedup {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact"   -> (dedupExact _, dedupExactSql),
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
+    "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
   )
