@@ -74,18 +74,24 @@ object Dedup {
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     shingleSets(Tables.documents(spark, dir))
 
-  /** doc_id → distinct character 5-gram set — the char-level n-gram
-    * flavor (robust to tokenization/whitespace differences, the variant
-    * CCNet-style pipelines run). Same downstream machinery as the word
-    * shingles: every candidate/verify path takes (doc_id, sh) sets.
+  /** doc_id → distinct character 13-gram set — the char-level n-gram
+    * flavor (robust to tokenization/whitespace differences; 13 is the
+    * Gopher/MassiveText-style gram length). The length matters for SCALE,
+    * not just recall: short char grams (5) are shared by most documents,
+    * so no prefix can be rare and the AllPairs filter degenerates toward
+    * all-pairs (measured 64 s at sf0.1); 13-grams are selective enough
+    * that candidates stay near-linear. Same downstream machinery as the
+    * word shingles: every candidate/verify path takes (doc_id, sh) sets.
     */
+  private val CharGram = 13
+
   def charShingleSets(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        expr("""array_distinct(transform(
-               |  sequence(1, length(text) - 4),
-               |  i -> substring(text, i, 5)))""".stripMargin).as("sh"))
+        expr(s"""array_distinct(transform(
+                |  sequence(1, length(text) - ${CharGram - 1}),
+                |  i -> substring(text, i, $CharGram)))""".stripMargin).as("sh"))
 
   private def charShingleSets(spark: SparkSession, dir: String): DataFrame =
     charShingleSets(Tables.documents(spark, dir))
@@ -125,13 +131,13 @@ object Dedup {
        |JOIN sizes s2 ON doc_id_2 = s2.doc_id
        |WHERE c::DOUBLE / (s1.n + s2.n - c) >= $JaccardThreshold""".stripMargin
 
-  /** Char-5-gram twin of [[jaccardOracleSql]]. */
+  /** Char-13-gram twin of [[jaccardOracleSql]]. */
   val jaccardCharOracleSql: String =
     s"""WITH sh AS (
        |  SELECT doc_id,
        |         unnest(list_distinct(list_transform(
-       |           generate_series(1, length(text) - 4),
-       |           i -> substr(text, i, 5)))) AS shingle
+       |           generate_series(1, length(text) - ${CharGram - 1}),
+       |           i -> substr(text, i, $CharGram)))) AS shingle
        |  FROM documents),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |common AS (
