@@ -3,8 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line. Results are fully materialized via a noop write
-  * (count() alone would let Catalyst prune most of the work).
+  * prints one JSON line (also written to SPARK_GRAFT_BENCH_OUT, default
+  * `bench_out.json`, so harnesses never have to scrape it out of sbt log
+  * noise). Results are fully materialized via a noop write (count() alone
+  * would let Catalyst prune most of the work).
+  *
+  * Timing protocol — two round-4 lessons baked in:
+  *  - every query runs `Runs` times and reports the MEDIAN (single-run
+  *    local-mode timings at sf0.1 drift by multiples run-to-run);
+  *  - cached/localCheckpointed blocks are released between runs
+  *    ([[Maintenance.releaseCachedBlocks]]) — without this, checkpointed
+  *    shingle/sketch intermediates accumulate across the 50+ query sweep
+  *    and squeeze executor memory for later queries (the mechanism behind
+  *    round 4's phantom 21.6 s brand_profit vs its real ~2 s).
   *
   * Failure handling: a query that throws is recorded in the `failed` list
   * of the JSON line (and its stack printed to stderr) — never silently
@@ -18,6 +29,9 @@ import org.apache.spark.sql.SparkSession
   * repo code creates accumulators — see AsofJoinExec's declared metrics).
   */
 object Bench {
+
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,24 +57,35 @@ object Bench {
     SparkEntry.queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      Maintenance.releaseCachedBlocks(spark, blocking = true)
     }
 
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: $e")
-        e.printStackTrace()
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (failed.add(name)) {
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+          }
+        }
+        finally Maintenance.releaseCachedBlocks(spark, blocking = true)
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.sorted.apply(Runs / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$Runs,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -128,8 +128,10 @@ object IngestPipeline {
         val parsed = parse(batch).persist()
         try {
           validTicks(parsed).write.mode("overwrite").parquet(s"$ticksPath/batch_id=$id")
-          val dlq = failedEvents(parsed)
-          if (!dlq.isEmpty) dlq.write.mode("overwrite").parquet(s"$dlqPath/batch_id=$id")
+          // written unconditionally: an empty-DLQ batch costs one empty
+          // parquet file, vs. the isEmpty probe costing a whole extra job
+          // per micro-batch on the hot path
+          failedEvents(parsed).write.mode("overwrite").parquet(s"$dlqPath/batch_id=$id")
         } finally parsed.unpersist()
         ()
       }
