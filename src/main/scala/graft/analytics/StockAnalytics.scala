@@ -405,8 +405,65 @@ object StockAnalytics {
        |HAVING sum(coalesce(volume, 0)) > 0
        |ORDER BY symbol, bucket_hour""".stripMargin
 
+  // ---- bars_1m_salted — the skew-resistant two-stage aggregate ---------
+  /** Oracle-checked twin of bars_1m through the salted two-stage plan
+    * (BarAggregator.bars1mSalted): output is identical for ANY salt count
+    * because every OHLCV aggregate is algebraic, so it shares bars_1m's
+    * oracle SQL — the driver's hash compare IS the salted ≡ plain law,
+    * checked against an independent engine. This is the 100 TB hot-key
+    * path (a meme-stock minute): the first stage spreads one hot
+    * (symbol, minute) key over `saltBuckets` reducers, the second
+    * combines the tiny partials.
+    */
+  def bars1mSalted(spark: SparkSession, dir: String): DataFrame =
+    presentBars(BarAggregator.bars1mSalted(Tables.ticks(spark, dir), saltBuckets = 8))
+
+  // ---- ticks_store_scan — the TickStore physical-layout read path ------
+  /** Reads through the date-partitioned, symbol-sorted TickStore layout
+    * (the covering-index analog, SURVEY.md §4): the store is written once
+    * per JVM per sf dir (testdata is immutable, so the layout content is
+    * deterministic), then the query filters on the partition column —
+    * static partition pruning drops 20 of the 30 day-partitions before
+    * any IO — and on symbol, which the within-partition sort turns into
+    * row-group min/max skips. Aggregates one row per surviving day.
+    */
+  private val storeWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  def ticksStoreScan(spark: SparkSession, dir: String): DataFrame = {
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_tick_store/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    storeWritten.getOrElseUpdate(path, {
+      graft.sources.TickStore.write(Tables.ticks(spark, dir), path)
+      true
+    })
+    graft.sources.TickStore.read(spark, path)
+      .filter(col("tick_date").between(
+        lit("2024-01-10").cast("date"), lit("2024-01-19").cast("date"))
+        && col("symbol") === lit(Sym))
+      .groupBy(col("tick_date"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(coalesce(col("volume"), lit(0L))).as("volume_sum"),
+        min(col("price")).cast("double").as("price_lo"),
+        max(col("price")).cast("double").as("price_hi"))
+  }
+
+  val ticksStoreScanSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT CAST(event_time AS DATE) AS tick_date,
+       |       count(*) AS n_ticks,
+       |       CAST(sum(coalesce(volume, 0)) AS BIGINT) AS volume_sum,
+       |       CAST(min(price) AS DOUBLE) AS price_lo,
+       |       CAST(max(price) AS DOUBLE) AS price_hi
+       |FROM ticks
+       |WHERE symbol = '$Sym'
+       |  AND CAST(event_time AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+       |GROUP BY 1""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "symbols"           -> (symbols _, symbolsSql),
+    "bars_1m_salted"    -> (bars1mSalted _, bars1mSql),
+    "ticks_store_scan"  -> (ticksStoreScan _, ticksStoreScanSql),
     "ticks_vwap"        -> (ticksVwap _, ticksVwapSql),
     "ticks_latest"      -> (ticksLatest _, ticksLatestSql),
     "ticks_summary"     -> (ticksSummary _, ticksSummarySql),
