@@ -56,14 +56,17 @@ object Dedup {
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), shingles("toks").as("sh"))
 
-  /** Same sets with each shingle collapsed to its xxhash64 — set
-    * cardinalities (and so Jaccard) are preserved modulo 64-bit collisions
-    * (~n²/2⁶⁵, negligible), while joins and intersections move 8-byte longs
-    * instead of ~25-byte strings. All candidate generation and verification
-    * run on this compact form.
+  /** Same sets with each shingle collapsed to its xxhash64, SORTED
+    * ascending — set cardinalities (and so Jaccard) are preserved modulo
+    * 64-bit collisions (~n²/2⁶⁵, negligible), while joins and
+    * intersections move 8-byte longs instead of ~25-byte strings. The
+    * sort is O(n log n) once per DOCUMENT and buys the per-PAIR verify a
+    * two-pointer merge ([[graft.functions.JaccardSorted]]) instead of a
+    * per-pair hash-set intersection. All candidate generation and
+    * verification run on this compact form.
     */
   private def hashedSets(sets: DataFrame): DataFrame =
-    sets.select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("sh"))
+    sets.select(col("doc_id"), array_sort(transform(col("sh"), s => xxhash64(s))).as("sh"))
       // Materialize once (lazily, on first action): three plan branches
       // consume these sets (inverted index / both verify sides) and AQE's
       // broadcast conversion would otherwise re-run the shingle+hash
@@ -103,15 +106,20 @@ object Dedup {
   /** Exact Jaccard verification of candidate (doc_id_1 < doc_id_2) pairs:
     * join the full shingle sets back and keep pairs ≥ threshold. Candidates
     * are a small set, so both joins broadcast at test scale and shuffle on
-    * doc_id at cluster scale.
+    * doc_id at cluster scale. The per-pair similarity is the native
+    * codegen'd [[graft.functions.JaccardSorted]] merge (inputs sorted once
+    * per doc in [[hashedSets]]) — bit-identical to the HOF
+    * `size(array_intersect(...))` form it replaced (JaccardSortedSpec),
+    * without the per-pair hash set + intersection array.
     */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(candidates.sparkSession)
     val s1 = sets.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1"))
     val s2 = sets.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
     candidates
       .join(s1, "doc_id_1")
       .join(s2, "doc_id_2")
-      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .withColumn("jaccard", expr("jaccard_sorted(sh1, sh2)"))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
