@@ -45,6 +45,8 @@ object Bench {
       // scan — recomputing the fold 2-3x per row. The inferred filters
       // save nothing on this workload.
       .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -87,5 +87,27 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PushFilterThroughAsofJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PushFilterThroughAsofJoin
+    tune(spark)
+  }
+
+  /** `InferFiltersFromGenerate` synthesizes `size(e) > 0 AND isnotnull(e)`
+    * under every `explode(e)` and predicate pushdown then carries the FULL
+    * generator expression through projections and exchanges into the scan's
+    * DataFilters. For this engine's explodes — shingle/char-gram extraction,
+    * token pipelines — `e` is a heavy per-row HOF chain, so the rule costs
+    * two extra evaluations per row AND anchors them below the
+    * parallelism-establishing repartition (measured: the 100×-corpus char
+    * extraction collapsed to ONE scan task, PLANS.md pathology #5). The
+    * generate itself already skips empty arrays; the inferred filter buys
+    * nothing here. Appended (not overwritten) to any user-excluded rules.
+    */
+  private val ExcludedRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  def tune(spark: SparkSession): Unit = {
+    val key = "spark.sql.optimizer.excludedRules"
+    val cur = spark.conf.getOption(key).filter(_.nonEmpty)
+    if (!cur.exists(_.split(",").map(_.trim).contains(ExcludedRule)))
+      spark.conf.set(key, (cur.toSeq :+ ExcludedRule).mkString(","))
   }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup/similarity family: synthesizes an
+  * `N×`-bigger corpus from the sf0.1 tables and times each operator on
+  * it, printing one `SCALEPROBE` line per (scale, operator). PLANS.md
+  * records the measured 1× / 10× / 100× table (500k docs / 200k
+  * vectors at 100×).
+  *
+  * Corpus synthesis — the perturbation is chosen so the big corpus is
+  * 100 INDEPENDENT shards, which is the honest linear-scaling test
+  * (a real 100× corpus has 100× the docs with the same pairwise
+  * similarity structure, not all-pairs-moderately-similar):
+  *  - documents: every 2nd token of replica `c` is wrapped in the
+  *    replica's FIXED-WIDTH digits on both ends (`fast` →
+  *    `c05fastc05`). Within a replica this is a token-level rename,
+  *    so within-replica pair structure — document-frequency
+  *    concentration, planted near-dups (aligned docs get identical
+  *    rewrites) — is exactly the natural corpus, HOMOGENEOUS across
+  *    replicas (fixed tag width — variable-width tags measured 6×
+  *    different per-replica char-candidate rates, because tag digits
+  *    eat a 13-char window's vocabulary entropy), and true-pair
+  *    output grows linearly with replicas. Across replicas: every
+  *    word 3-gram window crosses a wrapped token (untagged runs are
+  *    1 token), and every 13-char gram crosses tag digits plus
+  *    enough token chars to disambiguate any two replicas (untagged
+  *    runs are ≤10 chars; cross-replica candidates MEASURED exactly
+  *    zero at 100×). Three rejected schemes are instructive, all
+  *    caught by MEASURING candidate counts: position-keyed
+  *    replacement tokens planted rare position-aligned grams INTO
+  *    the AllPairs rare-prefix region (~25M spurious char candidates
+  *    at 100×); token-SUFFIX tags left boundary char-grams spanning
+  *    untagged 2-token stretches identical across replicas (×26
+  *    candidate growth at 10×); a seeded token-order shuffle
+  *    destroyed the df concentration the prefix filter keys on — all
+  *    shuffled grams are df≈1-rare and the base corpus's ~30-word
+  *    vocabulary saturates its gram space, so candidates went
+  *    birthday-paradox quadratic (18M at 10× for word AND char).
+  *  - embeddings: replica vectors are mixed with per-(replica, vector)
+  *    pseudorandom noise, v' ∝ 0.6·v̂ + 0.8·ĝ, so the cosine between
+  *    two replicas of the SAME base vector is ≈0.36 — below the 0.45
+  *    near-dup threshold — and all cross-replica structure dissolves.
+  *
+  * Usage: `runMain graft.ScaleProbe [scales] [ops] [sfDir] [tmpDir]` —
+  * `scales` a comma list (default `1,10,100`), `ops` a comma list of
+  * operator names or `all` (so long tiers can run in separate
+  * invocations; defaults /root/testdata/sf0.1, /tmp/scale_probe).
+  */
+object ScaleProbe {
+
+  /** Replicated documents with cross-replica similarity destroyed
+    * (replica digits wrapped around every 2nd token — see the object
+    * scaladoc).
+    */
+  def bigDocs(base: DataFrame, copies: Int): DataFrame =
+    base.select(col("doc_id"), col("text"))
+      .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      .select(
+        (col("doc_id") + col("c") * 10000000L).as("doc_id"),
+        expr("""concat_ws(' ', transform(split(text, ' '), (t, i) ->
+               |  IF(i % 2 = 1, concat('c', lpad(c, 2, '0'), t, lpad(c, 2, '0')), t)))"""
+          .stripMargin).as("text"))
+
+  /** Replicated embeddings α-mixed with per-(replica, vector) noise. */
+  def bigEmb(base: DataFrame, copies: Int): DataFrame = {
+    GraftExtensions.register(base.sparkSession)
+    base.select(col("vec_id"), col("embedding"))
+      .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      .withColumn("g", expr(
+        """transform(sequence(0, size(embedding) - 1), d ->
+          |  cast(pmod(xxhash64(vec_id, c, d), 2001) - 1000 as double) / 1000.0D)"""
+          .stripMargin))
+      .withColumn("sn", expr("sqrt(vec_dot(embedding, embedding))"))
+      .withColumn("gn", expr("sqrt(aggregate(g, 0D, (s, x) -> s + x * x))"))
+      .select(
+        (col("vec_id") + col("c") * 10000000L).as("vec_id"),
+        expr("zip_with(embedding, g, (a, b) -> cast(0.6D * a / sn + 0.8D * b / gn as float))")
+          .as("embedding"))
+  }
+
+  private def time(spark: SparkSession, scale: Int, name: String)(df: => DataFrame): Unit = {
+    val t0   = System.nanoTime()
+    val rows = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    Maintenance.releaseCachedBlocks(spark, blocking = true)
+    println(f"SCALEPROBE scale=${scale}%d op=$name%s secs=$secs%.1f out_rows=$rows%d")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scales = (if (args.length > 0) args(0) else "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val opSel  = (if (args.length > 1) args(1) else "all")
+      .split(",").map(_.trim).toSet
+    def wanted(op: String): Boolean = opSel.contains("all") || opSel.contains(op)
+    val sfDir  = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val tmp    = if (args.length > 3) args(3) else "/tmp/scale_probe"
+    val spark = SparkSession.builder().master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    scales.foreach { copies =>
+      val docsPath = s"$tmp/docs_$copies"
+      val embPath  = s"$tmp/emb_$copies"
+      val fs = new org.apache.hadoop.fs.Path(docsPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // many splits, like any real table this size — a single parquet
+      // file would serialize every downstream scan-side stage
+      val par = spark.sparkContext.defaultParallelism
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$docsPath/_SUCCESS")))
+        bigDocs(Tables.documents(spark, sfDir), copies)
+          .repartition(par).write.mode("overwrite").parquet(docsPath)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$embPath/_SUCCESS")))
+        bigEmb(Tables.embeddings(spark, sfDir), copies)
+          .repartition(par).write.mode("overwrite").parquet(embPath)
+      val docs = spark.read.parquet(docsPath)
+      def emb  = Similarity.withNorms(spark.read.parquet(embPath))
+      Maintenance.releaseCachedBlocks(spark, blocking = true)
+
+      if (wanted("dedup_jaccard"))
+        time(spark, copies, "dedup_jaccard")(Dedup.dedupJaccardOn(Dedup.shingleSets(docs)))
+      if (wanted("dedup_jaccard_char"))
+        time(spark, copies, "dedup_jaccard_char")(Dedup.dedupJaccardOn(Dedup.charShingleSets(docs)))
+      if (wanted("char_candidates"))
+        time(spark, copies, "char_candidates")(Dedup.prefixCandidatesOn(Dedup.charShingleSets(docs)))
+      if (wanted("word_candidates"))
+        time(spark, copies, "word_candidates")(Dedup.prefixCandidatesOn(Dedup.shingleSets(docs)))
+      if (wanted("dedup_minhash"))
+        time(spark, copies, "dedup_minhash")(Dedup.dedupMinhashOn(Dedup.shingleSets(docs)))
+      if (wanted("dedup_simhash"))
+        time(spark, copies, "dedup_simhash")(Dedup.dedupSimhashOn(Dedup.shingleSets(docs)))
+      if (wanted("knn_brute"))
+        time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
+      if (wanted("knn_lsh"))
+        time(spark, copies, "knn_lsh")(Similarity.knnLshOn(emb))
+      if (wanted("dedup_embedding_lsh"))
+        time(spark, copies, "dedup_embedding_lsh")(Similarity.dedupEmbeddingLshOn(emb))
+      if (wanted("dedup_embedding"))
+        time(spark, copies, "dedup_embedding")(Similarity.dedupEmbeddingOn(emb))
+    }
+    spark.stop()
+  }
+}

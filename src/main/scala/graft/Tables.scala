@@ -47,6 +47,14 @@ object Tables {
     * `spark.sql(...)` exactly like the reference's SQL strings — Catalyst
     * plans SQL text and the DataFrame builders onto the same logical
     * plans, so both paths share pushdown, pruning, and join strategies.
+    *
+    * Note the derived `bars` view is an UNMATERIALIZED plan: every SQL
+    * query over it re-runs the 1-minute aggregation, mirroring the
+    * reference's CTE-per-query shape (queries.py builds BARS_CTE into
+    * each statement). A deployment serving many bar queries should
+    * materialize it instead — `IncrementalBars` is exactly that
+    * incremental materialization, and `spark.read.parquet(barsPath)
+    * .createOrReplaceTempView("bars")` swaps it in transparently.
     */
   def registerViews(spark: SparkSession, dir: String): Unit = {
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

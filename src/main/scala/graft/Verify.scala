@@ -17,6 +17,8 @@ object Verify {
       // see Bench.scala: inferred isnotnull on heavy HOF join keys would
       // recompute minhash/simhash folds inside the scan filter
       .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -195,6 +195,24 @@ object Dedup {
     */
   def dedupJaccardOn(rawSets: DataFrame): DataFrame = {
     val sets = hashedSets(rawSets).repartition(col("doc_id"))
+    verifyJaccard(prefixCandidates(sets), sets)
+  }
+
+  /** AllPairs prefix-filter candidate pairs over hashed sets (see
+    * [[dedupJaccardOn]] for the recall argument). Package-visible so the
+    * scale probe can measure candidate volume separately from verify
+    * traffic.
+    *
+    * Besides the prefix filter, candidates pass the AllPairs SIZE filter
+    * (Bayardo/Ma/Srikant, WWW'07): J(A,B) ≥ t ⇒ J ≤ min(|A|,|B|)/max(|A|,|B|),
+    * so any qualifying pair has t·|B| ≤ |A| and t·|A| ≤ |B|. Checked in
+    * exact integer math for t = 4/5 on the 8-byte join rows BEFORE the
+    * distinct and the array-carrying verify join — recall stays exact
+    * while the verify shuffle (the byte-dominant stage: each surviving
+    * pair drags two full shingle arrays) shrinks by the corpus'
+    * length-spread factor.
+    */
+  private[graft] def prefixCandidates(sets: DataFrame): DataFrame = {
     val inverted = sets.select(
       col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
     val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -204,14 +222,20 @@ object Dedup {
     val prefix = inverted.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefixLen)
-      .select(col("doc_id"), col("shingle"))
-    val candidates = prefix.as("a")
+      .select(col("doc_id"), col("shingle"), col("n"))
+    prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+          && col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
-    verifyJaccard(candidates, sets)
   }
+
+  /** [[prefixCandidates]] straight off raw (un-hashed) shingle sets —
+    * probe/diagnostic entry.
+    */
+  private[graft] def prefixCandidatesOn(rawSets: DataFrame): DataFrame =
+    prefixCandidates(hashedSets(rawSets).repartition(col("doc_id")))
 
   // ---- dedup_jaccard_char: the char-n-gram flavor, same machinery ------
   def dedupJaccardChar(spark: SparkSession, dir: String): DataFrame =
