@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, SimhashFold, TopKByScore, VecSum}
+import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, SimhashFold, TopKByScore, VecDotI8, VecSum}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,6 +27,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot takes exactly 2 arguments")
         FloatVecDot(children.head, children(1))
+      }),
+    (FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[VecDotI8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot_i8 takes exactly 2 arguments")
+        VecDotI8(children.head, children(1))
       }),
     (FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),

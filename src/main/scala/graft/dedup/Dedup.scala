@@ -246,16 +246,8 @@ object Dedup {
     dedupMinhashOn(shingleSets(spark, dir))
 
   def dedupMinhashOn(rawSets: DataFrame): DataFrame = {
-    graft.GraftExtensions.register(rawSets.sparkSession)
     val sets = hashedSets(rawSets).repartition(col("doc_id"))
-    val banded = sets
-      .withColumn("sig", expr(s"minhash_sig(sh, $NumHashes)"))
-      // empty shingle sets have a null signature (MinHashSig) and cannot
-      // be near-dups of anything — drop them before banding
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandIndex(sets)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
@@ -264,6 +256,75 @@ object Dedup {
       .distinct()
     verifyJaccard(candidates, sets)
   }
+
+  // ---- dedup_incremental: new-batch-vs-corpus MinHash dedup ------------
+
+  private val NewMod = 10
+  private val NewRem = 3 // "new batch" = doc_id % 10 == 3 (a 10% crawl delta)
+
+  /** Incremental dedup — the shape a production corpus actually runs at
+    * 100 TB: the historical corpus is NEVER re-deduped against itself;
+    * a new crawl batch is checked against the corpus' PRECOMPUTED MinHash
+    * band index. Here both sides derive from one documents table split by
+    * `doc_id % 10` (the driver testdata has no batch column); in
+    * deployment the corpus side of [[bandIndex]] is a persisted table
+    * keyed by (band, band_hash) — bucketing it on those keys makes the
+    * candidate join exchange-free on the corpus side — and the verify
+    * fetches ONLY the matched corpus documents' shingle sets by id. Total
+    * work is O(new batch + matches), independent of corpus size apart
+    * from the index lookup.
+    *
+    * Output: (new_doc_id, corpus_doc_id, jaccard ≥ 0.8). The oracle is
+    * the exact cross-side Jaccard query; equality is probabilistic with
+    * the same ≈5·10⁻⁸ per-true-pair banding miss bound as `dedup_minhash`.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    dedupIncrementalOn(shingleSets(spark, dir))
+
+  /** (doc_id, band, band_hash) MinHash-LSH band index rows — the
+    * persisted-index building block of [[dedupIncrementalOn]].
+    */
+  def bandIndex(sets: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(sets.sparkSession)
+    sets
+      .withColumn("sig", expr(s"minhash_sig(sh, $NumHashes)"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  def dedupIncrementalOn(rawSets: DataFrame): DataFrame = {
+    val sets   = hashedSets(rawSets).repartition(col("doc_id"))
+    val banded = bandIndex(sets)
+    val isNew  = col("doc_id") % NewMod === NewRem
+    val candidates = banded.filter(isNew).as("a")
+      .join(banded.filter(!isNew).as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    verifyJaccard(candidates, sets)
+      .select(col("doc_id_1").as("new_doc_id"),
+        col("doc_id_2").as("corpus_doc_id"), col("jaccard"))
+  }
+
+  /** Exact cross-side Jaccard: every (new, corpus) pair ≥ threshold. */
+  val dedupIncrementalSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |    AND a.doc_id % $NewMod = $NewRem AND b.doc_id % $NewMod <> $NewRem
+       |  GROUP BY 1, 2)
+       |SELECT new_doc_id, corpus_doc_id, c::DOUBLE / (s1.n + s2.n - c) AS jaccard
+       |FROM common
+       |JOIN sizes s1 ON new_doc_id = s1.doc_id
+       |JOIN sizes s2 ON corpus_doc_id = s2.doc_id
+       |WHERE c::DOUBLE / (s1.n + s2.n - c) >= $JaccardThreshold""".stripMargin
 
   // ---- dedup_simhash: 96-bit simhash, 8-bit block-pair join, Hamming ≤ 10
   /** 96-bit simhash carried as two 48-bit vote-fold words (md5 hex chars
@@ -357,6 +418,7 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
+    "dedup_incremental" -> (dedupIncremental _, dedupIncrementalSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
   )
 }

@@ -65,6 +65,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental dedup joins only new-batch docs against the corpus index") {
+    import spark.implicits._
+    // new batch = doc_id % 10 == 3: docs 3 and 23 (near-dups of base) and
+    // 13 (identical to the z-text); corpus = 1, 2 (base), 4 (z-text)
+    val zText = (1 to 36).map(i => s"z$i").mkString(" ")
+    val docs6 = Seq(
+      (1L, base), (2L, base),
+      (3L, base.replace("w18 ", "xx ")),
+      (4L, zText),
+      (13L, zText),
+      (23L, base.replace("w18 ", "xx ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.dedupIncrementalOn(Dedup.shingleSets(docs6)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every cross-boundary near-dup, and ONLY those: corpus-corpus (1,2)
+    // and new-new (3,23) identical pairs must NOT appear
+    assert(pairs.map(p => (p._1, p._2)).toSet
+      == Set((3L, 1L), (3L, 2L), (23L, 1L), (23L, 2L), (13L, 4L)))
+    assert(pairs.find(p => p._1 == 13L && p._2 == 4L).get._3 == 1.0)
+    pairs.foreach(p => assert(p._3 >= 0.8))
+  }
+
   test("simhash words stay within 48 bits each (block join soundness)") {
     val sigs = Dedup.simhashesOn(sets).collect()
       .flatMap(r => Seq(r.getLong(1), r.getLong(2)))
