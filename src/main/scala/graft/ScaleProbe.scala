@@ -138,10 +138,17 @@ object ScaleProbe {
         time(spark, copies, "word_candidates")(Dedup.prefixCandidatesOn(Dedup.shingleSets(docs)))
       if (wanted("dedup_minhash"))
         time(spark, copies, "dedup_minhash")(Dedup.dedupMinhashOn(Dedup.shingleSets(docs)))
+      // replica offsets are ≡ 0 (mod 10), so the 10% new-batch split is
+      // preserved per replica and incremental output scales with replicas
+      if (wanted("dedup_incremental"))
+        time(spark, copies, "dedup_incremental")(Dedup.dedupIncrementalOn(Dedup.shingleSets(docs)))
       if (wanted("dedup_simhash"))
         time(spark, copies, "dedup_simhash")(Dedup.dedupSimhashOn(Dedup.shingleSets(docs)))
       if (wanted("knn_brute"))
         time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
+      if (wanted("knn_quantized"))
+        time(spark, copies, "knn_quantized")(
+          graft.similarity.Quantize.knnQuantizedOn(spark.read.parquet(embPath)))
       if (wanted("knn_lsh"))
         time(spark, copies, "knn_lsh")(Similarity.knnLshOn(emb))
       if (wanted("dedup_embedding_lsh"))

@@ -65,7 +65,7 @@ object Dedup {
     * per-pair hash-set intersection. All candidate generation and
     * verification run on this compact form.
     */
-  private def hashedSets(sets: DataFrame): DataFrame =
+  private[graft] def hashedSets(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), array_sort(transform(col("sh"), s => xxhash64(s))).as("sh"))
       // Materialize once (lazily, on first action): three plan branches
       // consume these sets (inverted index / both verify sides) and AQE's
@@ -112,7 +112,7 @@ object Dedup {
     * `size(array_intersect(...))` form it replaced (JaccardSortedSpec),
     * without the per-pair hash set + intersection array.
     */
-  private def verifyJaccard(candidates: DataFrame, sets: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(candidates: DataFrame, sets: DataFrame): DataFrame = {
     graft.GraftExtensions.register(candidates.sparkSession)
     val s1 = sets.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1"))
     val s2 = sets.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))

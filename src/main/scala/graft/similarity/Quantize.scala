@@ -95,7 +95,11 @@ object Quantize {
     * integer math + IEEE division, ties broken on id), so the correctness
     * gate is exact, not probabilistic.
     */
-  def knnQuantized(spark: SparkSession, dir: String): DataFrame = {
+  def knnQuantized(spark: SparkSession, dir: String): DataFrame =
+    knnQuantizedOn(Tables.embeddings(spark, dir))
+
+  def knnQuantizedOn(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
     graft.GraftExtensions.register(spark)
     import org.apache.spark.sql.functions.broadcast
 
@@ -103,7 +107,7 @@ object Quantize {
     // The transform(array(fold), m -> …)[0] idiom binds max|v| ONCE per
     // row — naming it via withColumn would let CollapseProject re-inline
     // the whole fold into the per-element lambda (64× re-evaluation).
-    val q8 = Tables.embeddings(spark, dir)
+    val q8 = raw
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("q", expr(
@@ -129,7 +133,7 @@ object Quantize {
       .select(col("query_id"), col("c.id").as("neighbor_id"))
 
     // float tier, fetched by id for the candidate set only
-    val e = Similarity.withNorms(Tables.embeddings(spark, dir))
+    val e = Similarity.withNorms(raw)
     val qf = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
     cand
