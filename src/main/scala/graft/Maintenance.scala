@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Driver-side block hygiene for long-lived sessions.
@@ -32,4 +33,83 @@ object Maintenance {
   def releaseCachedBlocks(spark: SparkSession, blocking: Boolean = false): Unit =
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = blocking))
+
+  // ---- batch-store compaction ------------------------------------------
+
+  private[graft] val CompactTmp  = ".compact_tmp"   // dot-prefixed: hidden from partition discovery
+  private[graft] val CompactPlan = ".compact_plan"
+  private[graft] val CompactedId = -1L              // the consolidated generation's batch_id
+
+  /** Compact a `batch_id=N`-partitioned store (the exactly-once sink
+    * layout of [[graft.streaming.IngestPipeline]] and
+    * [[graft.streaming.CorpusIngest]]) into a single `batch_id=-1`
+    * generation. A 30-second trigger writes ~2,880 partitions/day — at
+    * 100 TB the small-file count, not the data, becomes the scan
+    * bottleneck (one task per tiny file, NameNode/listing pressure), so
+    * periodic compaction is part of the layout's contract, exactly like
+    * a log-structured store's merge.
+    *
+    * Crash-safe via a write-ahead plan file:
+    *  1. write the combined data (all batch dirs + the previous `-1`
+    *     generation) to a dot-prefixed temp dir (invisible to readers);
+    *  2. write `.compact_plan` listing the dirs to remove — the commit
+    *     point: the plan is only ever written AFTER the temp data is
+    *     complete (`_SUCCESS`);
+    *  3. delete the planned dirs; 4. rename temp → `batch_id=-1`;
+    *  5. delete the plan.
+    * [[compactBatchStore]] first completes any interrupted run (plan
+    * present → steps 3-5 are idempotent replays; plan absent but temp
+    * present → the previous attempt never committed, discard it), so
+    * crashing at ANY point loses nothing and a re-run converges.
+    *
+    * Readers must be quiesced across steps 3-4 (between the plan write
+    * and the rename the store is temporarily partial) — the standard
+    * maintenance-window trade of a raw-parquet layout; atomic-commit
+    * table formats move exactly this sequence into a metadata swap.
+    * Compacted rows keep `batch_id = -1` on future reads, which every
+    * reader here treats as an ordinary partition value (and
+    * CorpusIngest's replay guard `batch_id =!= currentBatch` stays
+    * correct: real batch ids are non-negative).
+    *
+    * @param targetBytes approximate output file size; file count =
+    *                    ceil(total/targetBytes), min 1.
+    */
+  def compactBatchStore(
+      spark: SparkSession, path: String, targetBytes: Long = 512L << 20): Unit = {
+    val root = new Path(path)
+    val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp  = new Path(root, CompactTmp)
+    val plan = new Path(root, CompactPlan)
+
+    // finish (or discard) an interrupted run first
+    if (fs.exists(plan)) {
+      val planned = scala.io.Source.fromInputStream(fs.open(plan)).getLines().toSeq
+      planned.foreach(d => fs.delete(new Path(root, d), true))
+      if (fs.exists(new Path(tmp, "_SUCCESS")))
+        fs.rename(tmp, new Path(root, s"batch_id=$CompactedId"))
+      fs.delete(plan, false)
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true) // never committed: the temp write is garbage
+    }
+
+    if (!fs.exists(root)) return
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName)
+    // nothing to merge: zero or one generation (a re-run is a no-op)
+    if (batchDirs.count(_ != s"batch_id=$CompactedId") == 0) return
+
+    val combined = spark.read.parquet(path).drop("batch_id")
+    val totalBytes = fs.getContentSummary(root).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    combined.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+
+    val planOut = fs.create(plan, true)
+    planOut.write(batchDirs.mkString("\n").getBytes("UTF-8"))
+    planOut.close()
+
+    batchDirs.foreach(d => fs.delete(new Path(root, d), true))
+    fs.rename(tmp, new Path(root, s"batch_id=$CompactedId"))
+    fs.delete(plan, false)
+  }
 }

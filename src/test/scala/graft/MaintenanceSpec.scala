@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+/** Batch-store compaction laws: content preservation, file-count
+  * reduction, idempotence, and write-ahead crash recovery.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private def freshStore(batches: Int, rowsPerBatch: Int): String = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString + "/store"
+    (0 until batches).foreach { b =>
+      (0 until rowsPerBatch).map(i => (b * 1000L + i, s"v${b}_$i"))
+        .toDF("id", "payload")
+        .repartition(4) // several small files per batch, like a real sink
+        .write.parquet(s"$root/batch_id=$b")
+    }
+    root
+  }
+
+  private def contents(path: String): Set[(Long, String)] =
+    spark.read.parquet(path).select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  private def dataFiles(path: String): Seq[Path] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.Buffer[Path]()
+    while (it.hasNext) { val f = it.next().getPath; if (f.getName.endsWith(".parquet")) out += f }
+    out.toSeq
+  }
+
+  test("compaction preserves content, consolidates to batch_id=-1, cuts file count") {
+    val store = freshStore(batches = 5, rowsPerBatch = 20)
+    val before = contents(store)
+    val filesBefore = dataFiles(store).size
+    Maintenance.compactBatchStore(spark, store)
+    assert(contents(store) == before)
+    val files = dataFiles(store)
+    assert(files.size < filesBefore)
+    assert(files.forall(_.toString.contains("batch_id=-1")))
+    // compacted rows read back with the sentinel partition value
+    // partition-value inference types batch_id as int here
+    val ids = spark.read.parquet(store).select("batch_id").distinct()
+      .collect().map(_.get(0).toString).toSet
+    assert(ids == Set("-1"))
+  }
+
+  test("re-compaction is a no-op; new batches after compaction merge in") {
+    import spark.implicits._
+    val store = freshStore(batches = 2, rowsPerBatch = 10)
+    Maintenance.compactBatchStore(spark, store)
+    val once = contents(store)
+    Maintenance.compactBatchStore(spark, store) // only -1 present: no-op
+    assert(contents(store) == once)
+    // a post-compaction batch lands and the next compaction folds it in
+    Seq((9000L, "late")).toDF("id", "payload").write.parquet(s"$store/batch_id=7")
+    Maintenance.compactBatchStore(spark, store)
+    assert(contents(store) == once + ((9000L, "late")))
+    assert(dataFiles(store).forall(_.toString.contains("batch_id=-1")))
+  }
+
+  test("a crash between plan write and rename is recovered by the next run") {
+    val store = freshStore(batches = 3, rowsPerBatch = 10)
+    val before = contents(store)
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // reproduce the crash window: temp data complete, plan committed,
+    // batch dirs already deleted, rename never happened
+    spark.read.parquet(store).drop("batch_id")
+      .repartition(1).write.parquet(s"$store/${Maintenance.CompactTmp}")
+    val plan = fs.create(new Path(root, Maintenance.CompactPlan), true)
+    plan.write((0 until 3).map(b => s"batch_id=$b").mkString("\n").getBytes("UTF-8"))
+    plan.close()
+    (0 until 3).foreach(b => fs.delete(new Path(root, s"batch_id=$b"), true))
+
+    Maintenance.compactBatchStore(spark, store)
+    assert(contents(store) == before)
+    assert(!fs.exists(new Path(root, Maintenance.CompactPlan)))
+    assert(!fs.exists(new Path(root, Maintenance.CompactTmp)))
+  }
+
+  test("an uncommitted temp write (no plan) is discarded, then compaction proceeds") {
+    val store = freshStore(batches = 2, rowsPerBatch = 10)
+    val before = contents(store)
+    // crash during step 1: partial temp dir, no plan file
+    spark.read.parquet(store).drop("batch_id").limit(3)
+      .repartition(1).write.parquet(s"$store/${Maintenance.CompactTmp}")
+    Maintenance.compactBatchStore(spark, store)
+    assert(contents(store) == before)
+    assert(dataFiles(store).forall(_.toString.contains("batch_id=-1")))
+  }
+}
