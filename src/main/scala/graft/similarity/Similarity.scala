@@ -392,6 +392,75 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
 
+  // ---- knn_lsh_mp: multi-probe LSH (Lv et al., VLDB'07 shape) ----------
+  /** Multi-probe over the SAME 6-bit sign sketch as [[knnLshOn]]: each
+    * query probes its own bucket plus every bucket at Hamming distance 1
+    * (7 probes of 64), trading a bounded widening of the scanned
+    * fraction (≤ 7·N/2⁶ ≈ 11% here) for the recall a single probe
+    * forfeits. On this corpus the top-10 neighbor angles are ≈64°
+    * (P[bit agrees] ≈ 0.645), so theory puts single-probe recall at
+    * 0.645⁶ ≈ 0.07 and Hamming-≤1 at ≈ 0.31 — the measured values
+    * (PLANS.md) match both, i.e. the operator performs exactly to the
+    * LSH math; near-orthogonal data is simply LSH's adversarial case
+    * (the clustered regime is where bucketing pays — cf. knn_ivf at
+    * 0.925 recall on the same data). Candidates are distinct'd as ids
+    * BEFORE the rerank joins, so probe-duplicated pairs can't occupy
+    * two top-k slots and wide vectors never ride the probe join.
+    */
+  def knnLshMp(spark: SparkSession, dir: String): DataFrame =
+    knnLshMpOn(emb(spark, dir))
+
+  def knnLshMpOn(e: DataFrame): DataFrame = {
+    val sketched = e.withColumn("bucket", expr(sketchExpr("v")))
+    val probes = sketched.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"),
+        explode(array(
+          col("bucket") +: (0 until NumPlanes).map(b => col("bucket").bitwiseXOR(lit(1 << b))): _*
+        )).as("probe"))
+    val cand = sketched.select(col("vec_id").as("neighbor_id"), col("bucket").as("probe"))
+      .join(broadcast(probes), "probe")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qf = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("n2")),
+        "neighbor_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(cosine, neighbor_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+  }
+
+  val knnLshMpSql: String = {
+    val probeList = ("bucket" +: (0 until NumPlanes).map(b => s"xor(bucket, ${1 << b})"))
+      .mkString("[", ", ", "]")
+    s"""$EmbCte,
+       |sk AS (SELECT vec_id, v, n2, ${sketchSql("v")} AS bucket FROM e),
+       |probes AS (
+       |  SELECT vec_id AS query_id, unnest($probeList) AS probe
+       |  FROM sk WHERE vec_id % $QueryMod = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id
+       |  FROM probes p JOIN sk s ON s.bucket = p.probe AND s.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ${cosSql("q.v", "s.v", "q.n2", "s.n2")} AS cosine
+       |  FROM cand c
+       |  JOIN e q ON c.query_id = q.vec_id
+       |  JOIN e s ON c.neighbor_id = s.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopK""".stripMargin
+  }
+
   // ---- dedup_embedding_lsh: banded sign-sketch candidates + verify -----
   /** The candidates→verify scale path for embedding near-dup: LshTables
     * independent sign-sketch tables of LshBits planes each; a pair is a
@@ -486,6 +555,7 @@ object Similarity {
     "knn_brute"       -> (knnBrute _, knnBruteSql),
     "knn_ivf"         -> (knnIvf _, knnIvfSql),
     "knn_lsh"         -> (knnLsh _, knnLshSql),
+    "knn_lsh_mp"      -> (knnLshMp _, knnLshMpSql),
     "sim_pairs_topk"  -> (simPairsTopk _, simPairsTopkSql),
     "dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _, dedupEmbeddingLshSql),

@@ -86,4 +86,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact))     // verify step admits no false positives
     assert(lsh.contains((3L, 7L)))  // scale-invariant sketch: recall 1 at cos=1
   }
+
+  test("multi-probe LSH dominates single-probe: per-query top-k scores pointwise ≥") {
+    val dir = "/root/testdata/sf0.001"
+    def scoresByQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(3)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).sorted.reverse.toSeq }
+    val sp = scoresByQuery(Similarity.knnLsh(spark, dir))
+    val mp = scoresByQuery(Similarity.knnLshMp(spark, dir))
+    // Hamming-≤1 probing strictly widens the candidate pool (it includes
+    // the own bucket), so for every query the k-th best multiprobe score
+    // must be at least the k-th best single-probe score
+    sp.foreach { case (q, spScores) =>
+      val mpScores = mp(q)
+      spScores.zipWithIndex.foreach { case (s, i) =>
+        assert(mpScores.size > i && mpScores(i) >= s - 1e-12,
+          s"query $q rank ${i + 1}: mp ${mpScores.lift(i)} < sp $s")
+      }
+    }
+  }
 }
