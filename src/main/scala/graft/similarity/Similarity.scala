@@ -111,10 +111,24 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String): DataFrame =
     knnIvfOn(emb(spark, dir))
 
-  def knnIvfOn(e: DataFrame): DataFrame = {
-    val c = e.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
+  def knnIvfOn(e: DataFrame): DataFrame =
+    knnIvfWith(e, e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2")))
 
+  /** IVF with TRAINED centroids: the production shape — Lloyd-refined
+    * k-means centroids ([[kmeansCentroids]], `vec_sum` aggregate) instead
+    * of the fixed modular subsample the oracle-checked `knn_ivf` uses.
+    * Trained centroids track the data's cluster structure, so buckets are
+    * balanced and nprobe probes recover more of the true neighborhood.
+    * Library + spec surface only (SimilaritySpec planted-cluster law): the
+    * float centroid averages depend on `vec_sum`'s merge order, making a
+    * bit-exact cross-engine oracle inappropriate by design — same
+    * justification as `kmeansCentroids` itself.
+    */
+  def knnIvfTrainedOn(e: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame =
+    knnIvfWith(e, kmeansCentroids(e, seeds, iters))
+
+  def knnIvfWith(e: DataFrame, c: DataFrame): DataFrame = {
     // assignment: nearest centroid per vector (argmax cosine, tie → min
     // id), as a PARTIAL-AGGREGABLE min_by over struct(-cos, id) — one row
     // per vector per map task crosses the shuffle, vs a row_number window

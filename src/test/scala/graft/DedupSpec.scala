@@ -87,6 +87,23 @@ class DedupSpec extends SparkSpec {
     pairs.foreach(p => assert(p._3 >= 0.8))
   }
 
+  test("incremental ≡ full minhash dedup restricted to cross-boundary pairs (real data)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = Dedup.shingleSets(docs)
+    def isNew(id: Long): Boolean = id % 10 == 3
+    val full = Dedup.dedupMinhashOn(sets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full dedup emits (a < b); normalize to (new, corpus) orientation
+    val expected = full.collect {
+      case (a, b) if isNew(a) && !isNew(b) => (a, b)
+      case (a, b) if !isNew(a) && isNew(b) => (b, a)
+    }
+    val incremental = Dedup.dedupIncrementalOn(sets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incremental == expected)
+    assert(incremental.nonEmpty) // the law is vacuous on a corpus without cross dups
+  }
+
   test("simhash words stay within 48 bits each (block join soundness)") {
     val sigs = Dedup.simhashesOn(sets).collect()
       .flatMap(r => Seq(r.getLong(1), r.getLong(2)))

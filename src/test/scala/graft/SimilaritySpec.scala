@@ -87,6 +87,32 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.contains((3L, 7L)))  // scale-invariant sketch: recall 1 at cos=1
   }
 
+  test("trained IVF recovers planted clusters: same-cluster members fill ranks 1-9") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 tight clusters on orthogonal axes; ids chosen so cluster i's
+    // first member (i*100) is both a query (QueryMod 100) and a k-means
+    // seed (CentroidMod 50)
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      cl <- 0 until 4
+      j  <- 0 until 10
+    } yield {
+      val v = Array.tabulate(64)(d =>
+        (if (d == cl) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (cl * 100L + j, v)
+    }
+    val e = Similarity.withNorms(rows.toDF("vec_id", "embedding"))
+    val seeds = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vb"))
+    val out = Similarity.knnIvfTrainedOn(e, seeds, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 100L, 200L, 300L))
+    out.filter(_._3 <= 9).foreach { case (q, n, _) =>
+      assert(n / 100 == q / 100, s"query $q rank<=9 neighbor $n crosses clusters")
+    }
+  }
+
   test("multi-probe LSH dominates single-probe: per-query top-k scores pointwise ≥") {
     val dir = "/root/testdata/sf0.001"
     def scoresByQuery(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
