@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, SimhashFold, TopKByScore, VecDotI8, VecSum}
+import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, SimhashFold, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -67,6 +67,16 @@ object GraftExtensions {
             s"simhash_fold bits must be an integer literal, got $other")
         }
         SimhashFold(children.head, bits)
+      }),
+    (FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFp].getName, "winnow_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "winnow_fp takes (text, k, w)")
+        (children(1), children(2)) match {
+          case (Literal(k: Int, _), Literal(w: Int, _)) => WinnowFp(children.head, k, w)
+          case other => throw new IllegalArgumentException(
+            s"winnow_fp k and w must be integer literals, got $other")
+        }
       }),
     (FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

@@ -216,8 +216,48 @@ object TextAnalytics {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- doc_winnow: winnowing fingerprints (rolling hash + window min) --
+
+  private val WinK = 8 // gram bytes
+  private val WinW = 4 // window grams; shared substrings ≥ 11 bytes ⇒ shared fp
+
+  /** Distinct winnowing fingerprints per document via the native O(n)
+    * rolling-hash [[graft.functions.WinnowFp]] expression — the
+    * inverted-index feed of a substring-level near-copy detector
+    * (complementing the set-level Jaccard/MinHash tier: winnowing
+    * localizes SHARED PASSAGES, not whole-document similarity). The
+    * oracle recomputes each gram hash independently (O(n·k) — SQL can't
+    * roll) with identical mod-2³¹−1 integer math, so values match
+    * exactly; DISTINCT happens relationally after the explode on both
+    * sides.
+    */
+  def docWinnow(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(s"winnow_fp(text, $WinK, $WinW)")).as("fp"))
+      .distinct()
+  }
+
+  val docWinnowSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(1, length(text) - ${WinK - 1}),
+       |           i -> list_reduce(
+       |                  list_transform(generate_series(i, i + ${WinK - 1}),
+       |                                 j -> ord(substr(text, j, 1))::BIGINT),
+       |                  (a, c) -> (a * 257 + c) % 2147483647)) AS gh
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(gh) - ${WinW - 1}),
+       |           p -> list_min(list_transform(generate_series(p, p + ${WinW - 1}),
+       |                                        q -> gh[q])))) AS fp
+       |  FROM g WHERE len(gh) >= $WinW)
+       |SELECT DISTINCT doc_id, fp FROM sel""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
+    "doc_winnow"      -> (docWinnow _, docWinnowSql),
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
