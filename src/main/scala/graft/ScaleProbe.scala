@@ -144,6 +144,12 @@ object ScaleProbe {
         time(spark, copies, "dedup_incremental")(Dedup.dedupIncrementalOn(Dedup.shingleSets(docs)))
       if (wanted("dedup_simhash"))
         time(spark, copies, "dedup_simhash")(Dedup.dedupSimhashOn(Dedup.shingleSets(docs)))
+      if (wanted("doc_winnow"))
+        time(spark, copies, "doc_winnow") {
+          GraftExtensions.register(spark)
+          docs.select(col("doc_id"),
+            explode(expr("winnow_fp(text, 8, 4)")).as("fp")).distinct()
+        }
       if (wanted("knn_brute"))
         time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
       if (wanted("knn_quantized"))

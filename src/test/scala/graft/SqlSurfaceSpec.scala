@@ -29,4 +29,25 @@ class SqlSurfaceSpec extends SparkSpec {
       .orderBy("symbol", "bucket_start").collect().map(_.toString).toSeq
     assert(sqlBars == dfBars && sqlBars.nonEmpty)
   }
+
+  test("native expressions are reachable from SQL text over the training tables") {
+    GraftExtensions.register(spark)
+    Tables.registerViews(spark, dir)
+    // winnowing fingerprints + cosine scoring, written as a user would in
+    // plain SQL — the registry makes the native tier a first-class
+    // function surface, not a DataFrame-only API
+    val fps = spark.sql(
+      """SELECT doc_id, count(DISTINCT fp) AS n_fp
+        |FROM (SELECT doc_id, explode(winnow_fp(text, 8, 4)) AS fp FROM documents)
+        |GROUP BY doc_id""".stripMargin).collect()
+    assert(fps.nonEmpty && fps.forall(_.getLong(1) > 0))
+    val cos = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |       vec_dot(a.embedding, b.embedding)
+        |         / (sqrt(vec_dot(a.embedding, a.embedding))
+        |            * sqrt(vec_dot(b.embedding, b.embedding))) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect()
+    assert(cos.length == 1 && math.abs(cos.head.getDouble(2)) <= 1.0 + 1e-12)
+  }
 }
