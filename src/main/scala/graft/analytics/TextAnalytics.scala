@@ -216,6 +216,80 @@ object TextAnalytics {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- text_repetition: Gopher-style repetition quality filters --------
+
+  /** The MassiveText/Gopher repetition signals (Rae et al. 2021, §A1.1):
+    * duplicate 2-gram and 3-gram fractions (1 − distinct/total) and the
+    * most-frequent-token concentration. Docs exceeding the paper-shaped
+    * thresholds (dup-2gram > 0.2, dup-3gram > 0.18, top token > 0.2) are
+    * flagged rather than dropped — the curation pipeline composes flags.
+    *
+    * Pure per-row HOF projection (no shuffle, no state); fractions are
+    * int/int double division rounded last, the same cross-engine
+    * determinism contract as `text_stats`. Short docs (< 3 tokens) get
+    * 0.0 fractions through the SAME guarded CASE on both engines —
+    * Spark's `sequence(1, 0)` counts DOWN, so the n-gram builders are
+    * explicitly gated on size.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int): String = {
+      val parts = (0 until n)
+        .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+        .mkString(", ' ', ")
+      s"""IF(size(toks) >= $n,
+         |   transform(sequence(1, size(toks) - ${n - 1}), i -> concat($parts)),
+         |   array())""".stripMargin
+    }
+    def dupFrac(col0: String): String =
+      s"""CASE WHEN size($col0) = 0 THEN cast(0.0 as double)
+         |     ELSE round(1.0 - size(array_distinct($col0)) / size($col0), 4) END""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("g2", expr(grams(2)))
+      .withColumn("g3", expr(grams(3)))
+      .select(
+        col("doc_id"),
+        expr(dupFrac("g2")).as("dup_2gram_frac"),
+        expr(dupFrac("g3")).as("dup_3gram_frac"),
+        expr(
+          """CASE WHEN size(toks) = 0 THEN cast(0.0 as double)
+            |     ELSE round(array_max(transform(array_distinct(toks),
+            |            t -> size(filter(toks, x -> x = t)))) / size(toks), 4) END"""
+            .stripMargin).as("top_tok_frac"))
+      .withColumn("flagged",
+        col("dup_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.18
+          || col("top_tok_frac") > 0.2)
+  }
+
+  val textRepetitionSql: String = {
+    def gramsSql(n: Int): String = {
+      val parts = (0 until n)
+        .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
+        .mkString(" || ' ' || ")
+      s"CASE WHEN len(toks) >= $n THEN list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts) ELSE [] END"
+    }
+    def dupFracSql(g: String): String =
+      s"CASE WHEN len($g) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct($g)) / len($g), 4) END"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, toks, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM t),
+       |f AS (
+       |  SELECT doc_id,
+       |         ${dupFracSql("g2")} AS dup_2gram_frac,
+       |         ${dupFracSql("g3")} AS dup_3gram_frac,
+       |         CASE WHEN len(toks) = 0 THEN 0.0
+       |              ELSE round(list_max(list_transform(list_distinct(toks),
+       |                     t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) END
+       |           AS top_tok_frac
+       |  FROM g)
+       |SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_tok_frac,
+       |       (dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18 OR top_tok_frac > 0.2)
+       |         AS flagged
+       |FROM f""".stripMargin
+  }
+
   // ---- doc_winnow: winnowing fingerprints (rolling hash + window min) --
 
   private val WinK = 8 // gram bytes
@@ -257,6 +331,7 @@ object TextAnalytics {
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
+    "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_winnow"      -> (docWinnow _, docWinnowSql),
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),

@@ -50,4 +50,23 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(sigs(0).length == 16)
     assert(sigs(0) == sigs(1)) // order-independent (min over set)
   }
+
+  test("repetition filters flag looped text and pass diverse text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val diverse = (1 to 40).map(i => s"w$i").mkString(" ")
+    val looped  = Seq.fill(20)("spam spam wonderful").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq((1L, diverse), (2L, looped), (3L, "one two"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.analytics.TextAnalytics.textRepetition(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (d2, d3, tf, fl) = out(1L)
+    assert(d2 == 0.0 && d3 == 0.0 && tf == 0.025 && !fl) // all-distinct corpus doc
+    val (l2, l3, ltf, lfl) = out(2L)
+    assert(l2 > 0.9 && l3 > 0.9 && ltf > 0.3 && lfl)     // 3-token loop
+    val (s2, s3, stf, sfl) = out(3L)                      // too short for 3-grams
+    assert(s2 == 0.0 && s3 == 0.0 && stf == 0.5 && sfl)  // top_tok 1/2 > 0.2
+  }
 }
