@@ -290,6 +290,59 @@ object TextAnalytics {
        |FROM f""".stripMargin
   }
 
+  // ---- doc_chunks: overlapping token-window chunking --------------------
+
+  private val ChunkTokens  = 64 // window
+  private val ChunkStride  = 56 // = window − 8 overlap tokens
+
+  /** Fixed-token-window chunking with overlap — the prep step between
+    * curation and tokenization/packing: every document explodes into
+    * [[ChunkTokens]]-token windows at stride [[ChunkStride]] (8 tokens
+    * of overlap preserve context across boundaries), keeping (doc_id,
+    * chunk_id) lineage for provenance joins back to the corpus.
+    *
+    * Boundary rule, identical on both engines by construction: chunk
+    * starts are `1, 1+S, 1+2S, …` but a start is admitted only if it is
+    * the first OR the previous chunk did not already reach the
+    * document's end (no trailing chunk that is a strict suffix of its
+    * predecessor). Pure Generate over a per-row projection — no shuffle,
+    * ~N·(1 + 1/7) output rows.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("starts", expr(
+        s"""filter(IF(size(toks) = 0, array(), sequence(1, size(toks), $ChunkStride)),
+           |       s -> s = 1 OR s - $ChunkStride + $ChunkTokens < size(toks))""".stripMargin))
+      .select(col("doc_id"), col("toks"), posexplode(col("starts")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        expr(s"size(slice(toks, col, $ChunkTokens))").as("chunk_tokens"),
+        expr(s"concat_ws(' ', slice(toks, col, $ChunkTokens))").as("chunk_text"))
+
+  val docChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks,
+       |         unnest(list_transform(
+       |           generate_series(1, len(starts)),
+       |           i -> {'cid': i - 1, 'start': starts[i]})) AS u
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |           list_filter(generate_series(1, len(toks), $ChunkStride),
+       |                       s -> s = 1 OR s - $ChunkStride + $ChunkTokens < len(toks)) AS starts
+       |    FROM t) WHERE len(starts) > 0)
+       |SELECT doc_id,
+       |       CAST(u.cid AS INT) AS chunk_id,
+       |       CAST(len(list_slice(toks, u.start, u.start + ${ChunkTokens - 1})) AS INT)
+       |         AS chunk_tokens,
+       |       array_to_string(list_slice(toks, u.start, u.start + ${ChunkTokens - 1}), ' ')
+       |         AS chunk_text
+       |FROM s""".stripMargin
+
   // ---- doc_winnow: winnowing fingerprints (rolling hash + window min) --
 
   private val WinK = 8 // gram bytes
@@ -332,6 +385,7 @@ object TextAnalytics {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
+    "doc_chunks"      -> (docChunks _, docChunksSql),
     "doc_winnow"      -> (docWinnow _, docWinnowSql),
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),

@@ -51,6 +51,35 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(sigs(0) == sigs(1)) // order-independent (min over set)
   }
 
+  test("chunking: lossless reconstruction, exact 8-token overlap, short-doc identity") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toString
+    val long  = (1 to 150).map(i => s"w$i").mkString(" ") // 3 chunks
+    val exact = (1 to 64).map(i => s"e$i").mkString(" ")  // 1 chunk, no trailing suffix chunk
+    val short = "a b c"
+    Seq((1L, long), (2L, exact), (3L, short))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val chunks = graft.analytics.TextAnalytics.docChunks(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // short and exact-window docs chunk to themselves, once
+    assert(chunks(3L).map(c => (c._3, c._4)).toSeq == Seq((3, short)))
+    assert(chunks(2L).map(c => (c._3, c._4)).toSeq == Seq((64, exact)))
+
+    // long doc: stitching chunks minus the 8-token overlap reconstructs it
+    val cs = chunks(1L)
+    assert(cs.map(_._2).toSeq == (0 until cs.length))
+    val stitched = (cs.head._4.split(" ") ++
+      cs.tail.flatMap(_._4.split(" ").drop(8))).mkString(" ")
+    assert(stitched == long)
+    // consecutive chunks share exactly the 8 boundary tokens
+    cs.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").takeRight(8).sameElements(b._4.split(" ").take(8)))
+    case _ => ()
+    }
+  }
+
   test("repetition filters flag looped text and pass diverse text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
