@@ -343,6 +343,88 @@ object TextAnalytics {
        |         AS chunk_text
        |FROM s""".stripMargin
 
+  // ---- corpus_pack: concatenate-and-cut sequence packing ----------------
+
+  private val PackBudget = 64   // tokens per packed training sequence
+  private val PackGroup  = 1000 // docs per prefix-sum group
+
+  /** Pack the corpus into fixed-[[PackBudget]]-token training sequences,
+    * GPT-style concatenate-and-cut: documents concatenate in doc_id
+    * order and the token stream slices into back-to-back sequences that
+    * may cross document boundaries. Output keeps full provenance
+    * (n_docs, n_tokens per sequence, text reassembled in order).
+    *
+    * The scale problem is the GLOBAL token offset of each document — a
+    * corpus-wide prefix sum, which a naive `sum() OVER (ORDER BY
+    * doc_id)` computes in ONE task. Here it is the classic two-level
+    * distributed prefix sum: (1) per-group token totals (group =
+    * doc_id div [[PackGroup]], a hash aggregate), cumsum'd by a window
+    * over the GROUPS — N/1000 rows, one small task; (2) the intra-group
+    * cumsum runs partitioned by group (bounded windows). At 10¹⁰ docs
+    * the group table is 10⁷ rows — recurse the same two levels once
+    * more; the pattern is O(log_G N) small passes, never a full-corpus
+    * single-partition sort. Each doc then explodes into only the
+    * sequences it overlaps (≤ 1 + n/B rows) and sequences reassemble
+    * with one hash aggregate (fragments ordered by global offset via
+    * sort_array of (offset, fragment) structs).
+    */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = PackBudget
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("grp", expr(s"doc_id div $PackGroup"))
+    val groupTotals = t.groupBy("grp").agg(sum("n").as("gn"))
+      .withColumn("goff",
+        coalesce(sum("gn").over(
+          Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val withOff = t
+      .withColumn("ioff",
+        coalesce(sum("n").over(
+          Window.partitionBy("grp").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(groupTotals.select("grp", "goff")), "grp")
+      .withColumn("off", col("goff") + col("ioff"))
+    withOff
+      .select(col("doc_id"), col("toks"), col("n"), col("off"),
+        explode(expr(s"sequence(off div $B, (off + n - 1) div $B)")).as("seq_id"))
+      .withColumn("fstart", greatest(col("off"), col("seq_id") * B))
+      .withColumn("fend", least(col("off") + col("n"), (col("seq_id") + 1) * B))
+      .withColumn("frag", expr("slice(toks, cast(fstart - off + 1 as int), cast(fend - fstart as int))"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("frag"))).as("n_tokens"),
+        concat_ws(" ",
+          expr("transform(sort_array(collect_list(struct(fstart, frag))), p -> concat_ws(' ', p.frag))"))
+          .as("seq_text"))
+  }
+
+  val corpusPackSql: String = {
+    val B = PackBudget
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+       |o AS (
+       |  SELECT doc_id, toks, n,
+       |         CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+       |  FROM t),
+       |f AS (
+       |  SELECT o.*, s.seq_id,
+       |         greatest(off, s.seq_id * $B) AS fstart,
+       |         least(off + n, (s.seq_id + 1) * $B) AS fend
+       |  FROM o, unnest(generate_series(off // $B, (off + n - 1) // $B)) AS s(seq_id))
+       |SELECT seq_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(fend - fstart) AS BIGINT) AS n_tokens,
+       |       string_agg(array_to_string(list_slice(toks, fstart - off + 1, fend - off), ' '),
+       |                  ' ' ORDER BY fstart) AS seq_text
+       |FROM f GROUP BY seq_id""".stripMargin
+  }
+
   // ---- doc_winnow: winnowing fingerprints (rolling hash + window min) --
 
   private val WinK = 8 // gram bytes
@@ -386,6 +468,7 @@ object TextAnalytics {
     "text_stats"      -> (textStats _, textStatsSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
+    "corpus_pack"     -> (corpusPack _, corpusPackSql),
     "doc_winnow"      -> (docWinnow _, docWinnowSql),
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),

@@ -80,6 +80,30 @@ class TextAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("packing: token conservation, full budgets, order-preserving stitch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("pack").toString
+    val rnd = new scala.util.Random(17)
+    val docs = (0L until 30L).map { i =>
+      (i, (1 to rnd.nextInt(90) + 10).map(j => s"d${i}t$j").mkString(" "))
+    }
+    docs.toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val seqs = graft.analytics.TextAnalytics.corpusPack(spark, tmp)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val totalTokens = docs.map(_._2.split(" ").length.toLong).sum
+    assert(seqs.map(_._3).sum == totalTokens)               // nothing lost or duplicated
+    assert(seqs.map(_._1).toSeq == (0L until seqs.length))  // dense sequence ids
+    seqs.dropRight(1).foreach(s => assert(s._3 == 64L))     // every budget filled exactly
+    assert(seqs.exists(_._2 >= 2))                          // packing crosses doc boundaries
+    // stitching all sequences reproduces the doc_id-ordered token stream
+    assert(seqs.map(_._4).mkString(" ") == docs.map(_._2).mkString(" "))
+    // and each sequence's text length matches its token count
+    seqs.foreach(s => assert(s._4.split(" ").length == s._3))
+  }
+
   test("repetition filters flag looped text and pass diverse text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
