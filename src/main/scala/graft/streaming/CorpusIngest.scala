@@ -66,6 +66,20 @@ object CorpusIngest {
   def processBatch(batch: DataFrame, id: Long, stores: Stores): Unit = {
     val spark = batch.sparkSession
     GraftExtensions.register(spark)
+    // The dedup machinery lazily localCheckpoints the hashed sets. In a
+    // long-running streaming query those blocks would otherwise accumulate
+    // per batch (the exact executor-store squeeze the round-4 bench audit
+    // root-caused) — so release precisely the RDDs persisted DURING this
+    // batch on the way out, leaving any other pipeline's blocks alone.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try processBatchInner(batch, id, stores)
+    finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (rddId, _) => persistedBefore.contains(rddId) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
+  private def processBatchInner(batch: DataFrame, id: Long, stores: Stores): Unit = {
+    val spark = batch.sparkSession
     val docs = batch.select(col("doc_id"), col("text"))
     val sets  = Dedup.hashedSets(Dedup.shingleSets(docs)) // lazily checkpointed once
     val bands = Dedup.bandIndex(sets)

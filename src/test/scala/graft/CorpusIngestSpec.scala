@@ -62,6 +62,18 @@ class CorpusIngestSpec extends SparkSpec {
     assert(corpusIds(s) == Set(1L, 22L))
   }
 
+  test("per-batch checkpoint blocks are released — no growth across batches") {
+    import spark.implicits._
+    val s = freshStores()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (0L until 4L).foreach { b =>
+      CorpusIngest.processBatch(
+        Seq((b * 100L + 1L, base + s" extra$b")).toDF("doc_id", "text"), b, s)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
   test("streaming end-to-end: MemoryStream → curation gate → corpus store") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
