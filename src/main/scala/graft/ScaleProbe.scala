@@ -144,6 +144,9 @@ object ScaleProbe {
         time(spark, copies, "dedup_incremental")(Dedup.dedupIncrementalOn(Dedup.shingleSets(docs)))
       if (wanted("dedup_simhash"))
         time(spark, copies, "dedup_simhash")(Dedup.dedupSimhashOn(Dedup.shingleSets(docs)))
+      if (wanted("corpus_pack"))
+        time(spark, copies, "corpus_pack")(
+          graft.analytics.TextAnalytics.corpusPackOn(docs))
       if (wanted("doc_winnow"))
         time(spark, copies, "doc_winnow") {
           GraftExtensions.register(spark)

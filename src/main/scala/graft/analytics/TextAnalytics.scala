@@ -368,10 +368,13 @@ object TextAnalytics {
     * with one hash aggregate (fragments ordered by global offset via
     * sort_array of (offset, fragment) structs).
     */
-  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+  def corpusPack(spark: SparkSession, dir: String): DataFrame =
+    corpusPackOn(Tables.documents(spark, dir))
+
+  def corpusPackOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val B = PackBudget
-    val t = Tables.documents(spark, dir)
+    val t = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
