@@ -58,9 +58,14 @@ object Maintenance {
     *  3. delete the planned dirs; 4. rename temp → `batch_id=-1`;
     *  5. delete the plan.
     * [[compactBatchStore]] first completes any interrupted run (plan
-    * present → steps 3-5 are idempotent replays; plan absent but temp
+    * present AND committed temp present → steps 3-4 are idempotent
+    * replays; plan present but temp gone → the rename already happened,
+    * the plan is stale, only step 5 remains; plan absent but temp
     * present → the previous attempt never committed, discard it), so
-    * crashing at ANY point loses nothing and a re-run converges.
+    * crashing at ANY point loses nothing and a re-run converges. The
+    * temp-presence guard matters: replaying the planned deletes after
+    * the rename would delete the freshly consolidated `batch_id=-1`
+    * generation itself.
     *
     * Readers must be quiesced across steps 3-4 (between the plan write
     * and the rename the store is temporarily partial) — the standard
@@ -81,12 +86,25 @@ object Maintenance {
     val tmp  = new Path(root, CompactTmp)
     val plan = new Path(root, CompactPlan)
 
-    // finish (or discard) an interrupted run first
+    // finish (or discard) an interrupted run first. The planned deletes may
+    // only be replayed while the committed temp data still exists: once the
+    // tmp -> batch_id=-1 rename has happened, the plan is STALE — on a
+    // second-or-later compaction it lists the previous `batch_id=-1`, which
+    // is now the freshly consolidated generation, and replaying the delete
+    // would empty the store with no tmp left to restore it from.
     if (fs.exists(plan)) {
-      val planned = scala.io.Source.fromInputStream(fs.open(plan)).getLines().toSeq
-      planned.foreach(d => fs.delete(new Path(root, d), true))
-      if (fs.exists(new Path(tmp, "_SUCCESS")))
+      if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+        // crashed somewhere in steps 3-4: temp generation is complete and
+        // still present — replay delete-planned (idempotent) + rename.
+        val planned = scala.io.Source.fromInputStream(fs.open(plan)).getLines().toSeq
+        planned.foreach(d => fs.delete(new Path(root, d), true))
         fs.rename(tmp, new Path(root, s"batch_id=$CompactedId"))
+      } else if (fs.exists(tmp)) {
+        // protocol-impossible (the plan is only written after _SUCCESS);
+        // treat the temp as garbage rather than risk live data.
+        fs.delete(tmp, true)
+      }
+      // tmp absent: steps 3-4 already completed — just drop the stale plan.
       fs.delete(plan, false)
     } else if (fs.exists(tmp)) {
       fs.delete(tmp, true) // never committed: the temp write is garbage

@@ -303,10 +303,12 @@ object TextAnalytics {
     *
     * Boundary rule, identical on both engines by construction: chunk
     * starts are `1, 1+S, 1+2S, …` but a start is admitted only if it is
-    * the first OR the previous chunk did not already reach the
-    * document's end (no trailing chunk that is a strict suffix of its
-    * predecessor). Pure Generate over a per-row projection — no shuffle,
-    * ~N·(1 + 1/7) output rows.
+    * the first OR it contributes at least one token the previous chunk
+    * did not cover (`s − S + W ≤ len`) — no trailing chunk that is a
+    * strict suffix of its predecessor, and the document's last token
+    * always lands in some chunk (lossless reconstruction). Pure
+    * Generate over a per-row projection — no shuffle, ~N·(1 + 1/7)
+    * output rows.
     */
   def docChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -314,7 +316,7 @@ object TextAnalytics {
       .withColumn("toks", tokens(col("text")))
       .withColumn("starts", expr(
         s"""filter(IF(size(toks) = 0, array(), sequence(1, size(toks), $ChunkStride)),
-           |       s -> s = 1 OR s - $ChunkStride + $ChunkTokens < size(toks))""".stripMargin))
+           |       s -> s = 1 OR s - $ChunkStride + $ChunkTokens <= size(toks))""".stripMargin))
       .select(col("doc_id"), col("toks"), posexplode(col("starts")))
       .select(
         col("doc_id"),
@@ -333,7 +335,7 @@ object TextAnalytics {
        |  FROM (
        |    SELECT doc_id, toks,
        |           list_filter(generate_series(1, len(toks), $ChunkStride),
-       |                       s -> s = 1 OR s - $ChunkStride + $ChunkTokens < len(toks)) AS starts
+       |                       s -> s = 1 OR s - $ChunkStride + $ChunkTokens <= len(toks)) AS starts
        |    FROM t) WHERE len(starts) > 0)
        |SELECT doc_id,
        |       CAST(u.cid AS INT) AS chunk_id,

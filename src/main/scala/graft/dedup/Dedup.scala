@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val JaccardThreshold = 0.8
+  // The threshold's exact rational form is the source of truth: the
+  // AllPairs prefix/size filters run in integer math on ThreshNum/ThreshDen
+  // (doubles can undershoot the boundary), and deriving the double FROM the
+  // ratio means changing the threshold cannot silently desynchronize the
+  // filters from the verify predicate and lose recall.
+  private val ThreshNum = 4
+  private val ThreshDen = 5
+  private val JaccardThreshold: Double = ThreshNum.toDouble / ThreshDen
   private val NumHashes        = 128
   private val NumBands         = 32
   private val RowsPerBand      = 4
@@ -218,7 +225,9 @@ object Dedup {
     val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-    val prefixLen = col("n") - floor((col("n") * 4 + 4) / 5) + 1
+    // ceil(n·t) in integer math: floor((n·num + den − 1) / den)
+    val prefixLen =
+      col("n") - floor((col("n") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1
     val prefix = inverted.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefixLen)
@@ -226,7 +235,8 @@ object Dedup {
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-          && col("a.n") * 4 <= col("b.n") * 5 && col("b.n") * 4 <= col("a.n") * 5)
+          && col("a.n") * ThreshNum <= col("b.n") * ThreshDen
+          && col("b.n") * ThreshNum <= col("a.n") * ThreshDen)
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
   }

@@ -83,6 +83,35 @@ class MaintenanceSpec extends SparkSpec {
     assert(!fs.exists(new Path(root, Maintenance.CompactTmp)))
   }
 
+  test("a crash after rename but before plan delete does not delete the fresh generation") {
+    // second-or-later compaction: the previous batch_id=-1 generation is
+    // itself in the plan. If recovery replays the planned deletes after the
+    // rename already happened, it destroys the freshly consolidated data.
+    val store = freshStore(batches = 2, rowsPerBatch = 10)
+    Maintenance.compactBatchStore(spark, store) // now only batch_id=-1
+    import spark.implicits._
+    Seq((9000L, "late")).toDF("id", "payload").write.parquet(s"$store/batch_id=7")
+    val expected = contents(store)
+    val root = new Path(store)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // manually run steps 1-4 of the next compaction, crash before step 5:
+    // tmp written+committed, plan written (listing -1 and 7), planned dirs
+    // deleted, tmp renamed to batch_id=-1 — plan file left behind.
+    spark.read.parquet(store).drop("batch_id")
+      .repartition(1).write.parquet(s"$store/${Maintenance.CompactTmp}")
+    val plan = fs.create(new Path(root, Maintenance.CompactPlan), true)
+    plan.write(Seq("batch_id=-1", "batch_id=7").mkString("\n").getBytes("UTF-8"))
+    plan.close()
+    Seq("batch_id=-1", "batch_id=7").foreach(d => fs.delete(new Path(root, d), true))
+    fs.rename(new Path(root, Maintenance.CompactTmp), new Path(root, "batch_id=-1"))
+
+    Maintenance.compactBatchStore(spark, store)
+    assert(contents(store) == expected) // nothing lost
+    assert(!fs.exists(new Path(root, Maintenance.CompactPlan)))
+    assert(!fs.exists(new Path(root, Maintenance.CompactTmp)))
+  }
+
   test("an uncommitted temp write (no plan) is discarded, then compaction proceeds") {
     val store = freshStore(batches = 2, rowsPerBatch = 10)
     val before = contents(store)

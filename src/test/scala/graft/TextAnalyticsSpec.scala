@@ -57,7 +57,10 @@ class TextAnalyticsSpec extends SparkSpec {
     val long  = (1 to 150).map(i => s"w$i").mkString(" ") // 3 chunks
     val exact = (1 to 64).map(i => s"e$i").mkString(" ")  // 1 chunk, no trailing suffix chunk
     val short = "a b c"
-    Seq((1L, long), (2L, exact), (3L, short))
+    // 65 = stride + window exactly: the final chunk adds exactly ONE new
+    // token — the boundary case the round-5 `<` predicate dropped.
+    val plus1 = (1 to 65).map(i => s"p$i").mkString(" ")
+    Seq((1L, long), (2L, exact), (3L, short), (4L, plus1))
       .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
     val chunks = graft.analytics.TextAnalytics.docChunks(spark, tmp).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
@@ -66,6 +69,14 @@ class TextAnalyticsSpec extends SparkSpec {
     // short and exact-window docs chunk to themselves, once
     assert(chunks(3L).map(c => (c._3, c._4)).toSeq == Seq((3, short)))
     assert(chunks(2L).map(c => (c._3, c._4)).toSeq == Seq((64, exact)))
+
+    // window+1 doc: a second chunk exists, carries the last token, and
+    // stitching reconstructs the doc losslessly
+    val ps = chunks(4L)
+    assert(ps.length == 2 && ps(1)._3 == 9) // 8 overlap + 1 new
+    val pStitched = (ps.head._4.split(" ") ++
+      ps.tail.flatMap(_._4.split(" ").drop(8))).mkString(" ")
+    assert(pStitched == plus1)
 
     // long doc: stitching chunks minus the 8-token overlap reconstructs it
     val cs = chunks(1L)
