@@ -153,6 +153,30 @@ object ScaleProbe {
           docs.select(col("doc_id"),
             explode(expr("winnow_fp(text, 8, 4)")).as("fp")).distinct()
         }
+      if (wanted("dedup_components"))
+        time(spark, copies, "dedup_components")(
+          Dedup.componentsOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs))))
+      // real-world shape: the eval suite stays FIXED while the corpus
+      // grows — benchmark grams come from the base table only, training
+      // grams from every replica PLUS one unperturbed base copy
+      // (id-shifted clear of the replica range) so the true contamination
+      // hits survive: the replica token-wrapping that kills cross-replica
+      // Jaccard also kills 8-gram runs, making output CONSTANT while the
+      // scanned corpus grows 100×.
+      if (wanted("decontam"))
+        time(spark, copies, "decontam") {
+          import graft.analytics.TextAnalytics
+          val base = Tables.documents(spark, sfDir)
+            .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+          TextAnalytics.decontamOn(
+            TextAnalytics.docGrams(docs.select(col("doc_id"), col("text")).unionByName(base))
+              .filter(col("doc_id") % 10 =!= 0),
+            TextAnalytics.docGrams(Tables.documents(spark, sfDir))
+              .filter(col("doc_id") % 10 === 0))
+        }
+      if (wanted("tfidf_topk"))
+        time(spark, copies, "tfidf_topk")(
+          graft.analytics.TextAnalytics.tfidfTopkOn(docs))
       if (wanted("knn_brute"))
         time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
       if (wanted("knn_quantized"))

@@ -469,6 +469,190 @@ object TextAnalytics {
        |  FROM g WHERE len(gh) >= $WinW)
        |SELECT DISTINCT doc_id, fp FROM sel""".stripMargin
 
+  // ---- decontam: benchmark n-gram contamination scan --------------------
+
+  private val DecontamGram = 8
+  private val BenchMod     = 10 // benchmark stand-in: doc_id % 10 == 0
+
+  /** Train/test contamination scan (the GPT-3 appendix-C / PaLM
+    * decontamination shape): flag every training document that shares at
+    * least one word [[DecontamGram]]-gram with a held-out benchmark set,
+    * reporting how many distinct grams leak and how many benchmark docs
+    * are implicated. The driver testdata has no separate benchmark
+    * table, so `doc_id % 10 == 0` stands in as the eval suite — the
+    * operator shape (gram explode → benchmark join → per-doc counts) is
+    * the real thing.
+    *
+    * Scale: an eval suite is tiny next to a 100 TB corpus (≤ 10⁶ grams),
+    * so the benchmark gram set broadcasts and the scan is one map-side
+    * join over the training grams — no corpus-sized shuffle. Grams join
+    * as strings here for oracle clarity; at deployment scale the join
+    * key is xxhash64(gram) (8 bytes instead of ~50, same counts modulo
+    * 2⁻⁶⁴ collisions). Docs shorter than the gram width contribute no
+    * grams and cannot be flagged — by construction, not by filter.
+    */
+  def decontam(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(Tables.documents(spark, dir))
+    decontamOn(
+      grams.filter(col("doc_id") % BenchMod =!= 0),
+      grams.filter(col("doc_id") % BenchMod === 0))
+  }
+
+  /** Distinct word [[DecontamGram]]-grams per doc (docs shorter than the
+    * gram width contribute none).
+    */
+  private[graft] def docGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""IF(size(toks) < $DecontamGram, array(),
+           |   array_distinct(transform(
+           |     sequence(1, size(toks) - ${DecontamGram - 1}),
+           |     i -> concat_ws(' ', slice(toks, i, $DecontamGram)))))""".stripMargin)).as("gram"))
+
+  /** Contamination join of training grams against a benchmark gram set
+    * (both as (doc_id, gram) frames — see [[docGrams]]). The benchmark
+    * side is broadcast: real eval suites are bounded, independent of
+    * corpus size.
+    */
+  private[graft] def decontamOn(trainGrams: DataFrame, benchGrams: DataFrame): DataFrame =
+    trainGrams
+      .join(broadcast(benchGrams.select(col("doc_id").as("bench_id"), col("gram"))), "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_benchmark_docs"))
+
+  val decontamSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $DecontamGram
+       |    THEN list_distinct(list_transform(
+       |           generate_series(1, len(toks) - ${DecontamGram - 1}),
+       |           i -> array_to_string(list_slice(toks, i, i + ${DecontamGram - 1}), ' ')))
+       |    ELSE [] END) AS gram
+       |  FROM t),
+       |bench AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % $BenchMod = 0),
+       |train AS (SELECT doc_id, gram FROM g WHERE doc_id % $BenchMod <> 0)
+       |SELECT t.doc_id,
+       |       CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+       |       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_benchmark_docs
+       |FROM train t JOIN bench b USING (gram)
+       |GROUP BY t.doc_id""".stripMargin
+
+  // ---- corpus_mix: deterministic mixture-weight subsampling -------------
+
+  /** Per-language target sampling rates in percent — the mixture-weight
+    * knob of a training-data pipeline (oversample scarce high-value
+    * languages, downsample the dominant one).
+    */
+  private val MixRates: Seq[(String, Int)] =
+    Seq("de" -> 50, "en" -> 100, "es" -> 50, "fr" -> 50, "zh" -> 25)
+
+  /** Mixture sampling with per-language token accounting: keep each doc
+    * iff `hash60(text) % 100 < rate(lang)` — deterministic and
+    * engine-independent (no RNG state, reproducible across reruns and
+    * engines, the same contract as corpus_curation's sample stage) —
+    * and report per-language in/kept doc and token counts plus the
+    * realized rate. One scan, one hash aggregate: the rate table joins
+    * by broadcast and sampling is a per-row predicate, so the operator
+    * adds NOTHING to the corpus-sized data volume (at 100 TB the output
+    * is 5 rows). Languages outside the rate table default to rate 0
+    * (drop) — an explicit mixture is a whitelist.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rates = MixRates.toDF("lang", "rate_pct")
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("text"), size(tokens(col("text"))).as("n_toks"))
+      .join(broadcast(rates), Seq("lang"), "left")
+      .withColumn("keep",
+        pmod(hash60(col("text")), lit(100)) < coalesce(col("rate_pct"), lit(0)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(col("n_toks")).cast("long").as("toks_in"),
+        count(when(col("keep"), 1)).as("docs_kept"),
+        coalesce(sum(when(col("keep"), col("n_toks"))), lit(0)).cast("long").as("toks_kept"))
+      .withColumn("realized_pct", round(col("docs_kept") * 100.0 / col("docs_in"), 4))
+      .orderBy("lang")
+  }
+
+  val corpusMixSql: String = {
+    val vals = MixRates.map { case (l, r) => s"('$l', $r)" }.mkString(", ")
+    s"""WITH r(lang, rate_pct) AS (VALUES $vals),
+       |d AS (
+       |  SELECT d.lang, len(string_split(text, ' ')) AS n_toks,
+       |         (${hash60Sql("text")} % 100) < coalesce(r.rate_pct, 0) AS keep
+       |  FROM documents d LEFT JOIN r USING (lang))
+       |SELECT lang,
+       |       count(*) AS docs_in,
+       |       CAST(sum(n_toks) AS BIGINT) AS toks_in,
+       |       CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS docs_kept,
+       |       CAST(coalesce(sum(CASE WHEN keep THEN n_toks END), 0) AS BIGINT) AS toks_kept,
+       |       round(count(CASE WHEN keep THEN 1 END) * 100.0 / count(*), 4) AS realized_pct
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---- tfidf_topk: per-doc top-k characteristic terms -------------------
+
+  private val TfidfK = 3
+
+  /** Top-[[TfidfK]] characteristic terms per document under linear
+    * inverse-document-frequency weighting `tf/len · N/df`. The log of
+    * classic tf-idf is deliberately omitted: IEEE 754 specifies exact
+    * results for *, /, but NOT for ln, so a log-based score can differ
+    * by 1 ulp across engines and flip ranks at the boundary — the
+    * linear form computes bit-identical doubles in both engines
+    * (identical operation order), making a hash-exact oracle possible.
+    * Ties break on term asc.
+    *
+    * Plan: one explode + (doc,term) count, doc-length and
+    * document-frequency aggregates re-derived from it (partial aggs
+    * before each shuffle), df and the N scalar joined by broadcast
+    * (vocabulary ≪ corpus; N via the 1-row-agg crossJoin idiom — no
+    * collect), then a per-doc window for the top-k. The window
+    * partitions by doc_id — bounded partitions, no global sort.
+    */
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopkOn(Tables.documents(spark, dir))
+
+  private[graft] def tfidfTopkOn(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tc")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tc").cast("double") * col("n_docs") / col("dl") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  val tfidfTopkSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS dl FROM tc GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT tc.doc_id, tc.term,
+       |         tc.tc::DOUBLE * n.n_docs / dl.dl / df.df AS score,
+       |         row_number() OVER (
+       |           PARTITION BY tc.doc_id
+       |           ORDER BY tc.tc::DOUBLE * n.n_docs / dl.dl / df.df DESC, tc.term ASC) AS rn
+       |  FROM tc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(score, 6) AS tfidf
+       |FROM ranked WHERE rn <= $TfidfK""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
@@ -479,5 +663,8 @@ object TextAnalytics {
     "token_topk"      -> (tokenTopk _, tokenTopkSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),
+    "decontam"        -> (decontam _, decontamSql),
+    "corpus_mix"      -> (corpusMix _, corpusMixSql),
+    "tfidf_topk"      -> (tfidfTopk _, tfidfTopkSql),
   )
 }

@@ -267,6 +267,112 @@ object Dedup {
     verifyJaccard(candidates, sets)
   }
 
+  // ---- dedup_components: near-dup clusters + canonical selection -------
+
+  private val MaxCcIters = 50
+
+  /** Connected components over the verified near-dup pair graph — the
+    * stage every dedup family needs AFTER pair generation: a pair list
+    * doesn't say which docs to keep. A~B and B~C must collapse to ONE
+    * kept document even when A~C was never emitted as a pair (chained
+    * near-dups are routine: successive crawl snapshots drift just under
+    * the threshold pairwise). Output is one row per document that
+    * appears in any pair: its component id (= the minimum doc_id in its
+    * component — deterministic, engine-independent) and whether it is
+    * the canonical survivor (`doc_id == component_id`); the keep-list a
+    * pipeline applies is "all unpaired docs + the canonical row per
+    * component".
+    *
+    * Pairs come from the normative MinHash-LSH path ([[dedupMinhash]]);
+    * components are computed by iterative min-label propagation: each
+    * round every vertex takes the min of its own and its neighbors'
+    * labels (one equi-join + one min-aggregate per round — both
+    * partial-aggregable, key-partitioned shuffles), converging in
+    * O(max component diameter) rounds. Near-dup clusters are shallow in
+    * practice (dup chains, not long paths), so rounds stay single-digit;
+    * for adversarial diameters the same join shape extends to the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) with
+    * O(log²·) rounds — the per-round plan is identical, so the swap is
+    * local. The driver-side loop reads ONE scalar per round (the changed
+    * count — control plane, same budget as IncrementalBars' watermark
+    * reads); all data stays distributed.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOn(dedupMinhash(spark, dir))
+
+  /** Min-label propagation over a (doc_id_1, doc_id_2) pair frame.
+    * Each round eagerly localCheckpoints the new label frame: the
+    * checkpoint TRUNCATES LINEAGE, so the per-round plan stays
+    * constant-size (without it the label frame's plan doubles every
+    * round — the classic iterative-algorithm blowup where round 20
+    * spends more time in the optimizer than in execution). Because the
+    * lineage is truncated, the previous round's blocks are provably
+    * unreferenced and are released immediately (snapshot-diff of
+    * getPersistentRDDs, the CorpusIngest pattern); the edge list stays
+    * persisted across rounds. Standard localCheckpoint caveat applies:
+    * consume the result before releasing the session's blocks
+    * ([[graft.Maintenance.releaseCachedBlocks]]) — Verify/Bench
+    * materialize per query, so the contract holds.
+    */
+  private[graft] def componentsOn(pairs: DataFrame): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .persist()
+    var before = sc.getPersistentRDDs.keySet
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    var prevRound = sc.getPersistentRDDs.keySet -- before
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < MaxCcIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      before = sc.getPersistentRDDs.keySet
+      val next = labels.join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint()
+      val thisRound = sc.getPersistentRDDs.keySet -- before
+      changed = next.filter(col("label") =!= col("prev")).count()
+      prevRound.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRound = thisRound
+      labels = next.select(col("v"), col("label"))
+      iters += 1
+    }
+    require(changed == 0, s"componentsOn: not converged after $MaxCcIters rounds")
+    edges.unpersist()
+    labels.select(
+      col("v").as("doc_id"),
+      col("label").as("component_id"),
+      (col("v") === col("label")).as("is_canonical"))
+  }
+
+  /** Oracle: transitive closure of the exact-Jaccard pair graph via a
+    * recursive CTE (tractable at oracle scale; the component id is the
+    * min reachable doc_id, which the min-label fixpoint also computes).
+    */
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+       |  UNION
+       |  SELECT doc_id_2, doc_id_1 FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+       |SELECT v AS doc_id,
+       |       least(v, min(u)) AS component_id,
+       |       v = least(v, min(u)) AS is_canonical
+       |FROM reach
+       |GROUP BY v""".stripMargin
+
   // ---- dedup_incremental: new-batch-vs-corpus MinHash dedup ------------
 
   private val NewMod = 10
@@ -428,6 +534,7 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
+    "dedup_components" -> (dedupComponents _, dedupComponentsSql),
     "dedup_incremental" -> (dedupIncremental _, dedupIncrementalSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
   )

@@ -65,6 +65,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("components: transitive closure, min-label canonical, multi-round convergence") {
+    import spark.implicits._
+    // chained cluster {1,2,3,9} (1-3 and 3-9 pairs; 1-9 never emitted),
+    // a plain pair {4,5}, and a 6-node path {10..15} whose diameter
+    // forces several propagation rounds.
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 9L), (4L, 5L))
+      ++ (10L until 15L).map(i => (i, i + 1)))
+      .toDF("doc_id_1", "doc_id_2")
+    val out = Dedup.componentsOn(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val byDoc = out.map(t => t._1 -> t._2).toMap
+    assert(Seq(1L, 2L, 3L, 9L).forall(byDoc(_) == 1L))
+    assert(Seq(4L, 5L).forall(byDoc(_) == 4L))
+    assert((10L to 15L).forall(byDoc(_) == 10L))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(1L, 4L, 10L)) // canonical = component min
+    assert(out.length == 12) // only docs that appear in some pair
+  }
+
+  test("components on an empty pair set is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id_1", "doc_id_2")
+    assert(Dedup.componentsOn(empty).collect().isEmpty)
+  }
+
   test("incremental dedup joins only new-batch docs against the corpus index") {
     import spark.implicits._
     // new batch = doc_id % 10 == 3: docs 3 and 23 (near-dups of base) and

@@ -91,6 +91,56 @@ class TextAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("decontam: shared 8-grams with the benchmark subset are counted; short docs immune") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("decontam").toString
+    // doc 10 (id % 10 == 0) is the benchmark; doc 11 shares exactly the
+    // first 8-gram with it; doc 12 is clean; doc 13 is too short to gram.
+    val benchText = (1 to 10).map(i => s"b$i").mkString(" ")
+    Seq(
+      (10L, benchText),
+      (11L, (1 to 8).map(i => s"b$i").mkString(" ") + " x y"),
+      (12L, (1 to 10).map(i => s"c$i").mkString(" ")),
+      (13L, "b1 b2 b3"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.analytics.TextAnalytics.decontam(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((11L, 1L, 1L))) // one leaked gram, one benchmark doc
+  }
+
+  test("corpus_mix: rate-100 keeps all, unlisted lang drops all, accounting adds up") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mix").toString
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "en" else "xx" // "xx" not in the rate table
+      (i.toLong, (0 to i % 7).map(j => s"t${i}_$j").mkString(" "), lang)
+    }
+    docs.toDF("doc_id", "text", "lang").write.parquet(s"$tmp/documents.parquet")
+    val out = graft.analytics.TextAnalytics.corpusMix(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    val en = out.find(_._1 == "en").get
+    assert(en._2 == 20 && en._4 == 20 && en._3 == en._5 && en._6 == 100.0)
+    val xx = out.find(_._1 == "xx").get
+    assert(xx._2 == 20 && xx._4 == 0 && xx._5 == 0L && xx._6 == 0.0)
+  }
+
+  test("tfidf_topk: exact linear-idf scores, rank order, tie-break on term") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tfidf").toString
+    Seq((1L, "x x y"), (2L, "y z"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = graft.analytics.TextAnalytics.tfidfTopk(spark, tmp).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getString(2), r.getDouble(3)))).toMap
+    // doc 1: x -> 2*2/3/1 = 1.333333, y -> 1*2/3/2 = 0.333333
+    assert(rows((1L, 1)) == ("x", 1.333333))
+    assert(rows((1L, 2)) == ("y", 0.333333))
+    // doc 2: z -> 1*2/2/1 = 1.0 beats y -> 1*2/2/2 = 0.5
+    assert(rows((2L, 1)) == ("z", 1.0))
+    assert(rows((2L, 2)) == ("y", 0.5))
+    assert(rows.size == 4)
+  }
+
   test("packing: token conservation, full budgets, order-preserving stitch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
