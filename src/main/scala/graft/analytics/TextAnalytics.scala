@@ -231,46 +231,60 @@ object TextAnalytics {
     * Spark's `sequence(1, 0)` counts DOWN, so the n-gram builders are
     * explicitly gated on size.
     */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    def grams(n: Int): String = {
-      val parts = (0 until n)
-        .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
-        .mkString(", ' ', ")
-      s"""IF(size(toks) >= $n,
-         |   transform(sequence(1, size(toks) - ${n - 1}), i -> concat($parts)),
-         |   array())""".stripMargin
-    }
-    def dupFrac(col0: String): String =
-      s"""CASE WHEN size($col0) = 0 THEN cast(0.0 as double)
-         |     ELSE round(1.0 - size(array_distinct($col0)) / size($col0), 4) END""".stripMargin
+  // Shared per-doc expression builders (Spark SQL dialect) for the
+  // repetition signals — used by text_repetition and source_profile.
+  private def gramsExpr(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "element_at(toks, i)" else s"element_at(toks, i + $j)")
+      .mkString(", ' ', ")
+    s"""IF(size(toks) >= $n,
+       |   transform(sequence(1, size(toks) - ${n - 1}), i -> concat($parts)),
+       |   array())""".stripMargin
+  }
+
+  private def dupFracExpr(col0: String): String =
+    s"""CASE WHEN size($col0) = 0 THEN cast(0.0 as double)
+       |     ELSE round(1.0 - size(array_distinct($col0)) / size($col0), 4) END""".stripMargin
+
+  private val topTokExpr: String =
+    """CASE WHEN size(toks) = 0 THEN cast(0.0 as double)
+      |     ELSE round(array_max(transform(array_distinct(toks),
+      |            t -> size(filter(toks, x -> x = t)))) / size(toks), 4) END"""
+      .stripMargin
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .withColumn("toks", tokens(col("text")))
-      .withColumn("g2", expr(grams(2)))
-      .withColumn("g3", expr(grams(3)))
+      .withColumn("g2", expr(gramsExpr(2)))
+      .withColumn("g3", expr(gramsExpr(3)))
       .select(
         col("doc_id"),
-        expr(dupFrac("g2")).as("dup_2gram_frac"),
-        expr(dupFrac("g3")).as("dup_3gram_frac"),
-        expr(
-          """CASE WHEN size(toks) = 0 THEN cast(0.0 as double)
-            |     ELSE round(array_max(transform(array_distinct(toks),
-            |            t -> size(filter(toks, x -> x = t)))) / size(toks), 4) END"""
-            .stripMargin).as("top_tok_frac"))
+        expr(dupFracExpr("g2")).as("dup_2gram_frac"),
+        expr(dupFracExpr("g3")).as("dup_3gram_frac"),
+        expr(topTokExpr).as("top_tok_frac"))
       .withColumn("flagged",
         col("dup_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.18
           || col("top_tok_frac") > 0.2)
+
+  // DuckDB twins of the shared repetition-signal builders.
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
+      .mkString(" || ' ' || ")
+    s"CASE WHEN len(toks) >= $n THEN list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts) ELSE [] END"
   }
 
+  private def dupFracSql(g: String): String =
+    s"CASE WHEN len($g) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct($g)) / len($g), 4) END"
+
+  private val topTokSql: String =
+    """CASE WHEN len(toks) = 0 THEN 0.0
+      |              ELSE round(list_max(list_transform(list_distinct(toks),
+      |                     t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) END"""
+      .stripMargin
+
   val textRepetitionSql: String = {
-    def gramsSql(n: Int): String = {
-      val parts = (0 until n)
-        .map(j => if (j == 0) "toks[i]" else s"toks[i + $j]")
-        .mkString(" || ' ' || ")
-      s"CASE WHEN len(toks) >= $n THEN list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts) ELSE [] END"
-    }
-    def dupFracSql(g: String): String =
-      s"CASE WHEN len($g) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct($g)) / len($g), 4) END"
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (
@@ -279,9 +293,7 @@ object TextAnalytics {
        |  SELECT doc_id,
        |         ${dupFracSql("g2")} AS dup_2gram_frac,
        |         ${dupFracSql("g3")} AS dup_3gram_frac,
-       |         CASE WHEN len(toks) = 0 THEN 0.0
-       |              ELSE round(list_max(list_transform(list_distinct(toks),
-       |                     t -> len(list_filter(toks, x -> x = t)))) / len(toks), 4) END
+       |         $topTokSql
        |           AS top_tok_frac
        |  FROM g)
        |SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_tok_frac,
@@ -653,6 +665,105 @@ object TextAnalytics {
        |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(score, 6) AS tfidf
        |FROM ranked WHERE rn <= $TfidfK""".stripMargin
 
+  // ---- source_profile: per-source corpus governance report --------------
+
+  /** The corpus-governance view a training-data pipeline reviews per
+    * ingestion source: volume (docs, tokens), mean quality score,
+    * repetition-flagged count, docs slated for removal by near-dup
+    * canonicalization, and benchmark-contaminated docs — all of the
+    * engine's curation signals composed in ONE report keyed by `source`.
+    *
+    * Determinism of the mean: per-doc quality is the bit-exact
+    * text_stats double; it is rounded to an int ten-thousandth
+    * (`round(q·10⁴)` — identical doubles round identically) so the
+    * cross-doc aggregation is an INTEGER sum (order-independent,
+    * engine-independent), divided back out once at the end. Averaging
+    * raw doubles would be fold-order-dependent and unhashable across
+    * engines. Scale: the per-doc signals are codegen projections; the
+    * removal and contamination sets are near-dup-sized (≪ corpus) and
+    * broadcast into left joins; one hash aggregate on ~20 source keys.
+    */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("g2", expr(gramsExpr(2)))
+      .withColumn("g3", expr(gramsExpr(3)))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").as("n_stop"),
+        expr(dupFracExpr("g2")).as("d2"),
+        expr(dupFracExpr("g3")).as("d3"),
+        expr(topTokExpr).as("tt"))
+      .withColumn("qi",
+        round((least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4
+          + (col("n_distinct") / col("n_tokens")) * 0.4
+          + (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.2) * 10000, 0)
+          .cast("long"))
+      .withColumn("flagged",
+        col("d2") > 0.2 || col("d3") > 0.18 || col("tt") > 0.2)
+    val removed = graft.dedup.Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_id_2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    val contam = decontam(spark, dir)
+      .select(col("doc_id")).withColumn("is_cont", lit(1))
+    perDoc
+      .join(broadcast(removed), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(sum(col("qi")) / (count(lit(1)) * lit(10000.0)), 4).as("avg_quality"),
+        count(when(col("flagged"), 1)).as("n_flagged"),
+        count(when(col("is_dup") === 1, 1)).as("n_dup"),
+        count(when(col("is_cont") === 1, 1)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  val sourceProfileSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, source, toks, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM t),
+       |f AS (
+       |  SELECT doc_id, source, len(toks) AS n_tokens,
+       |         CAST(round((least(len(toks) / 100.0, 1.0) * 0.4
+       |           + (len(list_distinct(toks)) / len(toks)) * 0.4
+       |           + (1.0 - len(list_filter(toks, t -> list_contains($stopList, t))) / len(toks)) * 0.2) * 10000, 0) AS BIGINT) AS qi,
+       |         (${dupFracSql("g2")} > 0.2 OR ${dupFracSql("g3")} > 0.18 OR $topTokSql > 0.2) AS flagged
+       |  FROM g),
+       |pairs AS (
+       |  ${graft.dedup.Dedup.jaccardOracleSql.replace("\n", "\n  ")}),
+       |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs),
+       |gr AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $DecontamGram
+       |    THEN list_distinct(list_transform(
+       |           generate_series(1, len(toks) - ${DecontamGram - 1}),
+       |           i -> array_to_string(list_slice(toks, i, i + ${DecontamGram - 1}), ' ')))
+       |    ELSE [] END) AS gram
+       |  FROM t),
+       |contam AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM gr a JOIN gr b ON a.gram = b.gram
+       |    AND a.doc_id % $BenchMod <> 0 AND b.doc_id % $BenchMod = 0)
+       |SELECT f.source,
+       |       count(*) AS n_docs,
+       |       CAST(sum(f.n_tokens) AS BIGINT) AS total_tokens,
+       |       round(CAST(sum(f.qi) AS BIGINT) / (count(*) * 10000.0), 4) AS avg_quality,
+       |       CAST(count(CASE WHEN f.flagged THEN 1 END) AS BIGINT) AS n_flagged,
+       |       CAST(count(CASE WHEN r.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_dup,
+       |       CAST(count(CASE WHEN c.doc_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_contaminated
+       |FROM f
+       |LEFT JOIN removed r USING (doc_id)
+       |LEFT JOIN contam c USING (doc_id)
+       |GROUP BY f.source
+       |ORDER BY f.source""".stripMargin
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
@@ -666,5 +777,6 @@ object TextAnalytics {
     "decontam"        -> (decontam _, decontamSql),
     "corpus_mix"      -> (corpusMix _, corpusMixSql),
     "tfidf_topk"      -> (tfidfTopk _, tfidfTopkSql),
+    "source_profile"  -> (sourceProfile _, sourceProfileSql),
   )
 }

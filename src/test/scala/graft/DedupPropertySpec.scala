@@ -61,4 +61,44 @@ class DedupPropertySpec extends SparkSpec {
       assert(pairs(Dedup.dedupSimhashOn(sets)) == brute, s"seed $s")
     }
   }
+
+  /** Driver-side union-find — the independent reference implementation
+    * for the distributed min-label propagation.
+    */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // min-root invariant holds because unions always point to the smaller
+    // root, so find(x) is the component minimum.
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("property: componentsOn equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    val params = Gen.Parameters.default
+    (1 to 4).foreach { s =>
+      // sparse random graph on ~60 vertices: mixes isolated pairs, chains
+      // and dense blobs depending on the draw
+      val edgeGen = for {
+        n     <- Gen.choose(20, 60)
+        m     <- Gen.choose(5, 50)
+        edges <- Gen.listOfN(m, for {
+          a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1) if a != b
+        } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+      } yield edges
+      val edges = edgeGen.apply(params, Seed(s.toLong * 77)).get.distinct
+      val expected = unionFind(edges)
+      val got = Dedup.componentsOn(edges.toDF("doc_id_1", "doc_id_2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.map(t => t._1 -> t._2).toMap == expected, s"seed $s")
+      assert(got.forall(t => t._3 == (t._1 == t._2)), s"seed $s canonical flags")
+    }
+  }
 }

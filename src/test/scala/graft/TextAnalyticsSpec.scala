@@ -141,6 +141,21 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(rows.size == 4)
   }
 
+  test("source_profile: per-source totals reconcile with corpus-wide counts (real data)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.analytics.TextAnalytics.sourceProfile(spark, dir).collect()
+    val docs = graft.Tables.documents(spark, dir)
+    // columns: source, n_docs, total_tokens, avg_quality, n_flagged, n_dup, n_contaminated
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    val removed = graft.dedup.Dedup.dedupMinhash(spark, dir)
+      .select("doc_id_2").distinct().count()
+    assert(out.map(_.getLong(5)).sum == removed)
+    val contaminated = graft.analytics.TextAnalytics.decontam(spark, dir).count()
+    assert(out.map(_.getLong(6)).sum == contaminated)
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(out.forall(r => r.getLong(4) <= r.getLong(1) && r.getLong(5) <= r.getLong(1)))
+  }
+
   test("packing: token conservation, full budgets, order-preserving stitch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
