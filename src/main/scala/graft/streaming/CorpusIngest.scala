@@ -24,6 +24,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     pruned greedily, not by connected components, which is the
   *     standard streaming trade: a doc similar only to an already-dropped
   *     doc is still dropped, never resurrected).
+  *  3b. DECONTAMINATION (optional, on when [[Stores.benchGramsPath]] is
+  *     set): the deduped survivors' word 8-grams probe the STATIC
+  *     benchmark gram store (stream-static broadcast join, eval-suite
+  *     sized); contaminated docs divert to the quarantine store with
+  *     their leak counts instead of entering the corpus or its index.
   *  4. Accepted docs, their hashed sets, and their band rows append to
   *     the three stores under `batch_id=N` with per-batch OVERWRITE — a
   *     replayed batch (crash between sink write and checkpoint commit)
@@ -42,10 +47,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CorpusIngest {
 
-  /** The three persisted stores (parquet paths, `batch_id=N` partitioned):
-    * accepted documents, their hashed shingle sets, their band index.
+  /** The persisted stores (parquet paths; the first three are
+    * `batch_id=N` partitioned): accepted documents, their hashed shingle
+    * sets, their band index. Optionally a STATIC benchmark gram store
+    * (`(doc_id, gram)` rows, e.g. [[graft.analytics.TextAnalytics.docGrams]]
+    * over the eval suite — written once, never per batch) turns on the
+    * decontamination stage, and quarantined docs land under
+    * `quarantinePath/batch_id=N` with their leak counts (same per-batch
+    * overwrite idempotence as the corpus store). Quarantine rather than
+    * drop: contaminated docs need human review (is the benchmark leaking,
+    * or the crawl?), so the gate preserves them out-of-corpus.
     */
-  final case class Stores(corpusPath: String, setsPath: String, indexPath: String)
+  final case class Stores(
+      corpusPath: String,
+      setsPath: String,
+      indexPath: String,
+      benchGramsPath: Option[String] = None,
+      quarantinePath: Option[String] = None)
 
   private def readStore(
       like: DataFrame, path: String, currentBatch: Long, cols: Seq[String]): DataFrame = {
@@ -105,12 +123,37 @@ object CorpusIngest {
       .select(col("doc_id_2").as("doc_id")).distinct()
 
     val dropIds  = crossDups.unionByName(inBatchDrops).distinct()
-    val accepted = docs.join(dropIds, Seq("doc_id"), "left_anti")
+    val deduped  = docs.join(dropIds, Seq("doc_id"), "left_anti")
+
+    // Decontamination stage (stream-static join): batch grams probe the
+    // static benchmark gram store — broadcast, eval-suite-sized — and
+    // contaminated survivors divert to quarantine instead of the corpus.
+    val contaminated: Option[DataFrame] = stores.benchGramsPath.flatMap { bp =>
+      val fs = new org.apache.hadoop.fs.Path(bp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(bp))) None
+      // eagerly checkpointed: the small (doc_id, counts) frame feeds the
+      // quarantine write, the anti-join AND the three store writes —
+      // materialize once, released by this batch's block cleanup.
+      else Some(graft.analytics.TextAnalytics.decontamOn(
+        graft.analytics.TextAnalytics.docGrams(deduped),
+        spark.read.parquet(bp)).localCheckpoint())
+    }
+    val accepted = contaminated match {
+      case Some(c) => deduped.join(c.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None    => deduped
+    }
+    for {
+      c  <- contaminated
+      qp <- stores.quarantinePath
+    } deduped.join(c, Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$qp/batch_id=$id")
 
     accepted.write.mode("overwrite").parquet(s"${stores.corpusPath}/batch_id=$id")
-    sets.join(dropIds, Seq("doc_id"), "left_anti")
+    val keepIds = accepted.select(col("doc_id"))
+    sets.join(keepIds, Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"${stores.setsPath}/batch_id=$id")
-    bands.join(dropIds, Seq("doc_id"), "left_anti")
+    bands.join(keepIds, Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"${stores.indexPath}/batch_id=$id")
   }
 

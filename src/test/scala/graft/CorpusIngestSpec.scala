@@ -62,6 +62,39 @@ class CorpusIngestSpec extends SparkSpec {
     assert(corpusIds(s) == Set(1L, 22L))
   }
 
+  test("decontamination gate: contaminated docs quarantine with counts; clean docs pass") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("corpus_decontam").toString
+    val s = Stores(s"$tmp/corpus", s"$tmp/sets", s"$tmp/index",
+      benchGramsPath = Some(s"$tmp/bench_grams"),
+      quarantinePath = Some(s"$tmp/quarantine"))
+    // benchmark = one 10-token doc; store its grams once (static side)
+    val benchText = (1 to 10).map(i => s"b$i").mkString(" ")
+    graft.analytics.TextAnalytics.docGrams(Seq((9000L, benchText)).toDF("doc_id", "text"))
+      .write.parquet(s"$tmp/bench_grams")
+    // doc 1 leaks the benchmark's first 8-gram; doc 2 is clean
+    val leaky = (1 to 8).map(i => s"b$i").mkString(" ") +
+      " " + (1 to 28).map(i => s"w$i").mkString(" ")
+    CorpusIngest.processBatch(
+      Seq((1L, leaky), (2L, other)).toDF("doc_id", "text"), 0L, s)
+    assert(corpusIds(s) == Set(2L))
+    // quarantined doc carries its text and leak counts
+    val q = spark.read.parquet(s"$tmp/quarantine").collect()
+    assert(q.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    assert(q.head.getAs[Long]("n_shared_grams") == 1L)
+    assert(q.head.getAs[String]("text") == leaky)
+    // the index holds only admitted docs — the quarantined doc is not indexed
+    val indexed = spark.read.parquet(s.indexPath)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(2L))
+    // replay of the batch converges to the same state (overwrite idempotence)
+    CorpusIngest.processBatch(
+      Seq((1L, leaky), (2L, other)).toDF("doc_id", "text"), 0L, s)
+    assert(corpusIds(s) == Set(2L))
+    assert(spark.read.parquet(s"$tmp/quarantine")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("per-batch checkpoint blocks are released — no growth across batches") {
     import spark.implicits._
     val s = freshStores()
