@@ -141,6 +141,32 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(rows.size == 4)
   }
 
+  test("edge cases: gram-width doc contaminates; single-token tfidf; unlisted-lang mix") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("edges").toString
+    // doc 20 (benchmark) is EXACTLY gram width; doc 21 repeats it verbatim —
+    // one gram each, shared; doc 22 is a single token (no grams, 1 tfidf row)
+    val exact8 = (1 to 8).map(i => s"e$i").mkString(" ")
+    Seq((20L, exact8, "en"), (21L, exact8, "xx"), (22L, "solo", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$tmp/documents.parquet")
+
+    val dec = graft.analytics.TextAnalytics.decontam(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dec.toSeq == Seq((21L, 1L, 1L)))
+
+    val tfidf = graft.analytics.TextAnalytics.tfidfTopk(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // every doc gets rows; the single-token doc gets exactly one
+    assert(tfidf.count(_._1 == 22L) == 1)
+    assert(tfidf.filter(_._1 == 22L).head._3 == "solo")
+
+    val mix = graft.analytics.TextAnalytics.corpusMix(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // en (rate 100) keeps both docs; xx is not in the mixture whitelist
+    assert(mix.find(_._1 == "en").get._3 == 2L)
+    assert(mix.find(_._1 == "xx").get._3 == 0L)
+  }
+
   test("source_profile: per-source totals reconcile with corpus-wide counts (real data)") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.analytics.TextAnalytics.sourceProfile(spark, dir).collect()
