@@ -216,6 +216,55 @@ object TextAnalytics {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- curation_audit: row-level provenance of the curation pipeline ---
+
+  /** Per-document audit trail of [[corpusCuration]]: which stage (if
+    * any) eliminated each doc — `quality` (fails the token/stop-ratio
+    * gate), `dup` (slated for removal by near-dup pairing), `sampled_out`
+    * (outside the deterministic 30% sample), or `kept`. Stage order and
+    * predicates are IDENTICAL to corpus_curation's, so grouping this
+    * output by stage reconciles exactly with that query's per-stage
+    * counts (spec-checked law) — the "why was my document dropped"
+    * debugging view a pipeline needs once curation decisions have
+    * consequences. Same plan skeleton as the funnel: per-row predicates
+    * in codegen, the removal set broadcast, no extra shuffles.
+    */
+  def curationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").as("n_stop"))
+    val removed = graft.dedup.Dedup.dedupMinhash(spark, dir)
+      .select(col("doc_id_2").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    docs.join(broadcast(removed), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!(col("n_tokens") >= 20 && col("n_stop") / col("n_tokens") <= 0.2), "quality")
+          .when(col("is_dup") === 1, "dup")
+          .when(pmod(hash60(col("text")), lit(10)) >= 3, "sampled_out")
+          .otherwise("kept")
+          .as("stage"))
+  }
+
+  val curationAuditSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, len(toks) AS n_tokens,
+       |         len(list_filter(toks, t -> list_contains(['the', 'a'], t))) AS n_stop
+       |  FROM d),
+       |pairs AS (
+       |  ${graft.dedup.Dedup.jaccardOracleSql.replace("\n", "\n  ")}),
+       |removed AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs)
+       |SELECT f.doc_id,
+       |       CASE WHEN NOT (n_tokens >= 20 AND n_stop / n_tokens <= 0.2) THEN 'quality'
+       |            WHEN r.doc_id IS NOT NULL THEN 'dup'
+       |            WHEN ${hash60Sql("text")} % 10 >= 3 THEN 'sampled_out'
+       |            ELSE 'kept' END AS stage
+       |FROM f LEFT JOIN removed r USING (doc_id)""".stripMargin
+
   // ---- text_repetition: Gopher-style repetition quality filters --------
 
   /** The MassiveText/Gopher repetition signals (Rae et al. 2021, §A1.1):
@@ -778,5 +827,6 @@ object TextAnalytics {
     "corpus_mix"      -> (corpusMix _, corpusMixSql),
     "tfidf_topk"      -> (tfidfTopk _, tfidfTopkSql),
     "source_profile"  -> (sourceProfile _, sourceProfileSql),
+    "curation_audit"  -> (curationAudit _, curationAuditSql),
   )
 }

@@ -167,6 +167,19 @@ class TextAnalyticsSpec extends SparkSpec {
     assert(mix.find(_._1 == "xx").get._3 == 0L)
   }
 
+  test("curation_audit: stage labels reconcile exactly with the corpus_curation funnel (real data)") {
+    val dir = "/root/testdata/sf0.001"
+    val byStage = graft.analytics.TextAnalytics.curationAudit(spark, dir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val funnel = graft.analytics.TextAnalytics.corpusCuration(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage.values.sum == funnel("1_raw"))
+    assert(byStage("quality") == funnel("1_raw") - funnel("2_quality"))
+    assert(byStage("dup") == funnel("2_quality") - funnel("3_dedup"))
+    assert(byStage("sampled_out") == funnel("3_dedup") - funnel("4_sample"))
+    assert(byStage("kept") == funnel("4_sample"))
+  }
+
   test("source_profile: per-source totals reconcile with corpus-wide counts (real data)") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.analytics.TextAnalytics.sourceProfile(spark, dir).collect()
