@@ -400,8 +400,103 @@ object StarAnalytics {
       |FROM (SELECT user_id FROM recent INTERSECT SELECT user_id FROM prior)
       |ORDER BY status, user_id""".stripMargin
 
+  // ---- events_funnel: ordered multi-stage conversion funnel ------------
+  /** Classic product-analytics funnel over the event stream: how many
+    * users performed view → click → purchase IN ORDER (each stage's
+    * earliest occurrence strictly after the previous stage's). The
+    * reference's event stream has no funnel query; this is the canonical
+    * "sequenced conditional aggregation" shape a warehouse engine owns
+    * (cf. window funnels in ClickHouse / funnel steps in Amplitude-style
+    * pipelines).
+    *
+    * Scale: three hash aggregates + two inner joins, ALL keyed on
+    * user_id — one partitioning reused across every stage (at 100 TB the
+    * stage frames co-partition; no broadcast needed because both sides
+    * are user-grained). Stage N's frame only carries users who survived
+    * stage N-1, so join inputs shrink monotonically down the funnel.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    def stage(n: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("stage"), lit(name).as("stage_name"), col("users"))
+    stage(1, "view", view)
+      .unionByName(stage(2, "click_after_view", click))
+      .unionByName(stage(3, "purchase_after_click", purchase))
+      .orderBy("stage")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS stage_name, (SELECT count(*) FROM v) AS users
+      |UNION ALL
+      |SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+      |UNION ALL
+      |SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
+  // ---- events_retention: cohort retention matrix ------------------------
+  /** Cohort analysis: users grouped by the week of their first event;
+    * for each (cohort week, week offset) the number of cohort members
+    * active that week. Both week columns are date_trunc('week') —
+    * Monday-start in Spark and DuckDB alike — so the offset is an exact
+    * integer number of weeks.
+    *
+    * Scale: one user-keyed aggregate for first-touch, one
+    * (user, week)-distinct, one user-keyed join, one final hash agg on
+    * (cohort, offset) — the classic two-shuffle retention plan. The
+    * (user, week) distinct bounds state at |users| × |weeks|, far below
+    * the raw event count.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+    active.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH first AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      |SELECT f.cohort_week,
+      |       CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INTEGER) AS week_offset,
+      |       count(*) AS users
+      |FROM active a JOIN first f ON a.user_id = f.user_id
+      |GROUP BY f.cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "user_churn"        -> (userChurn _, userChurnSql),
+    "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
+    "events_retention"  -> (eventsRetention _, eventsRetentionSql),
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
     "top_customers"     -> (topCustomers _, topCustomersSql),

@@ -813,8 +813,129 @@ object TextAnalytics {
        |ORDER BY f.source""".stripMargin
   }
 
+  // ---- lm_quality: corpus unigram log-probability score ----------------
+  /** CCNet-style perplexity-lite quality score: each document's mean
+    * token log-probability under the corpus' own unigram distribution
+    * (ln c(w) − ln Σc). Low scores mark rare-token-heavy (junk-ish)
+    * documents; the real CCNet uses a KenLM 5-gram, but the pipeline
+    * shape — train a cheap LM over the corpus, score every doc with it,
+    * filter the tail — is exactly this.
+    *
+    * Determinism: the per-doc mean sums IEEE doubles, and group
+    * aggregation order is engine-dependent — so the log-probs are
+    * collected per doc and folded in SORTED order (`sort_array` +
+    * `aggregate` here, `list_sort` + `list_reduce` in the oracle), making
+    * the sum bit-identical across engines. Docs are bounded (≤ a few
+    * thousand tokens), so the collected list is constant-sized state, not
+    * a scale hazard.
+    *
+    * Scale: vocab counts are one token-keyed aggregate; the score join
+    * broadcasts the vocabulary (unigram vocab is ~10⁶-10⁷ entries even at
+    * 100 TB — well under broadcast limits once hashed; a shuffle join on
+    * token is the fallback). One doc-keyed aggregate finishes.
+    */
+  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized once (lazily): the token stream feeds BOTH the vocab
+    // count and the score join probe side — without the checkpoint each
+    // consumer re-runs tokenize+explode over the corpus (house pattern,
+    // see Dedup.hashedSets; blocks are released by the Verify/Bench
+    // harness via Maintenance.releaseCachedBlocks).
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .localCheckpoint(eager = false)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total  = counts.agg(sum(col("c")).as("total"))
+    toks.join(broadcast(counts), "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (log(col("c").cast("double")) - log(col("total").cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(sort_array(collect_list(col("lp"))), lit(0.0), _ + _).as("_s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("_s") / col("n_tokens"), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val lmQualitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT sum(c) AS total FROM cnt),
+      |lp AS (
+      |  SELECT t.doc_id, ln(CAST(c AS DOUBLE)) - ln(CAST(total AS DOUBLE)) AS lp
+      |  FROM tok t JOIN cnt USING (token), tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
+      |             / count(*), 4) AS avg_logprob
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- span_dedup_rate: duplicated-span diagnostic ----------------------
+  /** Per-document fraction of its distinct token 8-grams that also occur
+    * in at least one OTHER document — the span-level duplication
+    * diagnostic behind exact-substring dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": duplicated spans, not
+    * just whole-doc dups, degrade LMs). Near-1 rates mark documents that
+    * are stitched from copied spans even when no whole-doc pair fires.
+    *
+    * The Spark side hashes each gram to a long at extraction (xxhash64 —
+    * 8 bytes through the shuffle instead of a ~60-byte string; house rule
+    * from the char-gram dedup family), while the oracle keeps raw gram
+    * strings: only counts ever reach the output, so the two agree unless
+    * xxhash64 collides inside this corpus (~10⁻⁷ at sf1; deterministic
+    * per dataset either way).
+    *
+    * Scale: gram extraction is linear (one row per token position), the
+    * doc-count is one gram-keyed aggregate with map-side partials, and
+    * the rate join is gram-keyed — no pairwise anything; this is the
+    * cheap pre-pass that decides whether the expensive suffix-array pass
+    * is worth scheduling.
+    */
+  def spanDedupRate(spark: SparkSession, dir: String): DataFrame = {
+    val G = 8
+    val dg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= G)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $G), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $G))))"))
+        .as("g"))
+      .distinct()
+      // Materialized once (lazily): the distinct (doc, gram) frame is both
+      // the aggregate input and the join probe side — without this the
+      // tokenize+gram+distinct pipeline runs twice (house pattern, see
+      // Dedup.hashedSets).
+      .localCheckpoint(eager = false)
+    val cnt = dg.groupBy("g").agg(count(lit(1)).as("docs"))
+    dg.join(cnt, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("docs") > 1, 1L).otherwise(0L)).as("dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 4).as("dup_rate"))
+      .orderBy("doc_id")
+  }
+
+  val spanDedupRateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(t[i:i+7], ' ')
+      |                 for i in generate_series(1, len(t) - 7)]) AS g
+      |  FROM toks WHERE len(t) >= 8),
+      |dg AS (SELECT DISTINCT doc_id, g FROM grams),
+      |cnt AS (SELECT g, count(*) AS docs FROM dg GROUP BY g)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+      |       round(CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS dup_rate
+      |FROM dg JOIN cnt USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
+    "lm_quality"      -> (lmQuality _, lmQualitySql),
+    "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),

@@ -215,8 +215,64 @@ object TimeSeriesAnalytics {
        |       count(*) AS n
        |FROM ticks GROUP BY symbol, bin ORDER BY symbol, bin""".stripMargin
 
+  // ---- ticks_anomaly: rolling z-score outlier detection ----------------
+  /** Flags ticks whose price is > 3 sample standard deviations from the
+    * mean of the PRECEDING 20 ticks of the same symbol (frame excludes
+    * the current row — the tick is scored against history it didn't
+    * contribute to). The moment sums n/Σp/Σp² stay exact DECIMAL through
+    * the window frame; mean/variance/z are then ONE double expression in
+    * the identical operation order in both engines, so sliding-frame
+    * accumulation order can't produce engine-dependent bits (house
+    * determinism rule, see ticksSma).
+    *
+    * Scale: one shuffle on symbol, one ordered in-partition window pass —
+    * the same O(rows) shape as ticks_sma; 21-row frames mean constant
+    * per-row state. Skewed symbols would salt to (symbol, day) with a
+    * 20-row warmup overlap per slice.
+    */
+  def ticksAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val fr = Window.partitionBy("symbol").orderBy("event_time")
+      .rowsBetween(-20, -1)
+    val p  = col("price").cast("double")
+    val n  = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val z  = (p - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - lit(1.0)))
+    Tables.ticks(spark, dir)
+      .select(col("tick_id"), col("symbol"), col("event_time"), col("price"),
+        count(col("price")).over(fr).as("n"),
+        sum(col("price")).over(fr).as("s1"),
+        sum(col("price") * col("price")).over(fr).as("s2"))
+      .filter(col("n") >= 10)
+      .select(col("tick_id"), col("symbol"), col("event_time"),
+        p.as("price"), round(z, 4).as("zscore"))
+      .filter(abs(col("zscore")) > 3.0)
+      .orderBy("symbol", "event_time")
+  }
+
+  val ticksAnomalySql: String =
+    s"""${Tables.TICKS_CTE},
+       |w AS (
+       |  SELECT tick_id, symbol, event_time, price,
+       |         count(price) OVER fr AS n,
+       |         sum(price)   OVER fr AS s1,
+       |         sum(price * price) OVER fr AS s2
+       |  FROM ticks
+       |  WINDOW fr AS (PARTITION BY symbol ORDER BY event_time
+       |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT tick_id, symbol, event_time, CAST(price AS DOUBLE) AS price,
+       |         round((CAST(price AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+       |                      / (CAST(n AS DOUBLE) - 1.0)), 4) AS zscore
+       |  FROM w WHERE n >= 10)
+       |SELECT tick_id, symbol, event_time, price, zscore
+       |FROM scored WHERE abs(zscore) > 3.0
+       |ORDER BY symbol, event_time""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
+    "ticks_anomaly"          -> (ticksAnomaly _, ticksAnomalySql),
     "ticks_asof_bars_native" -> (ticksAsofBarsNative _, ticksAsofBarsSql),
     "tick_sessions"          -> (tickSessions _, tickSessionsSql),
     "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),

@@ -1,0 +1,125 @@
+package graft
+
+import graft.analytics.{StarAnalytics, TextAnalytics, TimeSeriesAnalytics}
+import org.apache.spark.sql.functions._
+
+/** Laws for the round-6 operators: funnel ordering, retention cohort
+  * accounting, rolling z-score anomalies, unigram LM quality, span-level
+  * duplication — each checked on hand-built edges plus the sf0.001
+  * testdata (the cross-engine hash gate runs via the driver's oracle).
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- events_funnel ----------------------------------------------------
+
+  test("funnel: stage counts are monotonically non-increasing") {
+    val rows = StarAnalytics.eventsFunnel(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val users = rows.map(_.getLong(2))
+    assert(users(0) >= users(1) && users(1) >= users(2))
+    assert(users(0) > 0)
+  }
+
+  test("funnel: stages must fire strictly in order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // u1 completes in order; u2 purchases BEFORE clicking (stage 3 must
+    // not count it); u3 clicks before viewing (stages 2-3 must not count)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}"), (5L, ts(1), 2L, "purchase", 1.0, "{}"),
+      (6L, ts(2), 2L, "click", 1.0, "{}"),
+      (7L, ts(1), 3L, "click", 1.0, "{}"), (8L, ts(2), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StarAnalytics.eventsFunnel(spark, tmp).collect()
+    assert(out.map(r => r.getString(1) -> r.getLong(2)).toMap ==
+      Map("view" -> 3L, "click_after_view" -> 2L, "purchase_after_click" -> 1L))
+  }
+
+  // ---- events_retention --------------------------------------------------
+
+  test("retention: offset-0 cell covers every cohort member; offsets >= 0") {
+    val ret = StarAnalytics.eventsRetention(spark, dir).collect()
+    assert(ret.nonEmpty)
+    assert(ret.forall(_.getInt(1) >= 0))
+    // sum over offset-0 cells == total distinct users (everyone is active
+    // in their own first week by construction)
+    val zero = ret.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(zero == users)
+    // no (cohort, offset) cell can exceed its cohort's size
+    val cohortSize = ret.filter(_.getInt(1) == 0)
+      .map(r => r.get(0) -> r.getLong(2)).toMap
+    ret.foreach(r => assert(r.getLong(2) <= cohortSize(r.get(0))))
+  }
+
+  // ---- ticks_anomaly ----------------------------------------------------
+
+  test("anomaly: flags a planted spike and only scores warmed-up rows") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // 30 calm ticks around 100 then one 10x spike
+    val ev = (0 until 30).map(i =>
+      (i.toLong, ts(i), 7L, "view", 100.0 + (i % 5) * 0.5, "{}")) :+
+      (30L, ts(30), 7L, "view", 1000.0, "{}")
+    val tmp = java.nio.file.Files.createTempDirectory("anom").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TimeSeriesAnalytics.ticksAnomaly(spark, tmp).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(30L))
+    assert(math.abs(out.head.getDouble(4)) > 3.0)
+  }
+
+  test("anomaly: sf data rows all satisfy |z| > 3 and frame warmup") {
+    val out = TimeSeriesAnalytics.ticksAnomaly(spark, dir).collect()
+    out.foreach(r => assert(math.abs(r.getDouble(4)) > 3.0))
+  }
+
+  // ---- lm_quality ---------------------------------------------------------
+
+  test("lm_quality: rare-token docs score lower; bounds hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common", "en", "web", 27L),
+      (2L, "common common common rare", "en", "web", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("lmq").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalytics.lmQuality(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4 && out(2L)._1 == 4)
+    // doc 1 is all max-frequency tokens => strictly higher mean logprob
+    assert(out(1L)._2 > out(2L)._2)
+    // logprobs are <= 0 (c <= total always)
+    assert(out.values.forall(_._2 <= 0.0))
+    // hand-check doc 1: every token has c=7, total=8 -> ln(7/8)
+    assert(math.abs(out(1L)._2 - math.log(7.0 / 8.0)) < 1e-3)
+  }
+
+  // ---- span_dedup_rate -----------------------------------------------------
+
+  test("span dedup rate: copied doc pair at 1.0, unique doc at 0.0") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared, "en", "web", 1L),
+      (2L, shared, "en", "web", 1L), // exact copy: every 8-gram shared
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "), "en", "web", 1L),
+      (4L, "a b c", "en", "web", 1L)) // < 8 tokens: no grams, absent
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("span").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalytics.spanDedupRate(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((5L, 1.0)) && out(2L) == ((5L, 1.0)))
+    assert(out(3L) == ((5L, 0.0)))
+  }
+}
