@@ -177,6 +177,16 @@ object ScaleProbe {
       if (wanted("tfidf_topk"))
         time(spark, copies, "tfidf_topk")(
           graft.analytics.TextAnalytics.tfidfTopkOn(docs))
+      // span grams: the replica token-wrapping puts a replica-specific
+      // token inside every 8-gram, so cross-replica gram dups vanish and
+      // the dup set stays the base corpus' own — linear gram volume is
+      // the thing under test
+      if (wanted("span_dedup_rate"))
+        time(spark, copies, "span_dedup_rate")(
+          graft.analytics.TextAnalytics.spanDedupRateOn(docs))
+      if (wanted("lm_quality"))
+        time(spark, copies, "lm_quality")(
+          graft.analytics.TextAnalytics.lmQualityOn(docs))
       if (wanted("knn_brute"))
         time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
       if (wanted("knn_quantized"))

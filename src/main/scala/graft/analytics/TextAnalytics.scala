@@ -834,13 +834,16 @@ object TextAnalytics {
     * 100 TB — well under broadcast limits once hashed; a shuffle join on
     * token is the fallback). One doc-keyed aggregate finishes.
     */
-  def lmQuality(spark: SparkSession, dir: String): DataFrame = {
+  def lmQuality(spark: SparkSession, dir: String): DataFrame =
+    lmQualityOn(Tables.documents(spark, dir))
+
+  def lmQualityOn(docs: DataFrame): DataFrame = {
     // Materialized once (lazily): the token stream feeds BOTH the vocab
     // count and the score join probe side — without the checkpoint each
     // consumer re-runs tokenize+explode over the corpus (house pattern,
     // see Dedup.hashedSets; blocks are released by the Verify/Bench
     // harness via Maintenance.releaseCachedBlocks).
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .localCheckpoint(eager = false)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
@@ -891,9 +894,12 @@ object TextAnalytics {
     * cheap pre-pass that decides whether the expensive suffix-array pass
     * is worth scheduling.
     */
-  def spanDedupRate(spark: SparkSession, dir: String): DataFrame = {
+  def spanDedupRate(spark: SparkSession, dir: String): DataFrame =
+    spanDedupRateOn(Tables.documents(spark, dir))
+
+  def spanDedupRateOn(docs: DataFrame): DataFrame = {
     val G = 8
-    val dg = Tables.documents(spark, dir)
+    val dg = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= G)
       .select(col("doc_id"), explode(expr(
