@@ -493,10 +493,44 @@ object StarAnalytics {
       |GROUP BY f.cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---- event_pivot: cross-tab (pivot) of the event stream --------------
+  /** Day × event-type value matrix via `Dataset.pivot` — the relational
+    * cross-tab surface (reference dashboards render exactly this shape).
+    * Pivot values are EXPLICIT, which matters twice: no extra
+    * distinct-values job before planning, and a stable output schema at
+    * any scale (a drifting event-type vocabulary can't widen the table
+    * mid-pipeline). Sums stay exact DECIMAL until the output cast.
+    *
+    * Scale: compiles to ONE conditional hash aggregate keyed on day
+    * (partial→final) — identical physical shape to the oracle's CASE
+    * formulation; columns, not rows, carry the type dimension.
+    */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("value").cast(D124).as("v"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(sum(col("v")).cast("double"))
+      .orderBy("day")
+  }
+
+  val eventPivotSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |       CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE) AS click,
+      |       CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE) AS error,
+      |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE) AS purchase,
+      |       CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE) AS signup,
+      |       CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE) AS view
+      |FROM events
+      |GROUP BY day ORDER BY day""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "user_churn"        -> (userChurn _, userChurnSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),
+    "event_pivot"       -> (eventPivot _, eventPivotSql),
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
     "top_customers"     -> (topCustomers _, topCustomersSql),

@@ -270,9 +270,58 @@ object TimeSeriesAnalytics {
        |FROM scored WHERE abs(zscore) > 3.0
        |ORDER BY symbol, event_time""".stripMargin
 
+  // ---- ticks_range_vwap: time-RANGE window frame -----------------------
+  /** Rolling 5-minute VWAP per tick using a RANGE frame over event time —
+    * the frame type the ROWS-based queries (ticks_sma, ticks_anomaly)
+    * can't express: the window covers whatever number of ticks landed in
+    * the last 300 seconds, including all peers at the boundary instant.
+    * Ordering key is epoch MICROseconds on both engines (µs-exact; a
+    * seconds-truncated key would put a tick 300.4 s back inside the
+    * frame). Price·volume products and both frame sums stay exact
+    * DECIMAL/long; the output is the UNROUNDED double quotient: both
+    * sums cast to double exactly (< 2⁵³ scaled units by orders of
+    * magnitude at any tested SF), so the one IEEE division is
+    * bit-identical across engines. round(…, 4) would BREAK parity here,
+    * not help it — ratios of 4-decimal prices to integer volumes land on
+    * exact 5-decimal halves, where Spark (HALF_UP on the exact binary
+    * expansion) and DuckDB (scaled-double rounding) disagree by one ulp
+    * (observed at sf0.01 row 958: 30.03225 → 30.0322 vs 30.0323).
+    *
+    * Scale: identical single-exchange shape as ticks_sma — shuffle on
+    * symbol, ordered in-partition pass; RANGE frames evaluate with a
+    * sliding two-pointer over the sorted run, so cost stays O(rows) with
+    * state bounded by the densest 5-minute burst.
+    */
+  def ticksRangeVwap(spark: SparkSession, dir: String): DataFrame = {
+    val fr = Window.partitionBy("symbol").orderBy(col("t_us"))
+      .rangeBetween(-300000000L, 0L)
+    Tables.ticks(spark, dir)
+      .withColumn("t_us", unix_micros(col("event_time")))
+      .withColumn("_pv",
+        (col("price") * col("volume").cast(DecimalType(12, 0))).as("_pv"))
+      .select(col("tick_id"), col("symbol"), col("event_time"),
+        sum(col("_pv")).over(fr).as("_spv"),
+        sum(coalesce(col("volume"), lit(0L))).over(fr).as("_sv"))
+      .select(col("tick_id"), col("symbol"), col("event_time"),
+        (col("_spv").cast("double")
+          / nullif(col("_sv"), lit(0L)).cast("double")).as("vwap_5m"))
+      .orderBy("symbol", "event_time")
+  }
+
+  val ticksRangeVwapSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT tick_id, symbol, event_time,
+       |       CAST(sum(price * CAST(volume AS DECIMAL(12,0))) OVER fr AS DOUBLE)
+       |       / CAST(nullif(sum(coalesce(volume, 0)) OVER fr, 0) AS DOUBLE) AS vwap_5m
+       |FROM ticks
+       |WINDOW fr AS (PARTITION BY symbol ORDER BY epoch_us(event_time)
+       |              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+       |ORDER BY symbol, event_time""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
     "ticks_anomaly"          -> (ticksAnomaly _, ticksAnomalySql),
+    "ticks_range_vwap"       -> (ticksRangeVwap _, ticksRangeVwapSql),
     "ticks_asof_bars_native" -> (ticksAsofBarsNative _, ticksAsofBarsSql),
     "tick_sessions"          -> (tickSessions _, tickSessionsSql),
     "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),

@@ -103,6 +103,47 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(out(1L)._2 - math.log(7.0 / 8.0)) < 1e-3)
   }
 
+  // ---- event_pivot --------------------------------------------------------
+
+  test("pivot: cells reconcile with the grouped aggregation") {
+    import spark.implicits._
+    val piv = StarAnalytics.eventPivot(spark, dir)
+    // cross-foot: sum over all pivot cells == total value sum (via the
+    // same exact-decimal path)
+    val cellTotal = piv.select(
+      (coalesce(col("click"), lit(0.0)) + coalesce(col("error"), lit(0.0))
+        + coalesce(col("purchase"), lit(0.0)) + coalesce(col("signup"), lit(0.0))
+        + coalesce(col("view"), lit(0.0))).as("s"))
+      .agg(sum("s")).as[Double].head()
+    val total = Tables.events(spark, dir)
+      .agg(sum(col("value").cast("decimal(12,4)")).cast("double"))
+      .as[Double].head()
+    assert(math.abs(cellTotal - total) < 1e-6)
+    assert(piv.columns.toSeq ==
+      Seq("day", "click", "error", "purchase", "signup", "view"))
+  }
+
+  // ---- ticks_range_vwap ----------------------------------------------------
+
+  test("range vwap: 300s boundary is inclusive, 301s is out of frame") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+    // user_id doubles as volume (no id hits the %97 null rule)
+    val ev = Seq(
+      (1L, at(0), 10L, "view", 100.0, "{}"),
+      (2L, at(300), 30L, "view", 200.0, "{}"),  // frame: ticks 1+2
+      (3L, at(601), 10L, "view", 500.0, "{}"))  // tick 1 is 601s old, tick 2 is 301s old -> alone
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("rvwap").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TimeSeriesAnalytics.ticksRangeVwap(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 100.0)
+    assert(out(2L) == (100.0 * 10 + 200.0 * 30) / 40) // 175.0
+    assert(out(3L) == 500.0)
+  }
+
   // ---- span_dedup_rate -----------------------------------------------------
 
   test("span dedup rate: copied doc pair at 1.0, unique doc at 0.0") {
