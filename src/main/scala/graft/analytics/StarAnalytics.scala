@@ -526,11 +526,116 @@ object StarAnalytics {
       |FROM events
       |GROUP BY day ORDER BY day""".stripMargin
 
+  // ---- event_props_agg: JSON extraction over the props payload ---------
+  /** Batch JSON path extraction (`get_json_object`) over the semi-
+    * structured `props` column — the F-surface's JSON tier outside the
+    * streaming wire parse (IngestPipeline's `from_json`). Extraction is a
+    * per-row codegen'd projection; integer sums stay exact; the one
+    * double (mean) is a single division in identical order.
+    */
+  def eventPropsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .select(col("event_type"), col("n"), col("k_sum"), col("k_min"),
+        col("k_max"),
+        round(col("k_sum").cast("double") / col("n"), 4).as("k_avg"))
+      .orderBy("event_type")
+
+  val eventPropsAggSql: String =
+    """SELECT event_type,
+      |       count(k) AS n,
+      |       CAST(sum(k) AS BIGINT) AS k_sum,
+      |       min(k) AS k_min, max(k) AS k_max,
+      |       round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS k_avg
+      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- customer_rank / customer_quartiles: ranking-function surface ----
+  /** dense_rank within nation over customer revenue — the rank-function
+    * tier (row_number is covered by the A8 queries; dense_rank's
+    * tie-stability makes it the deterministic choice for ranked output).
+    * Windows are PARTITIONED by nation, so no single-partition global
+    * sort exists anywhere in the plan — the per-nation top-3 output stays
+    * bounded at any scale.
+    */
+  def customerRank(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast(D124)).as("_rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy(col("_rev").desc)
+    rev.withColumn("rnk", dense_rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("n_name"), col("c_custkey"),
+        col("_rev").cast("double").as("revenue"), col("rnk"))
+      .orderBy(col("n_name"), col("rnk"), col("c_custkey"))
+  }
+
+  val customerRankSql: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey, sum(CAST(o_totalprice AS DECIMAL(12,4))) AS _rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey)
+      |SELECT n_name, c_custkey, CAST(_rev AS DOUBLE) AS revenue, rnk FROM (
+      |  SELECT n_name, c_custkey, _rev,
+      |         CAST(dense_rank() OVER (PARTITION BY n_name ORDER BY _rev DESC) AS INTEGER) AS rnk
+      |  FROM rev)
+      |WHERE rnk <= 3
+      |ORDER BY n_name, rnk, c_custkey""".stripMargin
+
+  /** ntile(4) within nation (total order via the custkey tiebreak — ntile
+    * is order-sensitive on ties, so the tiebreak is what makes the bucket
+    * assignment engine-independent), re-aggregated to (nation, quartile)
+    * revenue stats. Same bounded-partition scale shape as customerRank.
+    */
+  def customerQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast(D124)).as("_rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n_name").orderBy(col("_rev").desc, col("c_custkey"))
+    rev.withColumn("quartile", ntile(4).over(w))
+      .groupBy("n_name", "quartile")
+      .agg(count(lit(1)).as("customers"),
+        sum(col("_rev")).cast("double").as("revenue_sum"))
+      .orderBy("n_name", "quartile")
+  }
+
+  val customerQuartilesSql: String =
+    """WITH rev AS (
+      |  SELECT n_name, c_custkey, sum(CAST(o_totalprice AS DECIMAL(12,4))) AS _rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, c_custkey),
+      |q AS (
+      |  SELECT n_name, _rev,
+      |         CAST(ntile(4) OVER (PARTITION BY n_name ORDER BY _rev DESC, c_custkey) AS INTEGER) AS quartile
+      |  FROM rev)
+      |SELECT n_name, quartile, count(*) AS customers,
+      |       CAST(sum(_rev) AS DOUBLE) AS revenue_sum
+      |FROM q GROUP BY n_name, quartile ORDER BY n_name, quartile""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "user_churn"        -> (userChurn _, userChurnSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),
     "event_pivot"       -> (eventPivot _, eventPivotSql),
+    "event_props_agg"   -> (eventPropsAgg _, eventPropsAggSql),
+    "customer_rank"     -> (customerRank _, customerRankSql),
+    "customer_quartiles" -> (customerQuartiles _, customerQuartilesSql),
     "pricing_summary"   -> (pricingSummary _, pricingSummarySql),
     "shipping_priority" -> (shippingPriority _, shippingPrioritySql),
     "top_customers"     -> (topCustomers _, topCustomersSql),

@@ -318,10 +318,66 @@ object TimeSeriesAnalytics {
        |              RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
        |ORDER BY symbol, event_time""".stripMargin
 
+  // ---- ticks_beta: bivariate statistics from exact moment sums ---------
+  /** Per-symbol price↔volume Pearson correlation and OLS slope
+    * (price ~ volume) — the statistical-aggregate tier (corr/covar/
+    * regr_slope) done the cross-engine-deterministic way: the built-in
+    * `corr` accumulates doubles in partition order (engine- and
+    * plan-dependent bits), so instead the five moment sums n/Σx/Σy/Σxy/Σx²/Σy²
+    * are aggregated EXACTLY (decimal/long — associative, order-free) and
+    * the statistics are one double expression in identical operation
+    * order, rounded at the edge. Same partial-aggregate shape as any
+    * hash agg — one shuffle keyed on symbol, constant per-group state;
+    * this is also how the moments would be maintained incrementally in a
+    * streaming state store.
+    */
+  def ticksBeta(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(spark, dir).filter(col("volume").isNotNull)
+    val vDec = col("volume").cast(DecimalType(12, 0))
+    val agg = t.groupBy("symbol").agg(
+      count(lit(1)).as("n"),
+      sum(col("price")).as("sx"),
+      sum(col("volume")).as("sy"),
+      sum(col("price") * vDec).as("sxy"),
+      sum(col("price") * col("price")).as("sx2"),
+      sum(col("volume") * col("volume")).as("sy2"))
+    val n   = col("n").cast("double")
+    val sx  = col("sx").cast("double");  val sy  = col("sy").cast("double")
+    val sxy = col("sxy").cast("double"); val sx2 = col("sx2").cast("double")
+    val sy2 = col("sy2").cast("double")
+    val num = n * sxy - sx * sy
+    agg.select(col("symbol"), col("n"),
+        round(num / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 4)
+          .as("price_volume_corr"),
+        round(num / (n * sy2 - sy * sy), 6).as("beta"))
+      .orderBy("symbol")
+  }
+
+  val ticksBetaSql: String =
+    s"""${Tables.TICKS_CTE},
+       |m AS (
+       |  SELECT symbol, count(*) AS n,
+       |         sum(price) AS sx,
+       |         sum(volume) AS sy,
+       |         sum(price * CAST(volume AS DECIMAL(12,0))) AS sxy,
+       |         sum(price * price) AS sx2,
+       |         sum(volume * volume) AS sy2
+       |  FROM ticks WHERE volume IS NOT NULL GROUP BY symbol)
+       |SELECT symbol, n,
+       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |             / (sqrt(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                * sqrt(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+       |         AS price_volume_corr,
+       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |             / (CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+       |         AS beta
+       |FROM m ORDER BY symbol""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
     "ticks_anomaly"          -> (ticksAnomaly _, ticksAnomalySql),
     "ticks_range_vwap"       -> (ticksRangeVwap _, ticksRangeVwapSql),
+    "ticks_beta"             -> (ticksBeta _, ticksBetaSql),
     "ticks_asof_bars_native" -> (ticksAsofBarsNative _, ticksAsofBarsSql),
     "tick_sessions"          -> (tickSessions _, tickSessionsSql),
     "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),

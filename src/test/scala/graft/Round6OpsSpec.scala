@@ -144,6 +144,72 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(3L) == 500.0)
   }
 
+  // ---- event_props_agg -----------------------------------------------------
+
+  test("props json: missing keys drop out of count and sums") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, t0, 1L, "view", 1.0, """{"k": 10}"""),
+      (2L, t0, 1L, "view", 1.0, """{"k": 30}"""),
+      (3L, t0, 1L, "view", 1.0, """{"other": 5}"""),
+      (4L, t0, 1L, "click", 1.0, """not json"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("props").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StarAnalytics.eventPropsAgg(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("view").getLong(1) == 2 && out("view").getLong(2) == 40)
+    assert(out("view").getDouble(5) == 20.0)
+    assert(out("click").getLong(1) == 0 && out("click").isNullAt(2))
+  }
+
+  // ---- customer_rank / customer_quartiles ---------------------------------
+
+  test("rank and quartiles: dense ranks start at 1; quartile sizes balanced") {
+    val rnk = StarAnalytics.customerRank(spark, dir).collect()
+    assert(rnk.nonEmpty)
+    val byNation = rnk.groupBy(_.getString(0))
+    byNation.values.foreach { rows =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.head == 1)           // every nation has a rank-1
+      assert(ranks.forall(_ <= 3))
+      // revenue never increases as rank increases
+      val byRank = rows.sortBy(r => (r.getInt(3), -r.getDouble(2)))
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          if (a.getInt(3) < b.getInt(3)) assert(a.getDouble(2) >= b.getDouble(2))
+        case _ =>
+      }
+    }
+    val qt = StarAnalytics.customerQuartiles(spark, dir).collect()
+    qt.groupBy(_.getString(0)).values.foreach { rows =>
+      val sizes = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      // ntile law: bucket sizes differ by at most 1, larger buckets first
+      assert(sizes.max - sizes.min <= 1)
+      assert(sizes.sorted.reverse.toSeq == sizes.toSeq)
+    }
+  }
+
+  // ---- ticks_beta ----------------------------------------------------------
+
+  test("beta: perfectly linear price~volume gives corr 1 and exact slope") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // price = 2*volume + 5, volumes 1..20 (no event_id hits %97 == 0
+    // except id 0 — start ids at 1)
+    val ev = (1 to 20).map(i => (i.toLong, ts(i), i.toLong, "view", 2.0 * i + 5, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("beta").toString
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TimeSeriesAnalytics.ticksBeta(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 20)
+    assert(out.head.getDouble(2) == 1.0)   // corr
+    assert(out.head.getDouble(3) == 2.0)   // slope
+  }
+
   // ---- span_dedup_rate -----------------------------------------------------
 
   test("span dedup rate: copied doc pair at 1.0, unique doc at 0.0") {
