@@ -628,8 +628,33 @@ object StarAnalytics {
       |       CAST(sum(_rev) AS DOUBLE) AS revenue_sum
       |FROM q GROUP BY n_name, quartile ORDER BY n_name, quartile""".stripMargin
 
+  // ---- event_cube: full grouping-sets lattice ---------------------------
+  /** CUBE over (event_type, weekday) — the grouping-sets completion of
+    * event_rollup's ROLLUP: all four lattice levels (both, each, grand
+    * total) from ONE Expand + hash aggregate, the shape GROUPING SETS
+    * always compiles to. The weekday dimension keeps subtotal cardinality
+    * bounded (≤ 6·8 rows) at any corpus size.
+    */
+  def eventCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).as("weekday"),
+        col("value").cast(D124).as("v"))
+      .cube(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("events"), sum(col("v")).cast("double").as("value_sum"))
+      .orderBy(col("event_type").asc_nulls_first, col("weekday").asc_nulls_first)
+
+  val eventCubeSql: String =
+    """SELECT event_type,
+      |       CAST(dayofweek(ts) + 1 AS INTEGER) AS weekday,
+      |       count(*) AS events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+      |FROM events
+      |GROUP BY CUBE(event_type, weekday)
+      |ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "user_churn"        -> (userChurn _, userChurnSql),
+    "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),
     "event_pivot"       -> (eventPivot _, eventPivotSql),

@@ -352,6 +352,35 @@ object StockAnalytics {
        |GROUP BY symbol
        |ORDER BY symbol""".stripMargin
 
+  // ---- price_quantiles_approx: the 100 TB quantile path ----------------
+  /** Sketch quantiles: `approx_percentile` (Greenwald-Khanna, accuracy
+    * 1000 ⇒ rank error ≤ 0.1%) — the scalable path: exact `percentile`
+    * materializes every group's values; the GK sketch is constant-memory
+    * per group and partial-merges across the shuffle. Sketch estimates
+    * are engine-specific, so (as with `table_profile_approx`) what the
+    * cross-engine gate checks is the BOUND, not the estimate: each approx
+    * value must lie between the exact continuous quantiles at p ± 0.01
+    * (10× the sketch's guarantee) — the exact side exists here only to
+    * check the law; at production scale only the sketch aggregate runs.
+    */
+  def priceQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .groupBy(col("symbol"))
+      .agg(
+        expr("approx_percentile(cast(price as double), array(0.5D, 0.95D), 1000)").as("ap"),
+        expr("percentile(cast(price as double), array(0.49D, 0.51D, 0.94D, 0.96D))").as("ex"))
+      .select(col("symbol"),
+        (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1))
+          .as("p50_within_bounds"),
+        (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3))
+          .as("p95_within_bounds"))
+      .orderBy("symbol")
+
+  val priceQuantilesApproxSql: String =
+    s"""${Tables.TICKS_CTE}
+       |SELECT symbol, true AS p50_within_bounds, true AS p95_within_bounds
+       |FROM ticks GROUP BY symbol ORDER BY symbol""".stripMargin
+
   // ---- /health, /ready — A10 global probes -----------------------------
   def healthCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.ticks(spark, dir).agg(
@@ -478,5 +507,6 @@ object StockAnalytics {
     "bars_hourly"       -> (barsHourly _, barsHourlySql),
     "bars_daily"        -> (barsDaily _, barsDailySql),
     "price_quantiles"   -> (priceQuantiles _, priceQuantilesSql),
+    "price_quantiles_approx" -> (priceQuantilesApprox _, priceQuantilesApproxSql),
   )
 }

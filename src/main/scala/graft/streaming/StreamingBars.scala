@@ -70,6 +70,37 @@ object StreamingBars {
         })
   }
 
+  /** Stream-stream time-interval join: each live tick enriched with the
+    * 1-minute bars of its symbol that became AVAILABLE (bucket_start +
+    * 1 min, the completed-minute rule) within the last `horizonMinutes`
+    * — the streaming twin of the batch as-of context join, as Structured
+    * Streaming's canonical two-stream stateful join. Left outer: ticks
+    * with no recent completed bar still flow (null bar columns), but —
+    * stream-stream outer semantics — only once the watermark proves no
+    * matching bar can still arrive.
+    *
+    * Scale: both sides shuffle once on symbol; the time constraint bounds
+    * join state to `horizon + lateness` per side (watermark eviction) —
+    * without the interval predicate the bar side would buffer forever.
+    */
+  def ticksWithRecentBars(ticks: DataFrame, bars: DataFrame,
+      horizonMinutes: Int = 5, lateness: String = "1 minute"): DataFrame = {
+    val t = ticks.select(col("symbol"), col("event_time"),
+        col("price").cast("decimal(12,4)").as("price"))
+      .withWatermark("event_time", lateness)
+    val b = bars.select(col("symbol").as("bar_symbol"),
+        (col("bucket_start") + expr("INTERVAL 1 MINUTE")).as("bar_avail"),
+        col("close").as("bar_close"))
+      .withWatermark("bar_avail", lateness)
+    t.join(b,
+      col("symbol") === col("bar_symbol")
+        && col("bar_avail") <= col("event_time")
+        && col("bar_avail") > col("event_time") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+      "leftOuter")
+      .select(col("symbol"), col("event_time"), col("price"),
+        col("bar_avail"), col("bar_close"))
+  }
+
   /** Convenience sink for tests: run a streaming bars query into an
     * in-memory table. Update mode surfaces bars as they refine (the
     * reference's upsert-visible behavior, S9).
