@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -628,6 +628,121 @@ object StarAnalytics {
       |       CAST(sum(_rev) AS DOUBLE) AS revenue_sum
       |FROM q GROUP BY n_name, quartile ORDER BY n_name, quartile""".stripMargin
 
+  // ---- small_quantity_revenue: correlated-aggregate decorrelation ------
+  /** TPC-H Q17 shape — revenue from small-quantity orders of one brand's
+    * parts, where "small" is relative to EACH part's own average ordered
+    * quantity (the correlated scalar-aggregate subquery, decorrelated the
+    * way an optimizer would: per-key aggregate + co-partitioned join back).
+    * The brand filter broadcasts into the lineitem scan FIRST, so the
+    * per-part average aggregates only the brand's lines (identical set —
+    * the subquery correlates on partkey and partkeys are brand-disjoint).
+    *
+    * Determinism: quantities are integral, so `qty < 0.2 · avg` is
+    * evaluated as the integer predicate `5 · qty · n < Σqty` — no double
+    * threshold, no rounding boundary; the revenue sum stays exact DECIMAL
+    * to the output cast, and `/ 7.0` is one IEEE division.
+    *
+    * Scale: one broadcast join (brand parts), one partkey-keyed partial
+    * aggregate, one partkey-keyed join — the agg and the join-back share
+    * the partkey partitioning (ReusedExchange at scale); no correlated
+    * per-row subquery execution exists anywhere.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#4").select(col("p_partkey"))
+    val lines = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice").cast(Money).as("price"))
+      .localCheckpoint(eager = false)
+    val thresholds = lines.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+    lines.join(thresholds, "l_partkey")
+      .filter(col("qty") * lit(5L) * col("n_lines") < col("sum_qty"))
+      .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  val smallQuantityRevenueSql: String =
+    """WITH lines AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(10,2)) AS price
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#4'),
+      |th AS (
+      |  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |         count(*) AS n_lines
+      |  FROM lines GROUP BY l_partkey)
+      |SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lines JOIN th USING (l_partkey)
+      |WHERE qty * 5 * n_lines < sum_qty""".stripMargin
+
+  // ---- data_quality_report: declarative constraint audit ---------------
+  /** Deequ-style expectations over the star schema in one pass per table:
+    * range checks, positivity, key uniqueness, and referential integrity
+    * (orphan foreign keys via anti-join counts). Each check emits
+    * (check_name, violations, pass) — the report a pipeline gates a
+    * publish on.
+    *
+    * Scale: the column checks fold into per-table single-row aggregates
+    * (one scan each); the referential checks are anti joins keyed on the
+    * FK — broadcast when the PK side is dimension-sized, shuffle
+    * otherwise; uniqueness is count − count(distinct) on the key. All
+    * outputs are integer-exact.
+    */
+  def dataQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def report(name: String, violations: Column) =
+      (n: DataFrame) => n.agg(violations.cast("long").as("violations"))
+        .select(lit(name).as("check_name"), col("violations"),
+          (col("violations") === 0L).as("pass"))
+    val qtyRange = report("lineitem_quantity_in_1_50",
+      sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L).otherwise(0L)))(li)
+    val pricePos = report("lineitem_extendedprice_positive",
+      sum(when(col("l_extendedprice") <= 0.0 || col("l_extendedprice").isNull, 1L)
+        .otherwise(0L)))(li)
+    val custUnique = report("customer_custkey_unique",
+      count(lit(1)) - countDistinct(col("c_custkey")))(cust)
+    val orphanOrders = ord
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_custkey_in_customer").as("check_name"),
+        col("violations"), (col("violations") === 0L).as("pass"))
+    val orphanLines = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_orderkey_in_orders").as("check_name"),
+        col("violations"), (col("violations") === 0L).as("pass"))
+    qtyRange.unionByName(pricePos).unionByName(custUnique)
+      .unionByName(orphanOrders).unionByName(orphanLines)
+      .orderBy("check_name")
+  }
+
+  val dataQualityReportSql: String =
+    """WITH checks AS (
+      |  SELECT 'lineitem_quantity_in_1_50' AS check_name,
+      |         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_extendedprice_positive',
+      |         CAST(sum(CASE WHEN l_extendedprice <= 0 OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'customer_custkey_unique',
+      |         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders_custkey_in_customer',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_in_orders',
+      |         CAST(count(*) AS BIGINT)
+      |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      |SELECT check_name, violations, violations = 0 AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
   // ---- event_cube: full grouping-sets lattice ---------------------------
   /** CUBE over (event_type, weekday) — the grouping-sets completion of
     * event_rollup's ROLLUP: all four lattice levels (both, each, grand
@@ -654,6 +769,8 @@ object StarAnalytics {
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "user_churn"        -> (userChurn _, userChurnSql),
+    "small_quantity_revenue" -> (smallQuantityRevenue _, smallQuantityRevenueSql),
+    "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),
     "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),

@@ -210,6 +210,52 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) == 2.0)   // slope
   }
 
+  // ---- small_quantity_revenue ----------------------------------------------
+
+  test("Q17 shape: matches the brute-force correlated threshold") {
+    import spark.implicits._
+    val out = StarAnalytics.smallQuantityRevenue(spark, dir)
+      .as[java.lang.Double].head()
+    // brute force on the driver: per-part avg over the brand's lines
+    val brand = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+      .as[Long].collect().toSet
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(t => brand.contains(t._1))
+    val byPart = lines.groupBy(_._1)
+    val expected = byPart.values.flatMap { ls =>
+      val avg = ls.map(_._2).sum / ls.length
+      ls.filter(_._2 < 0.2 * avg).map(t => BigDecimal(t._3).setScale(2))
+    }.sum / 7.0
+    if (expected == 0) assert(out == null)
+    else assert(math.abs(out - expected.toDouble) < 1e-6)
+  }
+
+  // ---- data_quality_report -------------------------------------------------
+
+  test("data quality: planted violations are detected, clean checks pass") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dq").toString
+    // customer 1 duplicated; order 20 orphaned (custkey 99); line with
+    // qty 99 out of range; line 300 orphaned (orderkey 999)
+    Seq((1L, "a"), (1L, "a"), (2L, "b"))
+      .toDF("c_custkey", "c_name").write.parquet(s"$tmp/customer.parquet")
+    Seq((10L, 1L), (20L, 99L))
+      .toDF("o_orderkey", "o_custkey").write.parquet(s"$tmp/orders.parquet")
+    Seq((100L, 10L, 5.0, 10.0), (200L, 10L, 99.0, 10.0), (300L, 999L, 5.0, 10.0))
+      .toDF("l_linenumber", "l_orderkey", "l_quantity", "l_extendedprice")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    val out = StarAnalytics.dataQualityReport(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out("customer_custkey_unique") == ((1L, false)))
+    assert(out("orders_custkey_in_customer") == ((1L, false)))
+    assert(out("lineitem_quantity_in_1_50") == ((1L, false)))
+    assert(out("lineitem_orderkey_in_orders") == ((1L, false)))
+    assert(out("lineitem_extendedprice_positive") == ((0L, true)))
+  }
+
   // ---- span_dedup_rate -----------------------------------------------------
 
   test("span dedup rate: copied doc pair at 1.0, unique doc at 0.0") {
