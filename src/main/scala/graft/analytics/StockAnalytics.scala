@@ -381,6 +381,42 @@ object StockAnalytics {
        |SELECT symbol, true AS p50_within_bounds, true AS p95_within_bounds
        |FROM ticks GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  // ---- volume_rank: percent_rank / cume_dist window family -------------
+  /** Each trading day's volume ranked within its symbol's own history —
+    * percent_rank ((rank−1)/(n−1)) and cume_dist (≤-fraction), the two
+    * relative-rank window functions the rest of the surface doesn't use.
+    * Both are tie-stable (equal volumes share a value), so no tiebreak is
+    * needed for determinism, and their exact-rational doubles are
+    * bit-identical across engines without rounding.
+    *
+    * Scale: one (symbol, day) hash aggregate then one window partitioned
+    * by symbol over ~days-per-symbol rows — the window input is the
+    * AGGREGATED frame (tiny), never raw ticks.
+    */
+  def volumeRank(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.ticks(spark, dir)
+      .groupBy(col("symbol"), col("event_time").cast("date").as("day"))
+      .agg(sum(coalesce(col("volume"), lit(0L))).as("day_volume"))
+    val w = Window.partitionBy("symbol").orderBy("day_volume")
+    daily.select(col("symbol"), col("day"), col("day_volume"),
+        percent_rank().over(w).as("volume_pct_rank"),
+        cume_dist().over(w).as("volume_cume_dist"))
+      .orderBy("symbol", "day")
+  }
+
+  val volumeRankSql: String =
+    s"""${Tables.TICKS_CTE},
+       |daily AS (
+       |  SELECT symbol, CAST(event_time AS DATE) AS day,
+       |         CAST(sum(coalesce(volume, 0)) AS BIGINT) AS day_volume
+       |  FROM ticks GROUP BY symbol, day)
+       |SELECT symbol, day, day_volume,
+       |       percent_rank() OVER w AS volume_pct_rank,
+       |       cume_dist() OVER w AS volume_cume_dist
+       |FROM daily
+       |WINDOW w AS (PARTITION BY symbol ORDER BY day_volume)
+       |ORDER BY symbol, day""".stripMargin
+
   // ---- /health, /ready — A10 global probes -----------------------------
   def healthCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.ticks(spark, dir).agg(
@@ -508,5 +544,6 @@ object StockAnalytics {
     "bars_daily"        -> (barsDaily _, barsDailySql),
     "price_quantiles"   -> (priceQuantiles _, priceQuantilesSql),
     "price_quantiles_approx" -> (priceQuantilesApprox _, priceQuantilesApproxSql),
+    "volume_rank"       -> (volumeRank _, volumeRankSql),
   )
 }

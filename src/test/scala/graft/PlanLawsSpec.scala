@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression laws over the ENTIRE query registry — the
+  * design-for-scale claims in PLANS.md as executable assertions, so a
+  * future edit that silently degrades a plan (a lost pushdown, a join
+  * that falls back to a cartesian) fails CI instead of surfacing at
+  * 100 TB. Plans are compiled at sf0.001 (planning only; nothing runs).
+  */
+class PlanLawsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Queries whose plans legitimately contain BroadcastNestedLoopJoin:
+  // either a broadcast 1-row anchor cross join (movers/bars_summary/churn
+  // family, similarity query-side broadcast) — a constant-size build side
+  // at any scale — or the documented Q·N scored scan of knn_brute.
+  private val bnljAllowed = Set(
+    "movers", "movers_join", "bars_summary", "ticks_summary",
+    "ticks_gapfill", "user_churn",
+    "knn_brute", "knn_ivf", "knn_lsh", "knn_lsh_mp", "knn_quantized",
+    "dedup_embedding", "dedup_embedding_lsh", "sim_pairs_topk",
+    "table_profile_approx", "corpus_mix", "embedding_quantize",
+    "decontam", "source_profile", "lm_quality", "tfidf_topk",
+    "corpus_curation", "curation_audit", "dedup_incremental")
+
+  private lazy val plans: Map[String, String] = {
+    GraftExtensions.register(spark)
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+  }
+
+  test("no query plan contains a CartesianProduct") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin only where a constant-size build side is intended") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop joins in: $offenders")
+  }
+
+  test("selective scans push their predicates into the parquet scan") {
+    // Representative pushdown checks: timestamp band on the Q1/Q6 shapes,
+    // segment equality on the Q3 shape. (Q17's brand filter sits behind
+    // the lazy localCheckpoint boundary, which hides its scan from the
+    // compiled plan — its pushdown is covered by the shared machinery.)
+    Seq("pricing_summary" -> "l_shipdate",
+        "forecast_revenue" -> "l_shipdate",
+        "shipping_priority" -> "c_mktsegment").foreach { case (q, col) =>
+      val p = plans(q)
+      assert(p.contains("PushedFilters: [") && p.contains(col),
+        s"$q: no pushed filter on $col")
+    }
+  }
+
+  test("scans are column-pruned: pricing_summary reads a subset of lineitem") {
+    val p = plans("pricing_summary")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined)
+    val cols = read.get.split(",").length
+    assert(cols <= 7, s"pricing_summary reads $cols lineitem columns; expected <= 7")
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort+limit") {
+    Seq("ticks_latest", "movers", "shipping_priority").foreach { q =>
+      assert(plans(q).contains("TakeOrderedAndProject"), s"$q lost its top-k operator")
+    }
+  }
+}
