@@ -938,8 +938,41 @@ object TextAnalytics {
       |FROM dg JOIN cnt USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- corpus_shards: deterministic training-shard manifest ------------
+  /** The write-the-training-set step: every document assigned to one of
+    * N shards by a content hash that any engine (and any retry, any
+    * partitioning) reproduces — `hash60(text) mod N`, the same
+    * deterministic-sampling primitive corpus_mix uses. The manifest rows
+    * (per-shard doc count, byte budget, id range) are what a trainer's
+    * data loader consumes; hash-sharding means shard sizes concentrate
+    * tightly around corpus/N with no coordination.
+    *
+    * Scale: one pass, one hash aggregate on the shard key — at 100 TB
+    * the same shard column becomes the `partitionBy` of the actual shard
+    * write, so manifest and data layout derive from one expression.
+    */
+  def corpusShards(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(pmod(hash60(col("text")), lit(8L)).as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("shard")
+
+  val corpusShardsSql: String =
+    s"""SELECT ${hash60Sql("text")} % 8 AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       min(doc_id) AS min_doc_id,
+       |       max(doc_id) AS max_doc_id
+       |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
+    "corpus_shards"   -> (corpusShards _, corpusShardsSql),
     "lm_quality"      -> (lmQuality _, lmQualitySql),
     "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),

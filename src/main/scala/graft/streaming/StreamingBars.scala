@@ -101,6 +101,44 @@ object StreamingBars {
         col("bar_avail"), col("bar_close"))
   }
 
+  /** Streaming funnel progression: a per-user state machine over the
+    * live event stream — the streaming twin of the batch `events_funnel`
+    * query. State is (stage reached, time of the stage-completing event);
+    * each micro-batch's events fold in event-time order, advancing the
+    * stage when the NEXT stage's event type arrives strictly after the
+    * previous stage's completion (the batch query's min-ts chain computed
+    * greedily, which is equivalent when each user's events arrive in
+    * event-time order across batches — the kafka-keyed-partition
+    * delivery contract; an out-of-order refinement would need the batch
+    * replay, which stays the exact form).
+    *
+    * Scale: keyed state is two fields per user — O(distinct users), the
+    * same budget as latestPerSymbol; emission is Update-mode (state
+    * refines as users progress).
+    */
+  def funnelProgress(events: DataFrame,
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    val stageArr = stages.toArray
+    events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, String, Timestamp)],
+         state: GroupState[FunnelProgress]) => {
+          val init = state.getOption.getOrElse(FunnelProgress(userId, 0, None))
+          val next = rows.toSeq.sortBy(_._3.getTime).foldLeft(init) { (st, ev) =>
+            if (st.stage < stageArr.length && ev._2 == stageArr(st.stage)
+              && st.stage_ts.forall(t => ev._3.after(t)))
+              FunnelProgress(userId, st.stage + 1, Some(ev._3))
+            else st
+          }
+          state.update(next)
+          next
+        })
+  }
+
   /** Convenience sink for tests: run a streaming bars query into an
     * in-memory table. Update mode surfaces bars as they refine (the
     * reference's upsert-visible behavior, S9).
@@ -169,3 +207,9 @@ object StreamingBars {
 /** A per-symbol activity session (see [[StreamingBars.sessionize]]). */
 final case class TickSession(symbol: String, session_start: Timestamp,
     session_end: Timestamp, n_ticks: Long)
+
+/** Per-user funnel state (see [[StreamingBars.funnelProgress]]): how many
+  * ordered stages the user has completed and when the last one closed.
+  */
+final case class FunnelProgress(user_id: Long, stage: Int,
+    stage_ts: Option[Timestamp])

@@ -84,4 +84,37 @@ class StreamJoinSpec extends SparkSpec {
       assert(matches.isEmpty)
     } finally query.stop()
   }
+
+  test("streaming funnel state machine advances in order across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val events = in.toDF().toDF("user_id", "event_type", "ts")
+    val query = StreamingBars.funnelProgress(events)
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode(OutputMode.Update()).start()
+    def stages(): Map[Long, Int] = spark.table("funnel_state").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getInt(1)).max).toMap
+    try {
+      // batch 1: u1 views+clicks (order scrambled within the batch);
+      // u2 purchases first (wrong order — must stay at 0)
+      in.addData(
+        (1L, "click", ts("2024-01-01 10:01:00")),
+        (1L, "view", ts("2024-01-01 10:00:00")),
+        (2L, "purchase", ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      assert(stages() == Map(1L -> 2, 2L -> 0))
+      // batch 2: u1 purchases (advances to 3); u2 views (starts at 1)
+      in.addData(
+        (1L, "purchase", ts("2024-01-01 10:02:00")),
+        (2L, "view", ts("2024-01-01 10:03:00")))
+      query.processAllAvailable()
+      assert(stages() == Map(1L -> 3, 2L -> 1))
+      // equal-timestamp event must NOT advance (strictly-after rule)
+      in.addData((2L, "click", ts("2024-01-01 10:03:00")))
+      query.processAllAvailable()
+      assert(stages()(2L) == 1)
+    } finally query.stop()
+  }
 }
