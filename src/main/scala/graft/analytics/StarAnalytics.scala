@@ -743,6 +743,40 @@ object StarAnalytics {
       |SELECT check_name, violations, violations = 0 AS pass
       |FROM checks ORDER BY check_name""".stripMargin
 
+  // ---- event_transitions: lead() path analysis -------------------------
+  /** Top event-type transitions (behavioral bigrams): each user's events
+    * in time order, paired with the NEXT event via `lead` — the path /
+    * Markov-transition analysis a product warehouse runs on clickstreams,
+    * and the `lead` coverage twin of the session queries' `lag`. The
+    * (ts, event_id) ordering key makes lead deterministic under
+    * same-timestamp ties.
+    *
+    * Scale: one shuffle on user_id for the window (bounded per-user
+    * partitions), then a 25-key hash aggregate; top-k by count via
+    * TakeOrderedAndProject.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"), col("next_type"))
+      .limit(10)
+  }
+
+  val eventTransitionsSql: String =
+    """SELECT event_type, next_type, count(*) AS n FROM (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type
+      |ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin
+
   // ---- event_cube: full grouping-sets lattice ---------------------------
   /** CUBE over (event_type, weekday) — the grouping-sets completion of
     * event_rollup's ROLLUP: all four lattice levels (both, each, grand
@@ -771,6 +805,7 @@ object StarAnalytics {
     "user_churn"        -> (userChurn _, userChurnSql),
     "small_quantity_revenue" -> (smallQuantityRevenue _, smallQuantityRevenueSql),
     "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),
+    "event_transitions" -> (eventTransitions _, eventTransitionsSql),
     "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),

@@ -373,11 +373,50 @@ object TimeSeriesAnalytics {
        |         AS beta
        |FROM m ORDER BY symbol""".stripMargin
 
+  // ---- ticks_drawdown: running-max drawdown per symbol -----------------
+  /** Maximum drawdown — the peak-to-trough loss fraction against the
+    * running high-water mark, the canonical path-dependent risk metric.
+    * The running max stays exact DECIMAL through the cumulative frame;
+    * each row's drawdown is one double division, and the final `max` is
+    * order-free, so the result is bit-deterministic cross-engine before
+    * the edge rounding.
+    *
+    * Scale: the ticks_sma shape — one shuffle on symbol, one ordered
+    * in-partition window pass (cumulative max is O(1) per row), one
+    * 5-row final aggregate.
+    */
+  def ticksDrawdown(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("event_time"), col("tick_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.ticks(spark, dir)
+      .select(col("symbol"), col("price"),
+        max(col("price")).over(w).as("run_max"))
+      .select(col("symbol"),
+        ((col("run_max") - col("price")).cast("double")
+          / col("run_max").cast("double")).as("dd"))
+      .groupBy("symbol")
+      .agg(round(max(col("dd")), 6).as("max_drawdown"))
+      .orderBy("symbol")
+  }
+
+  val ticksDrawdownSql: String =
+    s"""${Tables.TICKS_CTE},
+       |dd AS (
+       |  SELECT symbol,
+       |         CAST(max(price) OVER w - price AS DOUBLE)
+       |         / CAST(max(price) OVER w AS DOUBLE) AS dd
+       |  FROM ticks
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY event_time, tick_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT symbol, round(max(dd), 6) AS max_drawdown
+       |FROM dd GROUP BY symbol ORDER BY symbol""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
     "ticks_anomaly"          -> (ticksAnomaly _, ticksAnomalySql),
     "ticks_range_vwap"       -> (ticksRangeVwap _, ticksRangeVwapSql),
     "ticks_beta"             -> (ticksBeta _, ticksBetaSql),
+    "ticks_drawdown"         -> (ticksDrawdown _, ticksDrawdownSql),
     "ticks_asof_bars_native" -> (ticksAsofBarsNative _, ticksAsofBarsSql),
     "tick_sessions"          -> (tickSessions _, tickSessionsSql),
     "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),

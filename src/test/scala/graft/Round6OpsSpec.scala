@@ -256,6 +256,43 @@ class Round6OpsSpec extends SparkSpec {
     assert(out("lineitem_extendedprice_positive") == ((0L, true)))
   }
 
+  // ---- event_transitions ---------------------------------------------------
+
+  test("transitions: bigrams follow each user's time order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // u1: view -> click -> purchase ; u2: view -> view
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1), 1L, "click", 1.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}"), (5L, ts(5), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("trans").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = StarAnalytics.eventTransitions(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("view", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("view", "view") -> 1L))
+  }
+
+  // ---- ticks_drawdown ------------------------------------------------------
+
+  test("drawdown: peak-to-trough fraction against the running high-water mark") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 100.0, "{}"), (2L, ts(1), 1L, "view", 120.0, "{}"),
+      (3L, ts(2), 1L, "view", 60.0, "{}"), (4L, ts(3), 1L, "view", 90.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("ddown").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = TimeSeriesAnalytics.ticksDrawdown(spark, tmp).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(1) == 0.5) // (120 - 60) / 120
+  }
+
   // ---- span_dedup_rate -----------------------------------------------------
 
   test("span dedup rate: copied doc pair at 1.0, unique doc at 0.0") {
