@@ -890,9 +890,15 @@ object TextAnalytics {
     *
     * Scale: gram extraction is linear (one row per token position), the
     * doc-count is one gram-keyed aggregate with map-side partials, and
-    * the rate join is gram-keyed — no pairwise anything; this is the
-    * cheap pre-pass that decides whether the expensive suffix-array pass
-    * is worth scheduling.
+    * the dup test is a LEFT SEMI join of the (doc, gram) frame against
+    * the duplicated-gram key set only (`docs > 1` — the small side by
+    * construction: most grams in a real corpus are singletons), so the
+    * join emits one slim row per duplicated hit instead of carrying
+    * every (doc, gram) row through a full-width join. Per-doc `n_grams`
+    * is pre-aggregated on the frame alone, and the two per-doc frames
+    * stitch on `doc_id` — no pairwise anything; this is the cheap
+    * pre-pass that decides whether the expensive exact-substring
+    * removal pass ([[spanRemoval]]) is worth scheduling.
     */
   def spanDedupRate(spark: SparkSession, dir: String): DataFrame =
     spanDedupRateOn(Tables.documents(spark, dir))
@@ -911,11 +917,14 @@ object TextAnalytics {
       // tokenize+gram+distinct pipeline runs twice (house pattern, see
       // Dedup.hashedSets).
       .localCheckpoint(eager = false)
-    val cnt = dg.groupBy("g").agg(count(lit(1)).as("docs"))
-    dg.join(cnt, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("docs") > 1, 1L).otherwise(0L)).as("dup_grams"))
+    val perDoc = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dupGramKeys = dg.groupBy("g").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > 1).select("g")
+    val dupPerDoc = dg.join(dupGramKeys, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
       .select(col("doc_id"), col("n_grams"), col("dup_grams"),
         round(col("dup_grams").cast("double") / col("n_grams"), 4).as("dup_rate"))
       .orderBy("doc_id")
@@ -937,6 +946,128 @@ object TextAnalytics {
       |             / count(*), 4) AS dup_rate
       |FROM dg JOIN cnt USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- span_removal: duplicated-span excision intervals ----------------
+  /** Per-document excision intervals for duplicated token spans — the
+    * exact-substring dedup pass of Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better") re-expressed distributed:
+    * instead of one giant suffix array, every token 8-gram shared by more
+    * than one document marks its 8-token window as duplicated, and
+    * overlapping/contiguous duplicated windows per doc merge into maximal
+    * `[span_start, span_end]` token intervals (1-based, inclusive). The
+    * companion [[spanRemovalClean]] excises the intervals and re-stitches
+    * the text; `SpanRemovalSpec` asserts the stitch law (cleaning drives
+    * the [[spanDedupRateOn]] diagnostic to ~0).
+    *
+    * Same gram hashing as the diagnostic (xxhash64 of the joined gram —
+    * 8 bytes through the shuffle; oracle keeps raw strings, only
+    * positions reach the output).
+    *
+    * Scale: gram extraction is linear, the duplicated-gram key set is one
+    * gram-keyed aggregate filtered to `docs > 1` (small by construction),
+    * the position probe is a LEFT SEMI join on the gram key, and interval
+    * merging is a per-document gaps-and-islands window — partitioned by
+    * doc_id, so the window frame is bounded by document length, never by
+    * corpus size. No pairwise comparison anywhere.
+    */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalOn(Tables.documents(spark, dir))
+
+  private val SpanG = 8
+
+  /** (doc_id, pos, g): one row per token position (1-based) with the
+    * xxhash64 of the 8-gram starting there. Shared by the interval
+    * builder and the cleaner.
+    */
+  private def positionedGrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= SpanG)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $SpanG), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $SpanG))))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+
+  /** Excision intervals: merge duplicated 8-gram windows per doc. Two
+    * duplicated positions p < q merge when q - p <= 8 (their 8-token
+    * windows overlap or touch), i.e. a new island starts when the gap
+    * from the previous duplicated position exceeds the gram width.
+    */
+  def spanRemovalOn(docs: DataFrame): DataFrame = {
+    val pg = positionedGrams(docs).localCheckpoint(eager = false)
+    val dupGramKeys = pg.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > 1).select("g")
+    val dupPos = pg.join(dupGramKeys, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos
+      .withColumn("brk",
+        when(coalesce(col("pos") - lag("pos", 1).over(w), lit(SpanG + 1)) > SpanG, 1)
+          .otherwise(0))
+      .withColumn("island", sum("brk").over(
+        Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(SpanG - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val spanRemovalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest([{'pos': i, 'g': array_to_string(t[i:i+7], ' ')}
+      |                 for i in generate_series(1, len(t) - 7)],
+      |                recursive := true)
+      |  FROM toks WHERE len(t) >= 8),
+      |dupg AS (
+      |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS docs
+      |                 FROM grams GROUP BY g) WHERE docs > 1),
+      |dp AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 9) > 8
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM dp),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl)
+      |SELECT doc_id,
+      |       CAST(min(pos) AS INTEGER) AS span_start,
+      |       CAST(max(pos) + 7 AS INTEGER) AS span_end,
+      |       CAST(max(pos) + 7 - min(pos) + 1 AS INTEGER) AS span_tokens
+      |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
+  /** Cleaned corpus: every token inside an excision interval removed, the
+    * survivors re-stitched with single spaces. Docs with no duplicated
+    * span pass through untouched; docs whose entire text is duplicated
+    * come back empty (the caller's filter decides whether to drop them).
+    *
+    * The token filter is a higher-order `filter` over the token array
+    * against the doc's (collected) interval list — O(tokens × spans) per
+    * document, both bounded by doc length; the interval list rides a
+    * doc_id-keyed LEFT join, so the plan stays linear in corpus size.
+    */
+  def spanRemovalClean(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalCleanOn(Tables.documents(spark, dir))
+
+  def spanRemovalCleanOn(docs: DataFrame): DataFrame = {
+    val spans = spanRemovalOn(docs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """concat_ws(' ', filter(split(text, ' '),
+            |  (tok, i) -> !exists(spans,
+            |    s -> i + 1 >= s.span_start AND i + 1 <= s.span_end)))""".stripMargin)))
+      .select(col("doc_id"), col("clean_text"))
+  }
 
   // ---- corpus_shards: deterministic training-shard manifest ------------
   /** The write-the-training-set step: every document assigned to one of
@@ -975,6 +1106,7 @@ object TextAnalytics {
     "corpus_shards"   -> (corpusShards _, corpusShardsSql),
     "lm_quality"      -> (lmQuality _, lmQualitySql),
     "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),
+    "span_removal"    -> (spanRemoval _, spanRemovalSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),
