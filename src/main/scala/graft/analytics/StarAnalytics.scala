@@ -553,7 +553,10 @@ object StarAnalytics {
       |       CAST(sum(k) AS BIGINT) AS k_sum,
       |       min(k) AS k_min, max(k) AS k_max,
       |       round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS k_avg
-      |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      |FROM (SELECT event_type,
+      |             CASE WHEN json_valid(props)
+      |                  THEN try_cast(props->>'$.k' AS BIGINT) END AS k
+      |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- customer_rank / customer_quartiles: ranking-function surface ----

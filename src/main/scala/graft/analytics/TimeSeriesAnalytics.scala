@@ -231,7 +231,10 @@ object TimeSeriesAnalytics {
     * 20-row warmup overlap per slice.
     */
   def ticksAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val fr = Window.partitionBy("symbol").orderBy("event_time")
+    // tick_id tiebreak: with same-timestamp ticks per symbol, an
+    // event_time-only ROWS frame has engine/plan-dependent membership
+    // (same reason ticksDrawdown and event_transitions order by both).
+    val fr = Window.partitionBy("symbol").orderBy(col("event_time"), col("tick_id"))
       .rowsBetween(-20, -1)
     val p  = col("price").cast("double")
     val n  = col("n").cast("double")
@@ -258,7 +261,7 @@ object TimeSeriesAnalytics {
        |         sum(price)   OVER fr AS s1,
        |         sum(price * price) OVER fr AS s2
        |  FROM ticks
-       |  WINDOW fr AS (PARTITION BY symbol ORDER BY event_time
+       |  WINDOW fr AS (PARTITION BY symbol ORDER BY event_time, tick_id
        |                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
        |scored AS (
        |  SELECT tick_id, symbol, event_time, CAST(price AS DOUBLE) AS price,
@@ -340,7 +343,10 @@ object TimeSeriesAnalytics {
       sum(col("volume")).as("sy"),
       sum(col("price") * vDec).as("sxy"),
       sum(col("price") * col("price")).as("sx2"),
-      sum(col("volume") * col("volume")).as("sy2"))
+      // vDec² not long² — long wraps silently ~1e21 scaled units (1e13
+      // rows × 1e8 per-row square) while the oracle promotes to HUGEINT;
+      // DECIMAL keeps the moment sum exact and order-free in both engines.
+      sum(vDec * vDec).as("sy2"))
     val n   = col("n").cast("double")
     val sx  = col("sx").cast("double");  val sy  = col("sy").cast("double")
     val sxy = col("sxy").cast("double"); val sx2 = col("sx2").cast("double")
@@ -361,7 +367,7 @@ object TimeSeriesAnalytics {
        |         sum(volume) AS sy,
        |         sum(price * CAST(volume AS DECIMAL(12,0))) AS sxy,
        |         sum(price * price) AS sx2,
-       |         sum(volume * volume) AS sy2
+       |         sum(CAST(volume AS DECIMAL(12,0)) * CAST(volume AS DECIMAL(12,0))) AS sy2
        |  FROM ticks WHERE volume IS NOT NULL GROUP BY symbol)
        |SELECT symbol, n,
        |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
