@@ -714,6 +714,56 @@ object TextAnalytics {
        |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(score, 6) AS tfidf
        |FROM ranked WHERE rn <= $TfidfK""".stripMargin
 
+  // ---- tfidf_topk_log: classic log-idf twin -----------------------------
+  /** The classic-weighting twin of [[tfidfTopk]]: `tf/len · ln(N/df)` —
+    * what most retrieval stacks actually ship. The linear variant stays
+    * the normative hash-exact one (IEEE specifies exact *, / but only
+    * 1-ulp-correct ln); here the doubles flow through `ln` in identical
+    * operation order in both engines, so a cross-engine rank flip needs
+    * two distinct terms' scores within one ulp of each other — absent
+    * from every shipped SF (the cross-scale gate runs all three), and
+    * exact ties (same tf, dl, df — e.g. the ln(1)=0 all-docs terms)
+    * break on term asc identically. Same plan shape as the linear twin.
+    */
+  def tfidfTopkLog(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopkLogOn(Tables.documents(spark, dir))
+
+  private[graft] def tfidfTopkLogOn(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tc")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tc").cast("double") / col("dl")
+          * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
+  val tfidfTopkLogSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS dl FROM tc GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |ranked AS (
+       |  SELECT tc.doc_id, tc.term,
+       |         tc.tc::DOUBLE / dl.dl * ln(n.n_docs::DOUBLE / df.df) AS score,
+       |         row_number() OVER (
+       |           PARTITION BY tc.doc_id
+       |           ORDER BY tc.tc::DOUBLE / dl.dl * ln(n.n_docs::DOUBLE / df.df) DESC, tc.term ASC) AS rn
+       |  FROM tc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(rn AS INT) AS rank, term, round(score, 6) AS tfidf
+       |FROM ranked WHERE rn <= $TfidfK""".stripMargin
+
   // ---- source_profile: per-source corpus governance report --------------
 
   /** The corpus-governance view a training-data pipeline reviews per
@@ -1118,6 +1168,7 @@ object TextAnalytics {
     "decontam"        -> (decontam _, decontamSql),
     "corpus_mix"      -> (corpusMix _, corpusMixSql),
     "tfidf_topk"      -> (tfidfTopk _, tfidfTopkSql),
+    "tfidf_topk_log"  -> (tfidfTopkLog _, tfidfTopkLogSql),
     "source_profile"  -> (sourceProfile _, sourceProfileSql),
     "curation_audit"  -> (curationAudit _, curationAuditSql),
   )
