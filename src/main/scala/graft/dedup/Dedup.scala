@@ -352,6 +352,90 @@ object Dedup {
       (col("v") === col("label")).as("is_canonical"))
   }
 
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * adversarial-diameter drop-in [[componentsOn]]'s scaladoc names:
+    * min-label propagation needs O(diameter) rounds (a 512-node chain =
+    * 511 rounds), while the star alternation contracts path length
+    * geometrically and converges in O(log² n) rounds with the SAME
+    * per-round physical shape (keyed join + min-agg + distinct).
+    * Min-label stays the default — near-dup graphs are shallow and its
+    * per-round constant is smaller; this is the escape hatch for deep
+    * graphs, behind the identical (pairs → doc_id/component_id/
+    * is_canonical) interface, equivalence property-checked in
+    * `ComponentsVariantSpec` on random graphs and the long chain.
+    *
+    * large-star(u): connect every strictly-larger neighbor to
+    * min(Γ(u) ∪ {u}); small-star(u) on (big → small)-oriented edges:
+    * connect every smaller neighbor and u itself to that min. Both are
+    * one groupBy(min) + one key-partitioned join; the fixpoint is a
+    * forest of stars centered at each component's min vertex. Same
+    * checkpoint-truncation + per-round block release as min-label.
+    */
+  private[graft] def componentsAltStarOn(pairs: DataFrame): DataFrame =
+    componentsAltStarCounted(pairs)._1
+
+  private[graft] def componentsAltStarCounted(pairs: DataFrame): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val both = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = both.groupBy("src").agg(min(col("dst")).as("nmin"))
+        .select(col("src"), least(col("src"), col("nmin")).as("m"))
+      both.join(m, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e
+        .select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val m = oriented.groupBy("src").agg(min(col("dst")).as("m"))
+      val j = oriented.join(m, "src")
+      j.filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+
+    val verts = pairs
+      .select(col("doc_id_1").as("v"))
+      .union(pairs.select(col("doc_id_2").as("v")))
+      .distinct().persist()
+    var before = sc.getPersistentRDDs.keySet
+    var edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    var prevRound = sc.getPersistentRDDs.keySet -- before
+    var converged = false
+    var iters = 0
+    while (!converged && iters < MaxCcIters) {
+      before = sc.getPersistentRDDs.keySet
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val thisRound = sc.getPersistentRDDs.keySet -- before
+      // distinct sets: equal size + empty (next − cur) ⇒ fixpoint
+      converged = next.count() == edges.count() &&
+        next.except(edges).count() == 0L
+      prevRound.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRound = thisRound
+      edges = next
+      iters += 1
+    }
+    require(converged, s"componentsAltStarOn: not converged after $MaxCcIters rounds")
+    // fixpoint edges are (child → component-min); centers label themselves
+    val out = verts.join(edges, col("v") === col("src"), "left")
+      .groupBy("v").agg(min(col("dst")).as("parent"))
+      .select(col("v").as("doc_id"),
+        coalesce(col("parent"), col("v")).as("component_id"),
+        (coalesce(col("parent"), col("v")) === col("v")).as("is_canonical"))
+    verts.unpersist()
+    (out, iters)
+  }
+
   /** Oracle: transitive closure of the exact-Jaccard pair graph via a
     * recursive CTE (tractable at oracle scale; the component id is the
     * min reachable doc_id, which the min-label fixpoint also computes).
