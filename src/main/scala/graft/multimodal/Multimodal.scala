@@ -17,10 +17,14 @@ case class MediaFeature(
   * as opaque `binary` columns with typed metadata, plus a decode /
   * feature-extract stage (north-star extensions, SURVEY.md §7.5).
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic fake ([[decodeStub]]): it derives bytes and
-  * "decoded" metadata from md5 of the document text. Everything around it —
-  * BinaryType column through the plan, schema, partition-parallel
+  * The container has no image/audio codec libraries, so the decode step
+  * for OPAQUE codecs is a clearly-marked deterministic fake
+  * ([[decodeStub]]): it derives bytes and "decoded" metadata from md5 of
+  * the document text. One format IS decoded for real: [[decodePpm]]
+  * parses binary PPM (P6) — header, comments, 8-bit RGB raster — with no
+  * external library, oracle-checked end-to-end (`multimodal_ppm`), and
+  * demonstrates the slot a codec stage plugs into. Everything around the
+  * stubs — BinaryType column through the plan, schema, partition-parallel
   * `mapPartitions` decode, batch shape — is real Spark and is what the
   * tests cover. Swap [[decodeStub]] for a codec UDF and nothing else
   * changes.
@@ -165,8 +169,116 @@ object Multimodal {
       |  FROM m WHERE modality <> 'image')
       |SELECT doc_id, modality, frame_idx, frame_hex FROM f WHERE frame_idx % 2 = 0""".stripMargin
 
+  // ---- multimodal_ppm: REAL decode of an uncompressed image format -----
+
+  /** Synthetic-but-VALID binary PPM (P6) blobs: `P6\n4 4\n255\n` header
+    * followed by exactly 4×4×3 = 48 RGB bytes (three md5 digests of the
+    * doc text — deterministic, so the oracle can re-derive every pixel
+    * from the hex). These are real PPM files: any external P6 reader
+    * decodes them.
+    */
+  def ppmTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("content", concat(
+        lit("P6\n4 4\n255\n").cast("binary"),
+        unhex(concat(
+          md5(col("text")),
+          md5(concat(col("text"), lit("x"))),
+          md5(concat(col("text"), lit("y")))))))
+      .select(col("doc_id"), col("content"))
+
+  /** Decoded PPM statistics: header fields + per-channel pixel sums. */
+  case class PpmStats(
+      doc_id: Long, width: Int, height: Int, maxval: Int,
+      n_pixels: Int, sum_r: Long, sum_g: Long, sum_b: Long, px_sum: Long)
+
+  /** REAL P6 decoder — not a stub: parses the ASCII header (magic,
+    * whitespace/comment handling per the netpbm spec, maxval ≤ 255) and
+    * walks the RGB byte triples. Works on any well-formed 8-bit P6 blob,
+    * not just [[ppmTable]]'s. Partition-parallel iterator pass, same
+    * no-shuffle shape as [[decodeStub]]; this is the pattern a real codec
+    * stage plugs into, demonstrated end-to-end on the one format whose
+    * bytes need no external library.
+    */
+  def decodePpm(media: DataFrame): Dataset[PpmStats] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          var p = 0
+          def skipSpace(): Unit = {
+            var go = true
+            while (go && p < bytes.length) {
+              val c = bytes(p).toChar
+              if (c == '#') { while (p < bytes.length && bytes(p).toChar != '\n') p += 1 }
+              else if (c.isWhitespace) p += 1
+              else go = false
+            }
+          }
+          def readInt(): Int = {
+            skipSpace()
+            var v = 0
+            while (p < bytes.length && bytes(p).toChar.isDigit) {
+              v = v * 10 + (bytes(p) - '0'); p += 1
+            }
+            v
+          }
+          require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+            s"doc $id: not a P6 PPM")
+          p = 2
+          val w  = readInt(); val h = readInt(); val mv = readInt()
+          p += 1 // exactly one whitespace byte after maxval, then raster
+          require(mv > 0 && mv < 256, s"doc $id: only 8-bit maxval supported, got $mv")
+          require(bytes.length - p == w * h * 3,
+            s"doc $id: raster is ${bytes.length - p} bytes, expected ${w * h * 3}")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = p
+          while (i + 2 < bytes.length) {
+            sr += bytes(i) & 0xff; sg += bytes(i + 1) & 0xff; sb += bytes(i + 2) & 0xff
+            i += 3
+          }
+          PpmStats(id, w, h, mv, w * h, sr, sg, sb, sr + sg + sb)
+        }
+      }
+  }
+
+  /** [[decodePpm]] over [[ppmTable]], oracle-checked: DuckDB re-derives
+    * each channel sum by byte arithmetic over the same three md5 hex
+    * strings (R = hex pairs at stride 3 starting 0, etc.). Means divide
+    * by 16 pixels — an exact binary fraction (1/16 = 0.0625), so
+    * round(·,4) is exact in both engines and the hash comparison is
+    * bit-deterministic.
+    */
+  def multimodalPpm(spark: SparkSession, dir: String): DataFrame =
+    decodePpm(ppmTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+        col("n_pixels"), col("px_sum"),
+        round(col("sum_r") / col("n_pixels"), 4).as("mean_r"),
+        round(col("sum_g") / col("n_pixels"), 4).as("mean_g"),
+        round(col("sum_b") / col("n_pixels"), 4).as("mean_b"))
+      .orderBy("doc_id")
+
+  val multimodalPpmSql: String =
+    """WITH hx AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS h
+      |  FROM documents),
+      |sums AS (
+      |  SELECT doc_id,
+      |         list_sum([('0x' || h[6*i+1:6*i+2])::INT FOR i IN RANGE(0, 16)]) AS sum_r,
+      |         list_sum([('0x' || h[6*i+3:6*i+4])::INT FOR i IN RANGE(0, 16)]) AS sum_g,
+      |         list_sum([('0x' || h[6*i+5:6*i+6])::INT FOR i IN RANGE(0, 16)]) AS sum_b
+      |  FROM hx)
+      |SELECT doc_id, 4 AS width, 4 AS height, 255 AS maxval, 16 AS n_pixels,
+      |       CAST(sum_r + sum_g + sum_b AS BIGINT) AS px_sum,
+      |       round(CAST(sum_r AS BIGINT) / 16, 4) AS mean_r,
+      |       round(CAST(sum_g AS BIGINT) / 16, 4) AS mean_g,
+      |       round(CAST(sum_b AS BIGINT) / 16, 4) AS mean_b
+      |FROM sums ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "multimodal_meta"   -> (multimodalMeta _, multimodalMetaSql),
     "multimodal_frames" -> (multimodalFrames _, multimodalFramesSql),
+    "multimodal_ppm"    -> (multimodalPpm _, multimodalPpmSql),
   )
 }

@@ -77,4 +77,35 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.decodeStub(docsMedia.repartition(3)).collect().sortBy(_.doc_id)
     assert(again.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
   }
+
+  test("PPM decoder parses a real P6 file: comments, non-square raster") {
+    import spark.implicits._
+    // 2x3 raster with a header comment — netpbm allows # lines anywhere
+    // in the header whitespace; pixel bytes chosen for exact channel sums
+    val raster = Array[Int](
+      10, 20, 30,  40, 50, 60,
+      1, 2, 3,     4, 5, 6,
+      100, 0, 200, 0, 255, 0).map(_.toByte)
+    val blob = "P6\n# a comment\n2 3\n255\n".getBytes("US-ASCII") ++ raster
+    val df = Seq((7L, blob)).toDF("doc_id", "content")
+    val s = Multimodal.decodePpm(df).collect()(0)
+    assert(s.width == 2 && s.height == 3 && s.maxval == 255 && s.n_pixels == 6)
+    assert(s.sum_r == 10 + 40 + 1 + 4 + 100 + 0)
+    assert(s.sum_g == 20 + 50 + 2 + 5 + 0 + 255)
+    assert(s.sum_b == 30 + 60 + 3 + 6 + 200 + 0)
+    assert(s.px_sum == raster.map(_ & 0xff).sum.toLong)
+  }
+
+  test("PPM decoder rejects non-P6 blobs and truncated rasters") {
+    import spark.implicits._
+    val notPpm = Seq((1L, "JFIF....".getBytes("US-ASCII"))).toDF("doc_id", "content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePpm(notPpm).collect()
+    }
+    val truncated = Seq((2L, "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePpm(truncated).collect()
+    }
+  }
 }
