@@ -23,7 +23,8 @@ class PlanLawsSpec extends SparkSpec {
     "dedup_embedding", "dedup_embedding_lsh", "sim_pairs_topk",
     "table_profile_approx", "corpus_mix", "embedding_quantize",
     "decontam", "source_profile", "lm_quality", "tfidf_topk",
-    "corpus_curation", "curation_audit", "dedup_incremental")
+    "corpus_curation", "curation_audit", "dedup_incremental",
+    "tfidf_topk_log")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
@@ -72,5 +73,24 @@ class PlanLawsSpec extends SparkSpec {
     Seq("ticks_latest", "movers", "shipping_priority").foreach { q =>
       assert(plans(q).contains("TakeOrderedAndProject"), s"$q lost its top-k operator")
     }
+  }
+
+  test("span queries probe duplicated grams with a LEFT SEMI join") {
+    // The slimmed shape: the (doc, gram) frame is probed by the docs>1
+    // key set via LeftSemi — a full-width inner rate join (the r6 10.6 s
+    // pathology) would drop the semi from the plan.
+    Seq("span_dedup_rate", "span_removal").foreach { q =>
+      assert(plans(q).contains("LeftSemi"), s"$q lost its semi-join dup probe")
+    }
+  }
+
+  test("source_profile keeps its curation sets on broadcast joins") {
+    // The removal + contamination sets are near-dup-sized and must ride
+    // BroadcastExchange into the per-doc frame — a shuffle join here
+    // would exchange the whole corpus per signal at 100 TB.
+    val p = plans("source_profile")
+    assert(p.contains("BroadcastExchange"), "source_profile lost its broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "source_profile exchanges the corpus through a sort-merge join")
   }
 }
