@@ -1105,6 +1105,42 @@ object TextAnalytics {
     */
   def spanRemovalClean(spark: SparkSession, dir: String): DataFrame =
     spanRemovalCleanOn(Tables.documents(spark, dir))
+      .orderBy("doc_id")
+
+  val spanRemovalCleanSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |         unnest([{'pos': i, 'g': array_to_string(t[i:i+7], ' ')}
+      |                 for i in generate_series(1, len(t) - 7)],
+      |                recursive := true)
+      |  FROM docs WHERE len(t) >= 8),
+      |dupg AS (
+      |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS docs
+      |                 FROM grams GROUP BY g) WHERE docs > 1),
+      |dp AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 9) > 8
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM dp),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM spans GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN sp.spans IS NULL THEN d.text
+      |            ELSE coalesce(array_to_string(
+      |              [d.t[i] for i in generate_series(1, len(d.t))
+      |               if len(list_filter(sp.spans, x -> i >= x.s AND i <= x.e)) = 0], ' '), '')
+      |       END AS clean_text
+      |FROM docs d LEFT JOIN sp USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   def spanRemovalCleanOn(docs: DataFrame): DataFrame = {
     val spans = spanRemovalOn(docs)
@@ -1157,6 +1193,7 @@ object TextAnalytics {
     "lm_quality"      -> (lmQuality _, lmQualitySql),
     "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),
     "span_removal"    -> (spanRemoval _, spanRemovalSql),
+    "span_removal_clean" -> (spanRemovalClean _, spanRemovalCleanSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),

@@ -457,6 +457,66 @@ object Dedup {
        |FROM reach
        |GROUP BY v""".stripMargin
 
+  /** [[componentsAltStarOn]] over the MinHash pair graph — the
+    * adversarial-diameter variant oracle-checked against the SAME
+    * recursive-closure oracle as `dedup_components` (the two algorithms
+    * are label-equivalent; `ComponentsVariantSpec` property-checks it,
+    * this entry proves it on the driver gate too).
+    */
+  def dedupComponentsAltstar(spark: SparkSession, dir: String): DataFrame =
+    componentsAltStarOn(dedupMinhash(spark, dir))
+
+  // ---- dedup_keep_best: canonical-representative selection -------------
+  /** The dedup DECISION operator: every document gets a (component_id,
+    * keep) verdict under the keep-best policy — within each near-dup
+    * component the LONGEST document survives (ties on doc_id asc), the
+    * standard "keep the most complete version" canonicalization a
+    * training pipeline applies after clustering (min-id canonical flags
+    * which cluster a doc is in; this decides which doc to TRAIN on).
+    * Singletons (no near-dup edge) are their own component and kept.
+    *
+    * Scale: components as in [[componentsOn]]; the verdict itself is one
+    * doc-keyed left join plus a row_number window PARTITIONED by
+    * component — frame bounded by component size, never corpus size.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = componentsOn(dedupMinhash(spark, dir))
+      .select(col("doc_id"), col("component_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("component_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"),
+        col("n_chars"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("component_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+       |  UNION
+       |  SELECT doc_id_2, doc_id_1 FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |comp AS (
+       |  SELECT v AS doc_id, least(v, min(u)) AS component_id
+       |  FROM reach GROUP BY v)
+       |SELECT d.doc_id,
+       |       coalesce(c.component_id, d.doc_id) AS component_id,
+       |       row_number() OVER (
+       |         PARTITION BY coalesce(c.component_id, d.doc_id)
+       |         ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS keep
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- dedup_incremental: new-batch-vs-corpus MinHash dedup ------------
 
   private val NewMod = 10
@@ -619,6 +679,8 @@ object Dedup {
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
     "dedup_components" -> (dedupComponents _, dedupComponentsSql),
+    "dedup_components_altstar" -> (dedupComponentsAltstar _, dedupComponentsSql),
+    "dedup_keep_best" -> (dedupKeepBest _, dedupKeepBestSql),
     "dedup_incremental" -> (dedupIncremental _, dedupIncrementalSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
   )

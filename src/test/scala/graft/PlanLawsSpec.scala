@@ -79,7 +79,7 @@ class PlanLawsSpec extends SparkSpec {
     // The slimmed shape: the (doc, gram) frame is probed by the docs>1
     // key set via LeftSemi — a full-width inner rate join (the r6 10.6 s
     // pathology) would drop the semi from the plan.
-    Seq("span_dedup_rate", "span_removal").foreach { q =>
+    Seq("span_dedup_rate", "span_removal", "span_removal_clean").foreach { q =>
       assert(plans(q).contains("LeftSemi"), s"$q lost its semi-join dup probe")
     }
   }
