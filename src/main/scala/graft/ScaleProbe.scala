@@ -184,6 +184,20 @@ object ScaleProbe {
       if (wanted("span_dedup_rate"))
         time(spark, copies, "span_dedup_rate")(
           graft.analytics.TextAnalytics.spanDedupRateOn(docs))
+      // excision intervals + the full clean pass: dup spans stay the base
+      // corpus' own (replica wrapping breaks cross-replica 8-grams), so
+      // interval output scales ×copies and the clean join stays doc-keyed
+      if (wanted("span_removal"))
+        time(spark, copies, "span_removal")(
+          graft.analytics.TextAnalytics.spanRemovalOn(docs))
+      // count() alone would let Catalyst prune clean_text and with it the
+      // whole spans subtree + rebuild (probe read 0.3 s at 100× — a
+      // non-measurement); the length filter is semantically always-true
+      // but not foldable, so every cleaned string must materialize
+      if (wanted("span_removal_clean"))
+        time(spark, copies, "span_removal_clean")(
+          graft.analytics.TextAnalytics.spanRemovalCleanOn(docs)
+            .filter(length(col("clean_text")) >= 0))
       if (wanted("lm_quality"))
         time(spark, copies, "lm_quality")(
           graft.analytics.TextAnalytics.lmQualityOn(docs))
