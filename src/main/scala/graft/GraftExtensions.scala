@@ -4,7 +4,8 @@ import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, SimhashFold, Top
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Session extension registering the engine's native functions — wire up
   * with `.config("spark.sql.extensions", "graft.GraftExtensions")`, or call
@@ -77,6 +78,27 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"winnow_fp k and w must be integer literals, got $other")
         }
+      }),
+    // Spark's own runtime-filter Bloom machinery, surfaced as callable
+    // functions (the built-ins are registry-hidden internal in this
+    // build): bloom_agg builds a broadcastable filter over xxhash64'd
+    // keys, bloom_contains probes it — no false negatives, FP rate set
+    // by (items, bits). The constant-size set-membership primitive for
+    // 100 TB decontamination (see TextAnalytics.decontamBloomOn).
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (children: Seq[Expression]) => children.length match {
+        case 1 => new BloomFilterAggregate(children.head)
+        case 2 => new BloomFilterAggregate(children.head, children(1))
+        case 3 => new BloomFilterAggregate(children.head, children(1), children(2))
+        case n => throw new IllegalArgumentException(
+          s"bloom_agg takes (xxhash64 col[, est_items[, num_bits]]), got $n args")
+      }),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "bloom_contains takes (bloom, xxhash64 value)")
+        BloomFilterMightContain(children.head, children(1))
       }),
     (FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

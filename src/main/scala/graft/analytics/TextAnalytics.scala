@@ -602,6 +602,56 @@ object TextAnalytics {
        |FROM train t JOIN bench b USING (gram)
        |GROUP BY t.doc_id""".stripMargin
 
+  // ---- decontam_bloom: constant-size probabilistic decontamination ------
+
+  /** Bloom-filter decontamination — the shape the exact [[decontamOn]]
+    * takes when even the benchmark GRAM SET is too large to broadcast
+    * verbatim (a full eval-suite union at 100 TB): the benchmark grams
+    * compress into one constant-size Bloom filter (Spark's own
+    * runtime-filter `BloomFilterAggregate`, surfaced as `bloom_agg` via
+    * `GraftExtensions`), and every training gram probes it with
+    * `bloom_contains`. Bloom guarantees NO FALSE NEGATIVES — every truly
+    * contaminated doc is flagged, the compliance direction — while false
+    * positives are bounded by the (items, bits) sizing; flagged docs
+    * then re-check exactly against only the matched grams in a second
+    * pass if exactness is needed (the classic two-tier screen).
+    * Probabilistic output ⇒ spec-law-checked (`DecontamBloomSpec`:
+    * superset-of-exact + FP budget + determinism), not oracle-hashed.
+    *
+    * Scale: the filter is ONE aggregate reduced to a single buffer and
+    * broadcast (constant bytes, vs the exact path's full gram set); the
+    * probe is a per-row codegen predicate — no join, no shuffle on the
+    * corpus side before the per-doc count.
+    */
+  def decontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(Tables.documents(spark, dir))
+    decontamBloomOn(
+      grams.filter(col("doc_id") % BenchMod =!= 0),
+      grams.filter(col("doc_id") % BenchMod === 0))
+  }
+
+  private[graft] def decontamBloomOn(trainGrams: DataFrame, benchGrams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftops.PlanUtils
+    import org.apache.spark.sql.types.BinaryType
+    graft.GraftExtensions.register(trainGrams.sparkSession)
+    // 16 bits/item ⇒ ~0.05% FP rate at the estimated cardinality. The
+    // one-row filter buffer is collected to the driver and re-injected
+    // as a binary LITERAL — `might_contain` requires a constant/scalar
+    // filter side, and this is exactly how Spark's own runtime-filter
+    // rewrite injects it; a ~40 KB control-plane read, independent of
+    // both corpus and benchmark size.
+    val bfBytes = benchGrams
+      .agg(expr("bloom_agg(xxhash64(gram), 20000L, 320000L)").as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    trainGrams
+      .filter(PlanUtils.columnOf(BloomFilterMightContain(
+        Literal.create(bfBytes, BinaryType),
+        new XxHash64(Seq(PlanUtils.expressionOf(col("gram")))))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged_grams")) // docGrams is per-doc distinct
+  }
+
   // ---- corpus_mix: deterministic mixture-weight subsampling -------------
 
   /** Per-language target sampling rates in percent — the mixture-weight

@@ -411,18 +411,21 @@ object Dedup {
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
     var prevRound = sc.getPersistentRDDs.keySet -- before
-    var converged = false
+    var edgeCount = edges.count() // carried across rounds: one count job
+    var converged = false         // per round, not two
     var iters = 0
     while (!converged && iters < MaxCcIters) {
       before = sc.getPersistentRDDs.keySet
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val thisRound = sc.getPersistentRDDs.keySet -- before
-      // distinct sets: equal size + empty (next − cur) ⇒ fixpoint
-      converged = next.count() == edges.count() &&
-        next.except(edges).count() == 0L
+      // distinct sets: equal size + empty (next − cur) ⇒ fixpoint; the
+      // except() runs only once sizes stop changing
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).count() == 0L
       prevRound.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevRound = thisRound
       edges = next
+      edgeCount = nextCount
       iters += 1
     }
     require(converged, s"componentsAltStarOn: not converged after $MaxCcIters rounds")

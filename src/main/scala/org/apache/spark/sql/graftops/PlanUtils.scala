@@ -11,4 +11,16 @@ object PlanUtils {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression as a user-facing Column (the inverse of
+    * [[expressionOf]]) — needed when an expression has no SQL-callable
+    * registration or takes non-SQL-encodable arguments (e.g. a binary
+    * Bloom-filter literal).
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
