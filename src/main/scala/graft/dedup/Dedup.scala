@@ -489,7 +489,9 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy("component_id")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
-    docs.join(comp, Seq("doc_id"), "left")
+    // the component map is pair-graph-sized (≪ corpus) — broadcast it so
+    // the only corpus-wide exchange is the window's component_id hash
+    docs.join(broadcast(comp), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component_id"), col("doc_id")).as("component_id"),
         col("n_chars"))

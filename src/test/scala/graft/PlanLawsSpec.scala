@@ -84,6 +84,15 @@ class PlanLawsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep_best broadcasts the component map into the corpus") {
+    // the near-dup component list is pair-graph-sized; a shuffle join
+    // here would exchange the whole corpus on doc_id for nothing
+    val p = plans("dedup_keep_best")
+    assert(p.contains("BroadcastHashJoin"), "keep_best lost its broadcast join")
+    assert(!p.contains("SortMergeJoin"),
+      "dedup_keep_best exchanges the corpus through a sort-merge join")
+  }
+
   test("source_profile keeps its curation sets on broadcast joins") {
     // The removal + contamination sets are near-dup-sized and must ride
     // BroadcastExchange into the per-doc frame — a shuffle join here
