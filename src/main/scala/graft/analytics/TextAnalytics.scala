@@ -652,6 +652,30 @@ object TextAnalytics {
       .agg(count(lit(1)).as("n_flagged_grams")) // docGrams is per-doc distinct
   }
 
+  /** Two-tier decontamination: the Bloom screen in front of the exact
+    * join. Every training gram probes the constant-size filter first (a
+    * per-row predicate, no join), and only the flagged survivors — true
+    * hits plus the ~0.05% false positives — enter [[decontamOn]]'s exact
+    * broadcast join. Because Bloom admits no false negatives, the result
+    * EQUALS the exact single-tier join row-for-row (law in
+    * `DecontamBloomSpec`); the screen just cuts the join's probe side to
+    * near the true-hit volume. This is the shape the streaming corpus
+    * gate runs per micro-batch ([[graft.streaming.CorpusIngest]]).
+    */
+  private[graft] def decontamTwoTierOn(trainGrams: DataFrame, benchGrams: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftops.PlanUtils
+    import org.apache.spark.sql.types.BinaryType
+    graft.GraftExtensions.register(trainGrams.sparkSession)
+    val bfBytes = benchGrams
+      .agg(expr("bloom_agg(xxhash64(gram), 20000L, 320000L)").as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val screened = trainGrams.filter(PlanUtils.columnOf(BloomFilterMightContain(
+      Literal.create(bfBytes, BinaryType),
+      new XxHash64(Seq(PlanUtils.expressionOf(col("gram")))))))
+    decontamOn(screened, benchGrams)
+  }
+
   // ---- corpus_mix: deterministic mixture-weight subsampling -------------
 
   /** Per-language target sampling rates in percent — the mixture-weight

@@ -135,7 +135,10 @@ object CorpusIngest {
       // eagerly checkpointed: the small (doc_id, counts) frame feeds the
       // quarantine write, the anti-join AND the three store writes —
       // materialize once, released by this batch's block cleanup.
-      else Some(graft.analytics.TextAnalytics.decontamOn(
+      // Two-tier: a constant-size Bloom screen drops the non-hit grams
+      // before the exact join — identical output (no false negatives,
+      // law-checked), probe side cut to near the true-hit volume.
+      else Some(graft.analytics.TextAnalytics.decontamTwoTierOn(
         graft.analytics.TextAnalytics.docGrams(deduped),
         spark.read.parquet(bp)).localCheckpoint())
     }

@@ -57,4 +57,16 @@ class DecontamBloomSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == bloom)
   }
+
+  test("two-tier screen equals the exact single-tier join row-for-row") {
+    import TextAnalytics.{decontamOn, decontamTwoTierOn, docGrams}
+    val grams = docGrams(Tables.documents(spark, dir))
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    val bench = grams.filter(col("doc_id") % 10 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val exactRows = canon(decontamOn(train, bench))
+    val tiered = canon(decontamTwoTierOn(train, bench))
+    assert(exactRows.nonEmpty && tiered == exactRows)
+  }
 }
