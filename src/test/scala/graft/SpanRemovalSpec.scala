@@ -84,6 +84,33 @@ class SpanRemovalSpec extends SparkSpec {
     assert(after <= before / 50, s"residual dup grams $after vs $before")
   }
 
+  test("property: planted shared runs are recovered exactly at random positions") {
+    // Filler tokens are doc-UNIQUE (d<doc>f<i>) so no 8-gram can be
+    // shared accidentally; the planted run (s0..s{L-1}) is the only
+    // cross-doc span and must come back as exactly one interval per doc
+    // covering exactly the planted positions.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val runLen = 8 + rnd.nextInt(20)
+      val run = (0 until runLen).map(i => s"s$i")
+      def doc(id: Long): (Long, String, Int) = {
+        val pre  = rnd.nextInt(15)
+        val post = rnd.nextInt(15)
+        val toks = (0 until pre).map(i => s"d${id}f$i") ++ run ++
+          (0 until post).map(i => s"d${id}g$i")
+        (id, toks.mkString(" "), pre + 1) // 1-based planted start
+      }
+      val (idA, textA, startA) = doc(1L)
+      val (idB, textB, startB) = doc(2L)
+      val got = TextAnalytics.spanRemovalOn(mk(Seq(idA -> textA, idB -> textB)))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(got == Seq(
+        (1L, startA, startA + runLen - 1),
+        (2L, startB, startB + runLen - 1)),
+        s"runLen=$runLen startA=$startA startB=$startB got=$got")
+    }
+  }
+
   test("token accounting: cleaned token count = original - excised") {
     val docs = Tables.documents(spark, Sf)
     val excised = TextAnalytics.spanRemovalOn(docs)
