@@ -156,6 +156,9 @@ object ScaleProbe {
       if (wanted("dedup_components"))
         time(spark, copies, "dedup_components")(
           Dedup.componentsOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs))))
+      if (wanted("dedup_components_altstar"))
+        time(spark, copies, "dedup_components_altstar")(
+          Dedup.componentsAltStarOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs))))
       // real-world shape: the eval suite stays FIXED while the corpus
       // grows — benchmark grams come from the base table only, training
       // grams from every replica PLUS one unperturbed base copy
@@ -169,6 +172,19 @@ object ScaleProbe {
           val base = Tables.documents(spark, sfDir)
             .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
           TextAnalytics.decontamOn(
+            TextAnalytics.docGrams(docs.select(col("doc_id"), col("text")).unionByName(base))
+              .filter(col("doc_id") % 10 =!= 0),
+            TextAnalytics.docGrams(Tables.documents(spark, sfDir))
+              .filter(col("doc_id") % 10 === 0))
+        }
+      // same inputs as the exact decontam probe — the saving is the
+      // Bloom screen cutting the exact join's probe side
+      if (wanted("decontam_twotier"))
+        time(spark, copies, "decontam_twotier") {
+          import graft.analytics.TextAnalytics
+          val base = Tables.documents(spark, sfDir)
+            .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+          TextAnalytics.decontamTwoTierOn(
             TextAnalytics.docGrams(docs.select(col("doc_id"), col("text")).unionByName(base))
               .filter(col("doc_id") % 10 =!= 0),
             TextAnalytics.docGrams(Tables.documents(spark, sfDir))
