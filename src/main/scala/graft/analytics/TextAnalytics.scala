@@ -1261,6 +1261,77 @@ object TextAnalytics {
        |       max(doc_id) AS max_doc_id
        |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---- passage_dedup: keep-first duplicate-passage removal -------------
+  /** C4-style duplicate-passage removal with keep-first semantics: the
+    * corpus is segmented into non-overlapping 10-token passages, every
+    * passage that occurs more than once anywhere in the corpus keeps ONLY
+    * its first occurrence (ordered by doc_id, then position), and each
+    * document's surviving passages are re-stitched in order. This is the
+    * keep-one complement of [[spanRemovalOn]], which excises ALL copies
+    * of a duplicated run including the first — Lee et al. recommend
+    * keeping one canonical copy, which is exactly this operator.
+    *
+    * Spark keys passages by xxhash64 (8 bytes through the shuffle); the
+    * oracle keys by the raw passage string — same precedent as the span
+    * family (keep/drop decisions agree absent a 64-bit collision).
+    *
+    * Scale (100 TB): segmentation is linear; first-occurrence election is
+    * one row_number window PARTITIONED by passage hash, so each window
+    * group is one passage's occurrence list (bounded by its duplication
+    * count, never corpus size); re-stitching is a doc_id-keyed aggregate +
+    * join. No pairwise comparison anywhere.
+    */
+  private val PassageLen = 10
+
+  def passageDedup(spark: SparkSession, dir: String): DataFrame =
+    passageDedupOn(Tables.documents(spark, dir))
+
+  def passageDedupOn(docs: DataFrame): DataFrame = {
+    val P = PassageLen
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) + ${P - 1}) div $P - 1), i -> xxhash64(concat_ws(' ', slice(t, i * $P + 1, $P))))")))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("g"))
+    val kept = segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy("doc_id", "seg_idx")))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("ks"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr(
+          s"concat_ws(' ', flatten(transform(ks, i -> slice(split(text, ' '), i * $P + 1, $P))))"),
+          lit("")).as("clean_text"),
+        coalesce(size(col("ks")), lit(0)).cast("int").as("kept_segs"),
+        expr(s"cast((size(split(text, ' ')) + ${P - 1}) div $P as int)").as("total_segs"))
+      .orderBy("doc_id")
+  }
+
+  val passageDedupSql: String =
+    s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |segs AS (
+       |  SELECT doc_id,
+       |         unnest([{'i': i, 'g': array_to_string(t[(i-1)*$PassageLen+1:(i-1)*$PassageLen+$PassageLen], ' ')}
+       |                 for i in generate_series(1, (len(t) + ${PassageLen - 1}) // $PassageLen)],
+       |                recursive := true)
+       |  FROM docs),
+       |win AS (
+       |  SELECT doc_id, i,
+       |         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+       |  FROM segs),
+       |ks AS (SELECT doc_id, list_sort(list(i)) AS ks
+       |       FROM win WHERE rn = 1 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(array_to_string(
+       |         flatten([d.t[(i-1)*$PassageLen+1:(i-1)*$PassageLen+$PassageLen] for i in ks.ks]), ' '),
+       |         '') AS clean_text,
+       |       CAST(coalesce(len(ks.ks), 0) AS INTEGER) AS kept_segs,
+       |       CAST((len(d.t) + ${PassageLen - 1}) // $PassageLen AS INTEGER) AS total_segs
+       |FROM docs d LEFT JOIN ks USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "corpus_shards"   -> (corpusShards _, corpusShardsSql),
@@ -1268,6 +1339,7 @@ object TextAnalytics {
     "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),
     "span_removal"    -> (spanRemoval _, spanRemovalSql),
     "span_removal_clean" -> (spanRemovalClean _, spanRemovalCleanSql),
+    "passage_dedup"   -> (passageDedup _, passageDedupSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),

@@ -565,6 +565,167 @@ object Similarity {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |ORDER BY cosine DESC, vec_id_1 ASC, vec_id_2 ASC LIMIT 20""".stripMargin
 
+  // ---- dedup_semantic: SemDeDup-style cluster-then-prune ---------------
+  /** Semantic deduplication à la SemDeDup (Abbas et al., 2023): cluster
+    * the embedding space, then drop every vector that has a sufficiently
+    * similar SMALLER-id neighbor within its own cluster — pairwise cosine
+    * is only ever computed inside a cluster, never across the corpus.
+    * Output is one verdict row per vector: (vec_id, centroid_id, keep).
+    *
+    * Clustering here uses the deterministic modulo-seeded centroid set
+    * (`vec_id % 50 == 0`, same seeds as knn_ivf) so the DuckDB oracle can
+    * replicate the assignment exactly; [[kmeansCentroids]] slots in as
+    * the trained-centroid production path (spec-checked, not oracle-able
+    * — iterated float group-sums are fold-order-sensitive).
+    *
+    * Scale (100 TB): assignment is one broadcast cross-join + partial-
+    * aggregable argmax per row (O(N·K), no shuffle of the vectors);
+    * the prune self-join shuffles by centroid_id, so the quadratic term
+    * is bounded by max cluster size — the SemDeDup trade: more centroids
+    * → smaller clusters → cheaper prune, lower cross-cluster recall.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticOn(emb(spark, dir))
+
+  def dedupSemanticOn(e: DataFrame): DataFrame = {
+    val centroids = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
+    val asg = e.select(col("vec_id"), col("v").as("va"), col("n2").as("an2"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("cn2"))))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("cos_c"), -col("centroid_id")))
+        .as("centroid_id"))
+      .join(e, "vec_id")
+      .localCheckpoint(eager = false)
+    val removed = asg.select(col("centroid_id"), col("vec_id"), col("v").as("va"), col("n2").as("n2a"))
+      .join(asg.select(col("centroid_id"), col("vec_id").as("vec_id_b"),
+          col("v").as("vb"), col("n2").as("n2b")),
+        Seq("centroid_id"))
+      .filter(col("vec_id_b") < col("vec_id"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .filter(col("cosine") >= NearDupCosine)
+      .select("vec_id").distinct()
+    asg.select("vec_id", "centroid_id")
+      .join(removed.withColumn("rm", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("rm").isNull, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String =
+    s"""$EmbCte,
+       |c AS (SELECT vec_id AS centroid_id, v AS vc, n2 AS cn2 FROM e WHERE vec_id % $CentroidMod = 0),
+       |scored AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |         ${cosSql("e.v", "c.vc", "e.n2", "c.cn2")} AS cs
+       |  FROM e CROSS JOIN c),
+       |asg AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |rm AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id
+       |  WHERE ${cosSql("ea.v", "eb.v", "ea.n2", "eb.n2")} >= $NearDupCosine)
+       |SELECT a.vec_id, a.centroid_id,
+       |       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM asg a LEFT JOIN rm USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- doc_pagerank: damped PageRank over the near-dup graph -----------
+  /** PageRank centrality over the embedding near-duplicate graph — the
+    * iterative numeric graph family ([[graft.dedup.Dedup.componentsOn]]
+    * covers the label-propagation family): nodes are all vectors, edges
+    * the symmetric cosine-≥-threshold pairs of [[dedupEmbeddingOn]], and
+    * 5 damped iterations (d = 0.85) of
+    * `pr'(v) = 0.15/N + 0.85 · Σ_{u→v} pr(u)/deg(u)` rank each document
+    * by how central it is in the duplication structure (high rank = a hub
+    * duplicated across many near-dup clusters; isolated docs settle at
+    * 0.15/N). Mass on isolated nodes leaks (no dangling redistribution)
+    * — the standard simplification, stated here as the contract.
+    *
+    * Cross-engine determinism: the per-target contribution sum is a
+    * sorted fold (`aggregate(sort_array(collect_list(c)), 0D, +)` ↔
+    * DuckDB `list_reduce(list_sort(list(c)), +)` — identical doubles in
+    * identical order, and Spark's extra 0.0 seed is exact because
+    * 0.0 + x = x for the positive contributions here). The damping
+    * expression is written `0.15/N + 0.85·s` in both engines, with
+    * DuckDB literals cast `::DOUBLE` (bare 0.15 would be DECIMAL).
+    *
+    * Scale (100 TB): each iteration is one edge-keyed join + one
+    * dst-keyed aggregate — the Pregel-on-Spark shape; lineage is cut per
+    * round by eager localCheckpoint with previous-round block release
+    * (same idiom as componentsOn). The sorted fold is NOT partial-
+    * aggregable; at production scale swap it for a plain `sum` (order-
+    * free up to 1-ulp noise) — the fold exists for the bit-exact oracle
+    * gate, and the swap is one line.
+    */
+  private val PrIters = 5
+
+  def docPagerank(spark: SparkSession, dir: String): DataFrame =
+    docPagerankOn(emb(spark, dir))
+
+  def docPagerankOn(e: DataFrame): DataFrame = {
+    val sc = e.sparkSession.sparkContext
+    val pairs = dedupEmbeddingOn(e).select("vec_id_1", "vec_id_2")
+    val edges = pairs.select(col("vec_id_1").as("src"), col("vec_id_2").as("dst"))
+      .union(pairs.select(col("vec_id_2").as("src"), col("vec_id_1").as("dst")))
+      .persist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, Seq("src")).persist()
+    val nodes = e.select(col("vec_id"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var before = sc.getPersistentRDDs.keySet
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("vec_id"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint()
+    var prevRound = sc.getPersistentRDDs.keySet -- before
+    (1 to PrIters).foreach { _ =>
+      val contrib = edgesD.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst"), (col("pr") / col("deg").cast("double")).as("c"))
+      val sums = contrib.groupBy("dst")
+        .agg(expr("aggregate(sort_array(collect_list(c)), cast(0.0 as double), (a, x) -> a + x)").as("s"))
+      before = sc.getPersistentRDDs.keySet
+      val next = nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("vec_id"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+      val thisRound = sc.getPersistentRDDs.keySet -- before
+      prevRound.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRound = thisRound
+      pr = next
+    }
+    edges.unpersist(blocking = false)
+    edgesD.unpersist(blocking = false)
+    pr.orderBy("vec_id")
+  }
+
+  private def prIterSql(k: Int): String =
+    s"""pr$k AS (
+       |  SELECT e.vec_id,
+       |         0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE) AS pr
+       |  FROM e CROSS JOIN nn LEFT JOIN (
+       |    SELECT ed.dst, list_reduce(list_sort(list(p.pr / ed.deg)), (a, b) -> a + b) AS s
+       |    FROM edg ed JOIN pr${k - 1} p ON p.vec_id = ed.src
+       |    GROUP BY ed.dst) s ON s.dst = e.vec_id)""".stripMargin
+
+  val docPagerankSql: String =
+    s"""$EmbCte,
+       |p AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.v", "b.v", "a.n2", "b.n2")} >= $NearDupCosine),
+       |ed AS (SELECT v1 AS src, v2 AS dst FROM p UNION ALL SELECT v2, v1 FROM p),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |edg AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |pr0 AS (SELECT e.vec_id, 1.0::DOUBLE / nn.n AS pr FROM e CROSS JOIN nn),
+       |${(1 to PrIters).map(prIterSql).mkString(",\n")}
+       |SELECT vec_id, pr FROM pr$PrIters ORDER BY vec_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_brute"       -> (knnBrute _, knnBruteSql),
     "knn_ivf"         -> (knnIvf _, knnIvfSql),
@@ -573,5 +734,7 @@ object Similarity {
     "sim_pairs_topk"  -> (simPairsTopk _, simPairsTopkSql),
     "dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _, dedupEmbeddingLshSql),
+    "dedup_semantic"  -> (dedupSemantic _, dedupSemanticSql),
+    "doc_pagerank"    -> (docPagerank _, docPagerankSql),
   )
 }
