@@ -565,6 +565,56 @@ object Similarity {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |ORDER BY cosine DESC, vec_id_1 ASC, vec_id_2 ASC LIMIT 20""".stripMargin
 
+  // ---- knn_join: exact top-k neighbors for EVERY vector ----------------
+  /** The kNN self-join: top-k cosine neighbors for every vector in the
+    * table, not just the broadcast query subset of [[knnBruteOn]] — the
+    * operator behind kNN classification, SemDeDup scoring, and
+    * density-based curation. Each unordered pair's cosine is computed
+    * ONCE on the triangle-blocked pair stream ([[blockedPairs]]) and
+    * consumed in both orientations, then the bounded
+    * `topk_by_score` aggregate keeps ≤ k candidates per (vector, map
+    * task) before the shuffle — O(k) rows per vector cross the exchange,
+    * never the full neighbor list.
+    *
+    * Scale (100 TB): the exact form is O(N²/2) cosines and exists as the
+    * verifiable baseline; at production N the same final aggregate
+    * consumes LSH-bucketed or IVF-probed candidate pairs instead
+    * ([[dedupEmbeddingLshOn]] / [[knnIvfOn]] supply them) — swap the
+    * pair source, keep the top-k contract.
+    */
+  private val JoinK = 5
+
+  def knnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoinOn(emb(spark, dir))
+
+  def knnJoinOn(e: DataFrame): DataFrame = {
+    val pairs = blockedPairs(e).localCheckpoint(eager = false)
+    val both = pairs
+      .select(col("vec_id_1").as("vec_id"), col("vec_id_2").as("nid"), col("cosine"))
+      .union(pairs
+        .select(col("vec_id_2").as("vec_id"), col("vec_id_1").as("nid"), col("cosine")))
+    both.groupBy(col("vec_id"))
+      .agg(expr(s"topk_by_score(cosine, nid, $JoinK)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(
+        col("vec_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnJoinSql: String =
+    s"""$EmbCte,
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         ${cosSql("a.v", "b.v", "a.n2", "b.n2")} AS cosine
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+       |SELECT vec_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $JoinK
+       |ORDER BY vec_id, rank""".stripMargin
+
   // ---- dedup_semantic: SemDeDup-style cluster-then-prune ---------------
   /** Semantic deduplication à la SemDeDup (Abbas et al., 2023): cluster
     * the embedding space, then drop every vector that has a sufficiently
@@ -736,5 +786,6 @@ object Similarity {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     "dedup_semantic"  -> (dedupSemantic _, dedupSemanticSql),
     "doc_pagerank"    -> (docPagerank _, docPagerankSql),
+    "knn_join"        -> (knnJoin _, knnJoinSql),
   )
 }

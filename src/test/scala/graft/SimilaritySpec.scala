@@ -40,6 +40,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("knn_join equals knn_brute's top-5 on the query subset, for every vector") {
+    val rnd  = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    import spark.implicits._
+    val e = Similarity.withNorms(rows.toDF("vec_id", "embedding"))
+    // queries are ids % 100 == 0 → just vec 0 here; its knn_join rows must
+    // be exactly knn_brute's first five ranks
+    val brute = Similarity.knnBruteOn(e).collect()
+      .filter(_.getInt(2) <= 5)
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val joined = Similarity.knnJoinOn(e).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(joined == brute)
+    // and every vector got exactly 5 ranked neighbors
+    val counts = Similarity.knnJoinOn(e).groupBy("vec_id").count().collect()
+    assert(counts.length == 40 && counts.forall(_.getLong(1) == 5))
+  }
+
   test("sim_pairs_topk ranks the parallel pair first") {
     val top = Similarity.simPairsTopkOn(Similarity.withNorms(emb)).collect()
     assert((top(0).getLong(0), top(0).getLong(1)) == (0L, 1L))
