@@ -217,6 +217,16 @@ object ScaleProbe {
       if (wanted("lm_quality"))
         time(spark, copies, "lm_quality")(
           graft.analytics.TextAnalytics.lmQualityOn(docs))
+      // keep-first passage dedup: replica token-wrapping puts a replica
+      // tag inside every 10-token passage, so cross-replica passage dups
+      // vanish and the dup set stays the base corpus' own per replica —
+      // linear segmentation + election volume is the thing under test.
+      // Same materialization guard as span_removal_clean: count() alone
+      // would prune the re-stitched clean_text away.
+      if (wanted("passage_dedup"))
+        time(spark, copies, "passage_dedup")(
+          graft.analytics.TextAnalytics.passageDedupOn(docs)
+            .filter(length(col("clean_text")) >= 0))
       if (wanted("knn_brute"))
         time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
       if (wanted("knn_quantized"))
@@ -228,6 +238,43 @@ object ScaleProbe {
         time(spark, copies, "dedup_embedding_lsh")(Similarity.dedupEmbeddingLshOn(emb))
       if (wanted("dedup_embedding"))
         time(spark, copies, "dedup_embedding")(Similarity.dedupEmbeddingOn(emb))
+      // SemDeDup with the PRODUCTION centroid shape: a FIXED centroid set
+      // (the base table's modulo seeds, constant across scales) so
+      // assignment stays O(N·K) with constant K — the registry entry's
+      // modulo seeding would grow K with N and measure an avoidable
+      // quadratic. Cross-replica cosine structure dissolves (noise
+      // mixing), so within-cluster prune pairs stay the base corpus' own.
+      if (wanted("dedup_semantic"))
+        time(spark, copies, "dedup_semantic") {
+          val base = Similarity.withNorms(Tables.embeddings(spark, sfDir))
+          Similarity.dedupSemanticWith(emb,
+            base.filter(col("vec_id") % 50 === 0)
+              .select(col("vec_id").as("centroid_id"), col("v").as("vb"),
+                col("n2").as("cn2")))
+        }
+      // PageRank, exact edge source: inherits the O(N²/2) pair scan — the
+      // measured-quadratic baseline, probe at small tiers only
+      if (wanted("doc_pagerank"))
+        time(spark, copies, "doc_pagerank")(Similarity.docPagerankOn(emb))
+      // PageRank, iteration linearity in isolation: edge volume is made
+      // linear BY CONSTRUCTION (the base corpus' exact pairs, id-shifted
+      // per replica — the independent-shards model the doc replication
+      // also follows), so the 5 joined+aggregated Pregel rounds over N
+      // nodes are the only thing measured. Candidate generation is its
+      // own probe (dedup_embedding / dedup_embedding_lsh) — and note the
+      // fixed-width LSH banding is itself N²/2^bits in expected in-bucket
+      // pairs, so the production pair source must scale bits with log N.
+      if (wanted("doc_pagerank_iter"))
+        time(spark, copies, "doc_pagerank_iter") {
+          val basePairs = Similarity
+            .dedupEmbeddingOn(Similarity.withNorms(Tables.embeddings(spark, sfDir)))
+            .select("vec_id_1", "vec_id_2")
+          val shardPairs = basePairs
+            .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+            .select((col("vec_id_1") + col("c") * 10000000L).as("vec_id_1"),
+              (col("vec_id_2") + col("c") * 10000000L).as("vec_id_2"))
+          Similarity.docPagerankFrom(emb, shardPairs)
+        }
     }
     spark.stop()
   }

@@ -637,9 +637,18 @@ object Similarity {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
     dedupSemanticOn(emb(spark, dir))
 
-  def dedupSemanticOn(e: DataFrame): DataFrame = {
-    val centroids = e.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
+  def dedupSemanticOn(e: DataFrame): DataFrame =
+    dedupSemanticWith(e,
+      e.filter(col("vec_id") % CentroidMod === 0)
+        .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2")))
+
+  /** [[dedupSemanticOn]] with an explicit centroid table — the production
+    * entry point: modulo seeding ties K to N (fine for the oracle gate,
+    * quadratic if left that way at corpus scale), while a FIXED or
+    * [[kmeansCentroids]]-trained centroid set keeps assignment O(N·K)
+    * with constant K. `centroids`: (centroid_id, vb, cn2).
+    */
+  def dedupSemanticWith(e: DataFrame, centroids: DataFrame): DataFrame = {
     val asg = e.select(col("vec_id"), col("v").as("va"), col("n2").as("an2"))
       .crossJoin(broadcast(centroids))
       .withColumn("cos_c", expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("cn2"))))
@@ -718,40 +727,60 @@ object Similarity {
   def docPagerank(spark: SparkSession, dir: String): DataFrame =
     docPagerankOn(emb(spark, dir))
 
-  def docPagerankOn(e: DataFrame): DataFrame = {
-    val sc = e.sparkSession.sparkContext
-    val pairs = dedupEmbeddingOn(e).select("vec_id_1", "vec_id_2")
+  def docPagerankOn(e: DataFrame): DataFrame =
+    docPagerankFrom(e, dedupEmbeddingOn(e))
+
+  /** [[docPagerankOn]] with an explicit near-dup pair stream — the scale
+    * entry point: the default wires the EXACT O(N²/2) pair scan (the
+    * verifiable oracle baseline, quadratic by construction — measured
+    * 447 s at the 100× probe), while production passes
+    * [[dedupEmbeddingLshOn]]'s banded candidates (linear gram volume)
+    * and keeps the identical rank iteration. `pairs`:
+    * (vec_id_1, vec_id_2, …).
+    */
+  def docPagerankFrom(e: DataFrame, pairStream: DataFrame): DataFrame = {
+    // Every checkpoint here is LAZY (eager = false): the loop has no
+    // mid-iteration action, so all six rounds fuse into ONE job cascade
+    // at first collection — each checkpointed frame (edge list, degree-
+    // joined edges, node list, 1-row count, per-round ranks) materializes
+    // once, is block-reused by every downstream stage, and the lineage
+    // cut still prevents cross-action recompute. An eager variant paid a
+    // full job-scheduling round trip per iteration (~6× the wall time at
+    // test scale for identical shuffles); block release between queries
+    // is [[graft.Maintenance.releaseCachedBlocks]]'s job, as everywhere.
+    // The loop runs over CONNECTED nodes only: with symmetric edges every
+    // edge-bearing node receives contributions every round, so the
+    // left-join/coalesce branch of the textbook formulation is exercised
+    // exclusively by isolated nodes — whose rank is the constant 0.15/N
+    // fixed point, computed once outside the loop. N is counted once on
+    // the driver and embedded as a literal (the componentsOn pattern),
+    // removing a per-iteration broadcast exchange; the math is written
+    // identically to the oracle (`0.15/N + 0.85·s`, double / bigint).
+    val pairs = pairStream.select("vec_id_1", "vec_id_2")
     val edges = pairs.select(col("vec_id_1").as("src"), col("vec_id_2").as("dst"))
       .union(pairs.select(col("vec_id_2").as("src"), col("vec_id_1").as("dst")))
-      .persist()
+      .localCheckpoint(eager = false)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, Seq("src")).persist()
-    val nodes = e.select(col("vec_id"))
-    val nRow = nodes.agg(count(lit(1)).as("n"))
-    var before = sc.getPersistentRDDs.keySet
-    var pr = nodes.crossJoin(broadcast(nRow))
-      .select(col("vec_id"), (lit(1.0) / col("n")).as("pr"))
-      .localCheckpoint()
-    var prevRound = sc.getPersistentRDDs.keySet -- before
+    val edgesD = edges.join(deg, Seq("src")).localCheckpoint(eager = false)
+    val nodes = e.select(col("vec_id")).localCheckpoint(eager = false)
+    val n = nodes.count()
+    val connected = edges.select(col("src").as("vec_id")).distinct()
+      .localCheckpoint(eager = false)
+    val isolatedPr = nodes.join(connected, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), (lit(0.15) / lit(n)).as("pr"))
+    var pr = connected
+      .select(col("vec_id"), (lit(1.0) / lit(n)).as("pr"))
+      .localCheckpoint(eager = false)
     (1 to PrIters).foreach { _ =>
-      val contrib = edgesD.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
+      pr = edgesD.join(pr.withColumnRenamed("vec_id", "src"), Seq("src"))
         .select(col("dst"), (col("pr") / col("deg").cast("double")).as("c"))
-      val sums = contrib.groupBy("dst")
+        .groupBy(col("dst"))
         .agg(expr("aggregate(sort_array(collect_list(c)), cast(0.0 as double), (a, x) -> a + x)").as("s"))
-      before = sc.getPersistentRDDs.keySet
-      val next = nodes.join(sums, nodes("vec_id") === sums("dst"), "left")
-        .crossJoin(broadcast(nRow))
-        .select(col("vec_id"),
-          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("pr"))
-        .localCheckpoint()
-      val thisRound = sc.getPersistentRDDs.keySet -- before
-      prevRound.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevRound = thisRound
-      pr = next
+        .select(col("dst").as("vec_id"),
+          (lit(0.15) / lit(n) + lit(0.85) * col("s")).as("pr"))
+        .localCheckpoint(eager = false)
     }
-    edges.unpersist(blocking = false)
-    edgesD.unpersist(blocking = false)
-    pr.orderBy("vec_id")
+    pr.union(isolatedPr).orderBy("vec_id")
   }
 
   private def prIterSql(k: Int): String =
