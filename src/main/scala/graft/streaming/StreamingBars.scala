@@ -101,31 +101,6 @@ object StreamingBars {
         col("bar_avail"), col("bar_close"))
   }
 
-  /** Streaming exact dedup with BOUNDED state: drop retransmitted ticks
-    * whose dedup key (symbol, event_time) was already seen within the
-    * watermark window, via `dropDuplicatesWithinWatermark` — unlike plain
-    * `dropDuplicates`, whose key state grows without bound for the
-    * lifetime of the query, state here is evicted once the watermark
-    * passes a key's event time, so memory is O(keys per watermark window)
-    * no matter how long the stream runs. Because event_time is part of
-    * the dedup key, eviction never re-admits: a replay arriving after
-    * its key's state was evicted is watermark-late by construction and
-    * the lateness filter drops it (asserted in `StreamDedupSpec`) — so
-    * per-key output is exactly-once for the query's lifetime, with
-    * bounded state; replays that bypass event time entirely are the
-    * idempotent sink's job ([[IngestPipeline.run]]'s per-batch
-    * overwrite), which is exactly the layering Structured Streaming
-    * intends.
-    *
-    * Scale: one shuffle on the dedup key into the state store; state is
-    * per-key-and-window, not per-corpus — the only streaming-dedup shape
-    * that survives an unbounded run.
-    */
-  def dedupedTicks(ticks: DataFrame, lateness: String = "2 minutes"): DataFrame =
-    ticks
-      .withWatermark("event_time", lateness)
-      .dropDuplicatesWithinWatermark("symbol", "event_time")
-
   /** Streaming funnel progression: a per-user state machine over the
     * live event stream — the streaming twin of the batch `events_funnel`
     * query. State is (stage reached, time of the stage-completing event);

@@ -1,18 +1,19 @@
 package graft
 
-import graft.streaming.StreamingBars
+import graft.streaming.IngestPipeline
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.sql.Timestamp
 
-/** Streaming exact dedup with watermark-bounded state
-  * (`dropDuplicatesWithinWatermark`): duplicates within the lateness
-  * window are dropped across micro-batches, state is EVICTED once the
-  * watermark passes (asserted via the state-operator metrics), and a
-  * post-eviction replay of an old key is watermark-late by construction,
-  * so the lateness filter drops it — output stays exactly-once per key
-  * even after its dedup state is gone.
+/** Bounded-state laws for [[IngestPipeline.dedupTicks]]
+  * (`dropDuplicatesWithinWatermark`) beyond IngestPipelineSpec's basic
+  * replay-drop test: state is EVICTED once the watermark passes
+  * (asserted via the state-operator metrics), and a post-eviction replay
+  * of an old key is watermark-late by construction, so the lateness
+  * filter drops it — output stays exactly-once per key even after its
+  * dedup state is gone, while memory stays O(keys per watermark window)
+  * for the lifetime of the query.
   */
 class StreamDedupSpec extends SparkSpec {
 
@@ -24,7 +25,7 @@ class StreamDedupSpec extends SparkSpec {
     val in = MemoryStream[(String, Double, Timestamp)]
     val ticks = in.toDF().toDF("symbol", "price", "event_time")
 
-    val query = StreamingBars.dedupedTicks(ticks)
+    val query = IngestPipeline.dedupTicks(ticks, replayHorizon = "2 minutes")
       .writeStream.format("memory").queryName("stream_dedup")
       .outputMode(OutputMode.Append()).start()
     try {
