@@ -804,7 +804,122 @@ object StarAnalytics {
       |GROUP BY CUBE(event_type, weekday)
       |ORDER BY event_type ASC NULLS FIRST, weekday ASC NULLS FIRST""".stripMargin
 
+  // ---- lone late suppliers (TPC-H Q21 shape) ---------------------------
+  /** The Q21 decorrelation: suppliers who were the ONLY late shipper on a
+    * multi-supplier order — the classic EXISTS + NOT-EXISTS pair against
+    * the same fact table with different predicates, decorrelated into one
+    * LEFT SEMI and one LEFT ANTI join on (orderkey, suppkey ≠). Lateness
+    * here is `l_shipdate > o_orderdate + 60 days` (this lineitem carries
+    * no commit/receipt dates — the predicate adapts, the shape doesn't).
+    *
+    * Scale: late/all (orderkey, suppkey) pair sets are distinct-reduced
+    * before the joins (orders of magnitude under raw lineitem); both
+    * semi/anti joins are orderkey-equi with a residual suppkey filter —
+    * no correlated per-row subquery ever executes, which is the entire
+    * point of the decorrelation at 100 TB.
+    */
+  def loneLateSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val allOther = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("osuppkey")).distinct()
+    val lateOther = late.select(col("orderkey").as("o3"), col("suppkey").as("lsuppkey"))
+    val lone = late
+      .join(allOther,
+        col("orderkey") === col("o2") && col("suppkey") =!= col("osuppkey"), "left_semi")
+      .join(lateOther,
+        col("orderkey") === col("o3") && col("suppkey") =!= col("lsuppkey"), "left_anti")
+    lone.groupBy(col("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(10)
+  }
+
+  val loneLateSuppliersSql: String =
+    """WITH late AS (
+      |  SELECT DISTINCT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      |ap AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |SELECT s_name, numwait FROM (
+      |  SELECT l1.l_suppkey, count(*) AS numwait
+      |  FROM late l1
+      |  WHERE EXISTS (SELECT 1 FROM ap o
+      |                WHERE o.l_orderkey = l1.l_orderkey AND o.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM late l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+      |  GROUP BY l1.l_suppkey) w
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin
+
+  // ---- market share (TPC-H Q8 shape) -----------------------------------
+  /** National market share per order year: among revenue billed to
+    * ASIA-region customers, the fraction supplied by NATION_0 suppliers —
+    * conditional aggregation producing a ratio of two sums in one pass
+    * (the Q8 shape). Sums are exact DECIMAL; the single share division is
+    * the one double expression, performed identically on both engines
+    * after exact decimal→double casts.
+    *
+    * Scale: dimensions (customer/supplier/nation/region) broadcast; the
+    * lineitem×orders join shuffles on orderkey; one hash aggregate on
+    * year. No second pass — numerator and denominator share the scan.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice").cast(Money) *
+      (lit(1).cast(Rate) - col("l_discount").cast(Rate))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_0", rev)
+          .otherwise(lit(0).cast(Money))).as("_n"),
+        sum(rev).as("_d"))
+      .select(col("o_year"),
+        (col("_n").cast("double") / col("_d").cast("double")).as("mkt_share"),
+        col("_d").cast("double").as("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  val marketShareSql: String =
+    """WITH asia_cust AS (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+      |       JOIN nation ON s_nationkey = n_nationkey)
+      |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |       CAST(sum(CASE WHEN supp_nation = 'NATION_0'
+      |                     THEN CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |                     ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+      |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS mkt_share,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN sn ON l_suppkey = s_suppkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM asia_cust)
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "lone_late_suppliers" -> (loneLateSuppliers _, loneLateSuppliersSql),
+    "market_share"      -> (marketShare _, marketShareSql),
     "user_churn"        -> (userChurn _, userChurnSql),
     "small_quantity_revenue" -> (smallQuantityRevenue _, smallQuantityRevenueSql),
     "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),
