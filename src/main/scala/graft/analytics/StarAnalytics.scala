@@ -1,6 +1,7 @@
 package graft.analytics
 
 import graft.Tables
+import graft.functions.TextFeatures.hash60
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -917,7 +918,101 @@ object StarAnalytics {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  // ---- table_checksum: order-insensitive reconciliation digest ---------
+  /** Replica/migration reconciliation: per-partition row counts plus an
+    * order-insensitive XOR of canonical row hashes — two tables claiming
+    * the same content must agree on every (group, n_rows, checksum) row,
+    * and XOR localizes a mismatch to the partition. XOR (not SUM) is the
+    * combine: commutative, associative, and CLOSED over 64-bit values —
+    * summed 60-bit hashes overflow int64 at row counts a real table hits,
+    * where Spark wraps silently and DuckDB promotes to HUGEINT.
+    *
+    * Canonical row text casts every double through its exact DECIMAL
+    * presentation (fixed scale → identical strings on both engines) and
+    * formats timestamps explicitly; the md5-derived 60-bit hash is the
+    * cross-engine [[graft.functions.TextFeatures.hash60]].
+    *
+    * Scale: one scan, map-side partial XOR per group — the cheapest
+    * possible full-table integrity pass.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), hash60(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity").cast(Money).cast("string"),
+        col("l_extendedprice").cast(Money).cast("string"),
+        col("l_discount").cast(Rate).cast("string"),
+        col("l_tax").cast(Rate).cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss"))).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+      .orderBy("l_returnflag")
+
+  val tableChecksumSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |       bit_xor(('0x' || substr(md5(concat_ws('|',
+      |         l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |         CAST(l_quantity AS DECIMAL(10,2)), CAST(l_extendedprice AS DECIMAL(10,2)),
+      |         CAST(l_discount AS DECIMAL(3,2)), CAST(l_tax AS DECIMAL(3,2)),
+      |         l_returnflag, l_linestatus,
+      |         strftime(l_shipdate, '%Y-%m-%d %H:%M:%S'))), 1, 15))::BIGINT) AS checksum
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- drift_report: distribution drift between two periods ------------
+  /** Data-drift monitor for a training pipeline: bucket l_extendedprice
+    * into 10 fixed-width bins, split the table into a baseline period
+    * (shipped before 1998-07-01) and a current period, and emit per-bin
+    * share deltas — the total-variation term |q−p| and the chi-square
+    * term (q−p)²/p (null where the baseline bin is empty). Per-BIN terms,
+    * deliberately not their sum: the summed PSI/TVD statistic would fold
+    * doubles in engine-dependent order AND drag ln() (1-ulp, not exact)
+    * into the hash gate; every per-bin value here is plain IEEE ratio
+    * arithmetic in oracle-identical operation order. The caller folds the
+    * 10 rows however it likes.
+    *
+    * Scale: one scan, one 10-key conditional aggregate, totals join a
+    * broadcast 1-row anchor (constant build side at any scale).
+    */
+  def driftReport(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-07-01").cast("timestamp")
+    val counts = Tables.lineitem(spark, dir)
+      .select(least(floor(col("l_extendedprice") / 11000), lit(9)).cast("int").as("bin"),
+        when(col("l_shipdate") < cut, 1L).otherwise(0L).as("is_p"))
+      .groupBy(col("bin"))
+      .agg(sum(col("is_p")).as("p_cnt"), sum(lit(1L) - col("is_p")).as("q_cnt"))
+    val tot = counts.agg(sum(col("p_cnt")).as("p_tot"), sum(col("q_cnt")).as("q_tot"))
+    val pShare = col("p_cnt") / col("p_tot")
+    val qShare = col("q_cnt") / col("q_tot")
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("p_cnt"), col("q_cnt"),
+        pShare.as("p_share"), qShare.as("q_share"),
+        abs(qShare - pShare).as("tv_term"),
+        when(col("p_cnt") > 0, (qShare - pShare) * (qShare - pShare) / pShare)
+          .otherwise(lit(null).cast("double")).as("chi_term"))
+      .orderBy("bin")
+  }
+
+  val driftReportSql: String =
+    """WITH b AS (
+      |  SELECT CAST(least(floor(l_extendedprice / 11000), 9) AS INTEGER) AS bin,
+      |         CASE WHEN l_shipdate < TIMESTAMP '1998-07-01 00:00:00' THEN 1 ELSE 0 END AS is_p
+      |  FROM lineitem),
+      |c AS (SELECT bin, CAST(sum(is_p) AS BIGINT) AS p_cnt,
+      |             CAST(sum(1 - is_p) AS BIGINT) AS q_cnt
+      |      FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(p_cnt) AS BIGINT) AS p_tot, CAST(sum(q_cnt) AS BIGINT) AS q_tot FROM c)
+      |SELECT bin, p_cnt, q_cnt,
+      |       p_cnt / p_tot AS p_share, q_cnt / q_tot AS q_share,
+      |       abs(q_cnt / q_tot - p_cnt / p_tot) AS tv_term,
+      |       CASE WHEN p_cnt > 0
+      |            THEN (q_cnt / q_tot - p_cnt / p_tot) * (q_cnt / q_tot - p_cnt / p_tot) / (p_cnt / p_tot)
+      |       END AS chi_term
+      |FROM c CROSS JOIN t ORDER BY bin""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "table_checksum"    -> (tableChecksum _, tableChecksumSql),
+    "drift_report"      -> (driftReport _, driftReportSql),
     "lone_late_suppliers" -> (loneLateSuppliers _, loneLateSuppliersSql),
     "market_share"      -> (marketShare _, marketShareSql),
     "user_churn"        -> (userChurn _, userChurnSql),
