@@ -96,6 +96,33 @@ class MultimodalSpec extends SparkSpec {
     assert(s.px_sum == raster.map(_ & 0xff).sum.toLong)
   }
 
+  test("WAV decoder handles arbitrary chunk order, unknown chunks, and odd-length padding") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt  = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(44100) ++ le32(44100) ++ le16(1) ++ le16(8)
+    // an unknown 3-byte chunk BEFORE fmt — its declared length is odd, so
+    // the walker must skip the RIFF pad byte to stay aligned
+    val junk = "LIST".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](9, 9, 9, 0)
+    val data = "data".getBytes("US-ASCII") ++ le32(5) ++ Array[Byte](10, 20, 30, 40, 50) ++ Array[Byte](0)
+    val body = junk ++ data ++ fmt   // data BEFORE fmt: order must not matter
+    val blob = "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ body
+    val s = Multimodal.decodeWav(Seq((9L, blob)).toDF("doc_id", "content")).collect()(0)
+    assert(s.sample_rate == 44100 && s.channels == 1 && s.bits == 8)
+    assert(s.n_samples == 5 && s.amp_sum == 150L && s.peak == 50)
+    assert(s.duration_ms == 5L * 1000 / 44100)
+  }
+
+  test("WAV decoder rejects non-RIFF blobs and non-PCM formats") {
+    import spark.implicits._
+    val notWav = Seq((1L, "OggS....".getBytes("US-ASCII"))).toDF("doc_id", "content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWav(notWav).collect()
+    }
+  }
+
   test("PPM decoder rejects non-P6 blobs and truncated rasters") {
     import spark.implicits._
     val notPpm = Seq((1L, "JFIF....".getBytes("US-ASCII"))).toDF("doc_id", "content")
