@@ -615,6 +615,71 @@ object Similarity {
        |  FROM scored) WHERE rank <= $JoinK
        |ORDER BY vec_id, rank""".stripMargin
 
+  // ---- knn_join_lsh: the banded scale path of knn_join -----------------
+  /** [[knnJoinOn]] with the exact O(N²/2) pair stream replaced by the
+    * banded sign-sketch candidates of [[dedupEmbeddingLshOn]] — top-k
+    * among LSH-colliding neighbors only, reranked by exact cosine. The
+    * oracle replicates the identical banded pipeline (md5-seeded planes
+    * embedded as literals on both engines), so the correctness row checks
+    * the mechanism bit-for-bit; recall vs the exact knn_join is the usual
+    * LSH trade and rows may return FEWER than k neighbors.
+    *
+    * Scale: candidate volume is the in-bucket pair count — per-bucket
+    * quadratic, so production scales bucket BITS with log N to hold
+    * expected collisions at N²/2^bits ≈ linear; the top-k aggregate is
+    * the same bounded partial agg as the exact form.
+    */
+  def knnJoinLsh(spark: SparkSession, dir: String): DataFrame =
+    knnJoinLshOn(emb(spark, dir))
+
+  def knnJoinLshOn(e: DataFrame): DataFrame = {
+    val sk = e.select(col("vec_id"),
+      posexplode(array((0 until LshTables).map(t => expr(bandSketchExpr(t, "v"))): _*))
+        .as(Seq("tbl", "bucket")))
+      .localCheckpoint(eager = false)
+    val cand = sk.as("a").join(sk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nid"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id"), col("v").as("va"), col("n2").as("n2a")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nid"), col("v").as("vb"), col("n2").as("n2b")), Seq("nid"))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .groupBy(col("vec_id"))
+      .agg(expr(s"topk_by_score(cosine, nid, $JoinK)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(
+        col("vec_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  val knnJoinLshSql: String = {
+    val skUnion = (0 until LshTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${bandSketchSql(t, "v")} AS bucket FROM e"
+    }.mkString("\nUNION ALL ")
+    s"""$EmbCte,
+       |sk AS (
+       |$skUnion),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM sk a JOIN sk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT c.vec_id, c.neighbor_id,
+       |         ${cosSql("x.v", "y.v", "x.n2", "y.n2")} AS cosine
+       |  FROM cand c
+       |  JOIN e x ON c.vec_id = x.vec_id
+       |  JOIN e y ON c.neighbor_id = y.vec_id)
+       |SELECT vec_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored) WHERE rank <= $JoinK
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   // ---- dedup_semantic: SemDeDup-style cluster-then-prune ---------------
   /** Semantic deduplication à la SemDeDup (Abbas et al., 2023): cluster
     * the embedding space, then drop every vector that has a sufficiently
@@ -816,5 +881,6 @@ object Similarity {
     "dedup_semantic"  -> (dedupSemantic _, dedupSemanticSql),
     "doc_pagerank"    -> (docPagerank _, docPagerankSql),
     "knn_join"        -> (knnJoin _, knnJoinSql),
+    "knn_join_lsh"    -> (knnJoinLsh _, knnJoinLshSql),
   )
 }
