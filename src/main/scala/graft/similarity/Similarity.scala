@@ -870,6 +870,76 @@ object Similarity {
        |${(1 to PrIters).map(prIterSql).mkString(",\n")}
        |SELECT vec_id, pr FROM pr$PrIters ORDER BY vec_id""".stripMargin
 
+  // ---- dup_triangles: triangle census of the near-dup graph ------------
+  /** Global triangle count and clustering coefficient over the embedding
+    * near-dup graph — the density diagnostic for duplication structure
+    * (high coefficient = dup clusters are cliques, so component-based
+    * canonicalization collapses many docs per survivor; low = chains,
+    * where pair-list dedup under-deletes — exactly when
+    * [[graft.dedup.Dedup.componentsOn]] earns its keep). Completes the
+    * graph family: components (label propagation), alt-star, PageRank
+    * (iterative numeric), triangles (multi-way self-join).
+    *
+    * The count joins the ORDERED edge list (a<b) to itself twice —
+    * (a,b)⋈(b,c) wedges, LEFT SEMI against (a,c) — so each triangle is
+    * counted exactly once, no orientation dedup needed. Wedge count is
+    * Σ deg·(deg−1)/2 in pure integers; the coefficient 3T/W is the one
+    * double division.
+    *
+    * Scale: the wedge join's volume is Σ deg² — the quadratic
+    * concentrates on high-degree hubs, so production first caps or
+    * samples hub neighborhoods (the standard triangle-at-scale trade)
+    * and feeds banded candidates via the same pluggable pair stream as
+    * [[docPagerankFrom]].
+    */
+  /** The census runs at a LOOSER threshold than the dedup decision (0.30
+    * vs 0.45): it measures neighborhood structure, and at the decision
+    * threshold this corpus' pair graph is isolated edges (zero triangles
+    * — a vacuous census; measured at sf0.01).
+    */
+  private val TriThreshold = 0.30
+
+  def dupTriangles(spark: SparkSession, dir: String): DataFrame =
+    dupTrianglesFrom(blockedPairs(emb(spark, dir))
+      .filter(col("cosine") >= TriThreshold))
+
+  def dupTrianglesFrom(pairStream: DataFrame): DataFrame = {
+    val p = pairStream.select(col("vec_id_1").as("a"), col("vec_id_2").as("b"))
+      .localCheckpoint(eager = false)
+    val deg = p.select(col("a").as("v")).union(p.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val wedges = p.select(col("a").as("w_a"), col("b").as("w_b"))
+    val tri = p
+      .join(wedges.select(col("w_a").as("b"), col("w_b").as("c")), Seq("b"))
+      .join(p.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nm = p.agg(count(lit(1)).as("n_edges"))
+    val nodesW = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("c * (c - 1) div 2")).as("n_wedges"))
+    nodesW.crossJoin(broadcast(nm)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0, (col("n_triangles") * 3) / col("n_wedges"))
+          .otherwise(lit(null).cast("double")).as("clustering_coeff"))
+  }
+
+  val dupTrianglesSql: String =
+    s"""$EmbCte,
+       |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |      WHERE ${cosSql("a.v", "b.v", "a.n2", "b.n2")} >= $TriThreshold),
+       |deg AS (SELECT v, count(*) AS c
+       |        FROM (SELECT a AS v FROM p UNION ALL SELECT b FROM p) GROUP BY v),
+       |tri AS (SELECT count(*) AS n_triangles
+       |        FROM p e1 JOIN p e2 ON e2.a = e1.b
+       |        WHERE EXISTS (SELECT 1 FROM p e3 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       |nw AS (SELECT count(*) AS n_nodes,
+       |              CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |nm AS (SELECT count(*) AS n_edges FROM p)
+       |SELECT nw.n_nodes, nm.n_edges, tri.n_triangles, nw.n_wedges,
+       |       CASE WHEN nw.n_wedges > 0 THEN (tri.n_triangles * 3) / nw.n_wedges
+       |       END AS clustering_coeff
+       |FROM nw CROSS JOIN nm CROSS JOIN tri""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_brute"       -> (knnBrute _, knnBruteSql),
     "knn_ivf"         -> (knnIvf _, knnIvfSql),
@@ -880,6 +950,7 @@ object Similarity {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     "dedup_semantic"  -> (dedupSemantic _, dedupSemanticSql),
     "doc_pagerank"    -> (docPagerank _, docPagerankSql),
+    "dup_triangles"   -> (dupTriangles _, dupTrianglesSql),
     "knn_join"        -> (knnJoin _, knnJoinSql),
     "knn_join_lsh"    -> (knnJoinLsh _, knnJoinLshSql),
   )

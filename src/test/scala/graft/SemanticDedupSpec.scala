@@ -52,6 +52,30 @@ class SemanticDedupSpec extends SparkSpec {
     assert(minKept.count() == 0)
   }
 
+  test("trained-centroid path: Lloyd-refined clusters drop each planted twin") {
+    import spark.implicits._
+    // three orthogonal direction clusters, each a base vector plus a
+    // scaled twin (cos = 1 within the pair, 0 across clusters); seeds
+    // start slightly off-axis and kmeansCentroids pulls them onto the
+    // cluster directions before dedupSemanticWith prunes within clusters
+    val emb = Seq(
+      (1L,  Array(4f, 0f, 0f, 0f, 0f, 0f)), (11L, Array(8f, 0f, 0f, 0f, 0f, 0f)),
+      (2L,  Array(0f, 4f, 0f, 0f, 0f, 0f)), (12L, Array(0f, 8f, 0f, 0f, 0f, 0f)),
+      (3L,  Array(0f, 0f, 4f, 0f, 0f, 0f)), (13L, Array(0f, 0f, 8f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq(
+      (0L, Array(1f, 0.1f, 0f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0.1f, 0f, 0f, 0f)),
+      (2L, Array(0.1f, 0f, 1f, 0f, 0f, 0f)))
+      .toDF("centroid_id", "vb")
+    val e = Similarity.withNorms(emb)
+    val centroids = Similarity.kmeansCentroids(e, seeds, iters = 2)
+    val got = Similarity.dedupSemanticWith(e, centroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == 1))     // cluster minima survive
+    assert(Seq(11L, 12L, 13L).forall(got(_) == 0))  // twins pruned in-cluster
+  }
+
   test("dropped vectors all appear as the greater side of an exact near-dup pair") {
     val e = Similarity.withNorms(Tables.embeddings(spark, Sf))
     val dropped = Similarity.dedupSemanticOn(e)
