@@ -238,6 +238,27 @@ object ScaleProbe {
         time(spark, copies, "dedup_embedding_lsh")(Similarity.dedupEmbeddingLshOn(emb))
       if (wanted("dedup_embedding"))
         time(spark, copies, "dedup_embedding")(Similarity.dedupEmbeddingOn(emb))
+      // exact kNN self-join: O(N²/2) pair scan by construction — probe at
+      // small tiers to document the quadratic; the banded variant below
+      // is the scale path
+      if (wanted("knn_join"))
+        time(spark, copies, "knn_join")(Similarity.knnJoinOn(emb))
+      if (wanted("knn_join_lsh"))
+        time(spark, copies, "knn_join_lsh")(Similarity.knnJoinLshOn(emb))
+      // triangle census with edge volume made linear BY CONSTRUCTION
+      // (shard-replicated base pairs, same model as doc_pagerank_iter):
+      // the wedge join and semi-probe are the thing under test
+      if (wanted("dup_triangles_iter"))
+        time(spark, copies, "dup_triangles_iter") {
+          val basePairs = Similarity
+            .dedupEmbeddingOn(Similarity.withNorms(Tables.embeddings(spark, sfDir)))
+            .select("vec_id_1", "vec_id_2")
+          val shardPairs = basePairs
+            .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+            .select((col("vec_id_1") + col("c") * 10000000L).as("vec_id_1"),
+              (col("vec_id_2") + col("c") * 10000000L).as("vec_id_2"))
+          Similarity.dupTrianglesFrom(shardPairs)
+        }
       // SemDeDup with the PRODUCTION centroid shape: a FIXED centroid set
       // (the base table's modulo seeds, constant across scales) so
       // assignment stays O(N·K) with constant K — the registry entry's
