@@ -217,6 +217,22 @@ object ScaleProbe {
       if (wanted("lm_quality"))
         time(spark, copies, "lm_quality")(
           graft.analytics.TextAnalytics.lmQualityOn(docs))
+      // retrieval/selection family: all explode → keyed-aggregate shapes;
+      // the thing under test is that gram volume (rows × tokens) stays the
+      // only scale term — no posting list or LM table ever materializes in
+      // one task (inverted_index blocks by doc_id div 64 by construction)
+      if (wanted("bm25_topk"))
+        time(spark, copies, "bm25_topk")(
+          graft.analytics.RetrievalAnalytics.bm25TopkOn(docs))
+      if (wanted("inverted_index"))
+        time(spark, copies, "inverted_index")(
+          graft.analytics.RetrievalAnalytics.invertedIndexOn(docs))
+      if (wanted("lm_bigram"))
+        time(spark, copies, "lm_bigram")(
+          graft.analytics.SelectionAnalytics.lmBigramOn(docs))
+      if (wanted("dsir_weights"))
+        time(spark, copies, "dsir_weights")(
+          graft.analytics.SelectionAnalytics.dsirWeightsOn(docs))
       // keep-first passage dedup: replica token-wrapping puts a replica
       // tag inside every 10-token passage, so cross-replica passage dups
       // vanish and the dup set stays the base corpus' own per replica —

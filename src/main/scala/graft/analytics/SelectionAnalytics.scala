@@ -1,0 +1,178 @@
+package graft.analytics
+
+import graft.Tables
+import graft.functions.TextFeatures._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators over the `documents` table: a bigram LM
+  * quality score (one model order up from [[TextAnalytics.lmQuality]],
+  * the same train-cheap-LM-on-the-corpus-then-score-every-doc pipeline
+  * CCNet runs with KenLM) and DSIR-style importance weights (Xie et al.,
+  * "Data Selection for Language Models via Importance Resampling":
+  * hashed n-gram bag-of-features, per-feature log-likelihood ratio
+  * between a target-domain distribution and the raw corpus, per-doc sum
+  * = the resampling log-weight).
+  *
+  * Scale notes (100 TB): everything is explode → keyed hash aggregate.
+  * The bigram vocabulary can outgrow a broadcast at full scale — the
+  * score join is written as a plain keyed join so Spark picks broadcast
+  * at test SFs and shuffle-hash beyond (the probe side is the token
+  * stream either way, never a pairwise frame). The DSIR feature space is
+  * hashed into a FIXED [[SelectionAnalytics.DsirBuckets]]-bucket table,
+  * so the λ (log-ratio) table is constant-size and broadcast at any
+  * corpus size — that bounded-model property is the reason DSIR hashes
+  * features in the first place.
+  *
+  * Determinism (shared with every scored family here): per-doc sums of
+  * IEEE doubles are folded in SORTED order (`sort_array` + `aggregate` ↔
+  * DuckDB `list_sort` + `list_reduce`); ln is applied to integer counts
+  * in identical operation order in both engines.
+  */
+object SelectionAnalytics {
+
+  /** Hashed feature-space size (DSIR uses 10⁴; power of two here). */
+  private val DsirBuckets = 8192L
+
+  /** Target-domain stand-in: same `doc_id % 10 == 0` subset the
+    * decontamination family treats as the held-out benchmark — "select
+    * raw docs that look like the target" is exactly DSIR's setting.
+    */
+  private val TargetMod = 10
+
+  // ---- lm_bigram: corpus bigram conditional log-probability ------------
+  /** Each document's mean conditional token log-probability under the
+    * corpus' own MLE bigram model: for every adjacent pair (w₁ w₂),
+    * ln c(w₁w₂) − ln c(w₁·) where c(w₁·) counts w₁'s occurrences as a
+    * bigram history. Scoring the training corpus with its own model
+    * makes every doc bigram present (count ≥ 1), so the MLE is total —
+    * no smoothing term to reconcile cross-engine.
+    */
+  def lmBigram(spark: SparkSession, dir: String): DataFrame =
+    lmBigramOn(Tables.documents(spark, dir))
+
+  private[graft] def lmBigramOn(docs: DataFrame): DataFrame = {
+    // Materialized once (lazily): the bigram stream feeds the two count
+    // tables AND the score probe (house pattern, see Dedup.hashedSets).
+    val bg = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, concat(element_at(t, i), ' ', element_at(t, i + 1)) AS g))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.g").as("g"))
+      .localCheckpoint(eager = false)
+    val bc = bg.groupBy("g").agg(count(lit(1)).as("bcnt"))
+    val hc = bg.groupBy("w1").agg(count(lit(1)).as("hcnt"))
+    bg.join(bc, "g")
+      .join(hc, "w1")
+      .select(col("doc_id"),
+        (log(col("bcnt").cast("double")) - log(col("hcnt").cast("double"))).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(col("lp"))), lit(0.0), _ + _).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_s") / col("n_bigrams"), 4).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val lmBigramSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                i -> {w1: toks[i], g: toks[i] || ' ' || toks[i+1]}),
+      |                recursive := true)
+      |  FROM t),
+      |bc AS (SELECT g, count(*) AS bcnt FROM bg GROUP BY g),
+      |hc AS (SELECT w1, count(*) AS hcnt FROM bg GROUP BY w1),
+      |lp AS (
+      |  SELECT bg.doc_id,
+      |         ln(CAST(bcnt AS DOUBLE)) - ln(CAST(hcnt AS DOUBLE)) AS lp
+      |  FROM bg JOIN bc USING (g) JOIN hc USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(list_reduce(list_sort(list(lp)), (a, b) -> a + b)
+      |             / count(*), 4) AS avg_logprob
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- dsir_weights: hashed-ngram importance-resampling log-weights ----
+  /** Per-document DSIR log importance weight: features are unigrams and
+    * bigrams hashed into [[DsirBuckets]] buckets (cross-engine
+    * [[graft.functions.TextFeatures.hash60]] mod buckets); the per-bucket
+    * log-likelihood ratio λ(f) = ln p̂_target(f) − ln p̂_raw(f) uses
+    * add-one smoothing over the bucket space; a doc's log-weight is the
+    * sorted-fold sum of λ over its feature OCCURRENCES (bag semantics,
+    * as in the paper). Positive weights mark docs that look more like
+    * the target domain than the raw corpus — resampling by these weights
+    * is the selection step.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOn(Tables.documents(spark, dir))
+
+  private[graft] def dsirWeightsOn(docs: DataFrame): DataFrame = {
+    // Unigram + bigram occurrence stream, hashed to buckets.
+    // Materialized once (lazily): it feeds raw counts, target counts,
+    // and the score probe.
+    val feats = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(concat(col("t"), expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
+        .as("gram"))
+      .select(col("doc_id"), (hash60(col("gram")) % DsirBuckets).as("f"))
+      .localCheckpoint(eager = false)
+    val raw = feats.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("doc_id") % TargetMod === 0)
+      .groupBy("f").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("tr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("tt")))
+    // λ per bucket — constant-size table (≤ DsirBuckets rows), broadcast.
+    val lam = raw.join(tgt, Seq("f"), "left")
+      .select(col("f"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("f"),
+        ((log(col("ct").cast("double") + lit(1.0))
+          - log(col("tt").cast("double") + lit(DsirBuckets.toDouble)))
+          - (log(col("cr").cast("double") + lit(1.0))
+            - log(col("tr").cast("double") + lit(DsirBuckets.toDouble)))).as("lam"))
+    feats.join(broadcast(lam), "f")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        aggregate(sort_array(collect_list(col("lam"))), lit(0.0), _ + _).as("_s"))
+      .select(col("doc_id"), col("n_feats"), round(col("_s"), 4).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id,
+       |         ${hash60Sql("gram")} % $DsirBuckets AS f
+       |  FROM (SELECT doc_id, unnest(toks ||
+       |          list_transform(generate_series(1, len(toks) - 1),
+       |            i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t)),
+       |raw AS (SELECT f, count(*) AS cr FROM feats GROUP BY f),
+       |tgt AS (SELECT f, count(*) AS ct FROM feats
+       |        WHERE doc_id % $TargetMod = 0 GROUP BY f),
+       |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr,
+       |               (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt),
+       |lam AS (
+       |  SELECT raw.f,
+       |         (ln(coalesce(ct, 0)::DOUBLE + 1.0::DOUBLE)
+       |            - ln(tt::DOUBLE + $DsirBuckets.0::DOUBLE))
+       |         - (ln(cr::DOUBLE + 1.0::DOUBLE)
+       |            - ln(tr::DOUBLE + $DsirBuckets.0::DOUBLE)) AS lam
+       |  FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_feats,
+       |       round(list_reduce(list_sort(list(lam)), (a, b) -> a + b), 4)
+       |         AS log_weight
+       |FROM feats JOIN lam USING (f)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "lm_bigram"    -> (lmBigram _, lmBigramSql),
+    "dsir_weights" -> (dsirWeights _, dsirWeightsSql),
+  )
+}

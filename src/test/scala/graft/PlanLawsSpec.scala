@@ -24,7 +24,8 @@ class PlanLawsSpec extends SparkSpec {
     "table_profile_approx", "corpus_mix", "embedding_quantize",
     "decontam", "source_profile", "lm_quality", "tfidf_topk",
     "corpus_curation", "curation_audit", "dedup_incremental",
-    "tfidf_topk_log", "drift_report", "dup_triangles")
+    "tfidf_topk_log", "drift_report", "dup_triangles",
+    "bm25_topk", "dsir_weights")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
