@@ -233,6 +233,12 @@ object ScaleProbe {
       if (wanted("dsir_weights"))
         time(spark, copies, "dsir_weights")(
           graft.analytics.SelectionAnalytics.dsirWeightsOn(docs))
+      // two-pass exact heavy hitters: state is k counters per partial by
+      // construction; the thing under test is that wall time tracks the
+      // token stream (sketch pass) and never the key domain
+      if (wanted("heavy_hitters"))
+        time(spark, copies, "heavy_hitters")(
+          graft.analytics.TextAnalytics.heavyHittersOn(docs))
       // keep-first passage dedup: replica token-wrapping puts a replica
       // tag inside every 10-token passage, so cross-replica passage dups
       // vanish and the dup set stays the base corpus' own per replica —

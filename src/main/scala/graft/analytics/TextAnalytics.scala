@@ -137,6 +137,58 @@ object TextAnalytics {
       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin
 
+  // ---- heavy_hitters: exact φ-heavy hitters, sketch + recount ----------
+  /** All tokens whose count strictly exceeds N/[[HhK]], with EXACT counts
+    * — the two-pass heavy-hitters algorithm: pass 1 runs the mergeable
+    * Misra-Gries summary ([[graft.functions.MisraGries]]) whose state is
+    * ≤ [[HhK]] counters per partial REGARDLESS of key-domain size, and
+    * whose guarantee is candidate completeness (every true heavy hitter
+    * is in the sketch); pass 2 re-counts only the ≤ [[HhK]] candidates
+    * and applies the exact threshold. Output is provably the exact
+    * answer even though sketch counts undercount.
+    *
+    * vs [[tokenTopk]]: top-k by count is a full group-by — fine when the
+    * domain is a vocabulary, the wrong plan when the domain is grams or
+    * URLs at 100 TB, where the group-by's shuffle IS the cost. Here the
+    * shuffle carries k-counter sketches (map-side partials) and then one
+    * k-item recount. The driver-side `.head` on the sketch row is a
+    * k-bounded control-plane read (same class as the IncrementalBars
+    * watermark reads), not a data-plane collect.
+    *
+    * Determinism: integers only; the threshold compare is `cnt·k > N`
+    * (integer, no division).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersOn(Tables.documents(spark, dir))
+
+  private val HhK = 200
+
+  def heavyHittersOn(docs: DataFrame): DataFrame = {
+    import graft.functions.MisraGries
+    // Materialized once (lazily): the token stream feeds the sketch pass
+    // and the recount pass (house pattern, see Dedup.hashedSets).
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      .localCheckpoint(eager = false)
+    val cands = toks.agg(MisraGries.mg(HhK)(col("token")).as("c"))
+      .head.getSeq[String](0)
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HhK > col("n"))
+      .select(col("token"), col("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  val heavyHittersSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tok)
+       |SELECT token, count(*) AS cnt
+       |FROM tok CROSS JOIN tot
+       |GROUP BY token, tot.n HAVING count(*) * $HhK > tot.n
+       |ORDER BY cnt DESC, token ASC""".stripMargin
+
   // ---- doc_fingerprint: content + bag-of-words fingerprints ------------
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1346,6 +1398,7 @@ object TextAnalytics {
     "doc_winnow"      -> (docWinnow _, docWinnowSql),
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),
+    "heavy_hitters"   -> (heavyHitters _, heavyHittersSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),
     "decontam"        -> (decontam _, decontamSql),

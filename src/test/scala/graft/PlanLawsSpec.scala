@@ -25,7 +25,7 @@ class PlanLawsSpec extends SparkSpec {
     "decontam", "source_profile", "lm_quality", "tfidf_topk",
     "corpus_curation", "curation_audit", "dedup_incremental",
     "tfidf_topk_log", "drift_report", "dup_triangles",
-    "bm25_topk", "dsir_weights")
+    "bm25_topk", "dsir_weights", "heavy_hitters")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
