@@ -417,8 +417,98 @@ object TimeSeriesAnalytics {
        |SELECT symbol, round(max(dd), 6) AS max_drawdown
        |FROM dd GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  // ---- spike_ticks: volume-spike windows via bucketized interval join --
+  /** Market-wide activity-spike report: minutes whose tick count exceeds
+    * [[SpikeFactor]]× the per-minute mean are merged into maximal spike
+    * WINDOWS (gaps-and-islands), and every tick falling inside a window
+    * is attributed to it via [[graft.operators.IntervalJoin]] — the
+    * bucketized equi-join rewrite of the point-in-interval range join
+    * that Spark would otherwise plan as a BroadcastNestedLoopJoin.
+    * Output: one row per spike window with its tick/symbol/volume mass.
+    *
+    * Determinism: integer-only — the spike test is `n·n_min >
+    * SpikeFactor·total` (no division), counts and coalesced volume sums
+    * are exact.
+    *
+    * Scale: the minute aggregate is one keyed shuffle; the spike set is
+    * small BY CONSTRUCTION (above-[[SpikeFactor]]×-mean minutes), so the
+    * global islands window and the interval build side are tiny while
+    * the tick side stays fully distributed through the bucket equi-join
+    * (minute buckets = interval granularity, so each point joins its own
+    * bucket only). The plan-law spec asserts no BNLJ/cartesian appears.
+    */
+  def spikeTicks(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.ticks(spark, dir)
+      .select(col("symbol"), col("event_time"),
+        coalesce(col("volume"), lit(0L)).as("v"),
+        date_trunc("minute", col("event_time")).as("pm"))
+    val byMin = pts.groupBy(col("pm").as("m")).agg(count(lit(1)).as("n"))
+    val stats = byMin.agg(count(lit(1)).as("n_min"), sum(col("n")).as("total"))
+    val w  = Window.orderBy("m")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intervals = byMin.crossJoin(broadcast(stats))
+      .filter(col("n") * col("n_min") > lit(SpikeFactor) * col("total"))
+      .select("m")
+      .withColumn("prev", lag(col("m"), 1).over(w))
+      .withColumn("new_iv",
+        when(col("prev").isNull
+          || unix_micros(col("m")) - unix_micros(col("prev")) > 60000000L, 1)
+          .otherwise(0))
+      .withColumn("iv", sum(col("new_iv")).over(wc))
+      .groupBy("iv")
+      .agg(min(col("m")).as("spike_start"), max(col("m")).as("spike_end"))
+      .select("spike_start", "spike_end")
+    graft.operators.IntervalJoin
+      .pointInInterval(pts, "pm", intervals, "spike_start", "spike_end", 60L)
+      .groupBy("spike_start", "spike_end")
+      .agg(count(lit(1)).as("n_ticks"),
+        countDistinct(col("symbol")).as("n_symbols"),
+        sum(col("v")).as("spike_volume"))
+      .withColumn("n_minutes",
+        expr("(unix_micros(spike_end) - unix_micros(spike_start)) div 60000000 + 1"))
+      .select(col("spike_start"), col("spike_end"), col("n_minutes"),
+        col("n_ticks"), col("n_symbols"), col("spike_volume"))
+      .orderBy("spike_start")
+  }
+
+  private val SpikeFactor = 2L
+
+  val spikeTicksSql: String =
+    s"""${Tables.TICKS_CTE},
+       |pts AS (
+       |  SELECT symbol, event_time, coalesce(volume, 0) AS v,
+       |         date_trunc('minute', event_time) AS pm
+       |  FROM ticks),
+       |bymin AS (SELECT pm AS m, count(*) AS n FROM pts GROUP BY 1),
+       |st AS (SELECT count(*) AS n_min, CAST(sum(n) AS BIGINT) AS total FROM bymin),
+       |spike AS (
+       |  SELECT m FROM bymin, st WHERE n * n_min > $SpikeFactor * total),
+       |flagged AS (
+       |  SELECT m,
+       |         CASE WHEN lag(m) OVER (ORDER BY m) IS NULL
+       |                OR epoch_us(m) - epoch_us(lag(m) OVER (ORDER BY m)) > 60000000
+       |              THEN 1 ELSE 0 END AS new_iv
+       |  FROM spike),
+       |iv AS (
+       |  SELECT m, CAST(sum(new_iv) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+       |             AS BIGINT) AS iv
+       |  FROM flagged),
+       |intervals AS (
+       |  SELECT min(m) AS spike_start, max(m) AS spike_end FROM iv GROUP BY iv)
+       |SELECT i.spike_start, i.spike_end,
+       |       (epoch_us(i.spike_end) - epoch_us(i.spike_start)) // 60000000 + 1
+       |         AS n_minutes,
+       |       count(*) AS n_ticks,
+       |       CAST(count(DISTINCT p.symbol) AS BIGINT) AS n_symbols,
+       |       CAST(sum(p.v) AS BIGINT) AS spike_volume
+       |FROM pts p JOIN intervals i
+       |  ON p.pm >= i.spike_start AND p.pm <= i.spike_end
+       |GROUP BY i.spike_start, i.spike_end
+       |ORDER BY i.spike_start""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
+    "spike_ticks"            -> (spikeTicks _, spikeTicksSql),
     "ticks_anomaly"          -> (ticksAnomaly _, ticksAnomalySql),
     "ticks_range_vwap"       -> (ticksRangeVwap _, ticksRangeVwapSql),
     "ticks_beta"             -> (ticksBeta _, ticksBetaSql),

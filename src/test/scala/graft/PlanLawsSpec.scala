@@ -25,7 +25,7 @@ class PlanLawsSpec extends SparkSpec {
     "decontam", "source_profile", "lm_quality", "tfidf_topk",
     "corpus_curation", "curation_audit", "dedup_incremental",
     "tfidf_topk_log", "drift_report", "dup_triangles",
-    "bm25_topk", "dsir_weights", "heavy_hitters")
+    "bm25_topk", "dsir_weights", "heavy_hitters", "spike_ticks")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
@@ -92,6 +92,15 @@ class PlanLawsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "keep_best lost its broadcast join")
     assert(!p.contains("SortMergeJoin"),
       "dedup_keep_best exchanges the corpus through a sort-merge join")
+  }
+
+  test("spike_ticks' interval join stays bucketized: only the scalar anchor is a BNLJ") {
+    // the whitelist admits the broadcast 1-row stats anchor; a second
+    // BNLJ would mean the point-in-interval join degraded to the naive
+    // range-predicate nested loop the bucket rewrite exists to avoid
+    // count operator-detail headers: the tree section repeats each name
+    val n = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plans("spike_ticks")).length
+    assert(n == 1, s"spike_ticks has $n nested-loop joins; expected only the stats anchor")
   }
 
   test("source_profile keeps its curation sets on broadcast joins") {
