@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
+import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.similarity.{Quantize, Similarity}
@@ -18,7 +18,7 @@ object SparkEntry {
 
   private val registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
-      RetrievalAnalytics.registry, SelectionAnalytics.registry,
+      RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
       Quantize.registry, Multimodal.registry)
 
