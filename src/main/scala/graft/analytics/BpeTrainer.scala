@@ -49,15 +49,18 @@ object BpeTrainer {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOn(Tables.documents(spark, dir), Merges)
 
-  private[graft] def bpeMergesOn(docs: DataFrame, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Runs the k training rounds; returns the merge table and the final
+    * per-word segmentation frame (word, w, cnt) — the trained tokenizer's
+    * word table, reused by [[bpeEncode]].
+    */
+  private def train(docs: DataFrame, k: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     // one corpus pass: word-frequency table, then char-split to the
     // sep-joined symbol representation
     var words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(
+      .select(col("word"),
         concat(lit(Sep),
           array_join(expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"), Sep),
           lit(Sep)).as("w"),
@@ -81,23 +84,54 @@ object BpeTrainer {
       val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((rank, a, b, a + b, n))
       words = words
-        .select(
+        .select(col("word"),
           call_function("replace", col("w"),
             lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)).as("w"),
           col("cnt"))
         .localCheckpoint(eager = false)
     }
-    merges.result()
+    (merges.result(), words)
+  }
+
+  private[graft] def bpeMergesOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, k)._1
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
   }
 
-  /** The same k rounds unrolled into DuckDB CTEs: `w0` is the
-    * word-frequency table in the sep-joined representation; round i
-    * derives pair counts `p_i` from `w_{i-1}`, the argmax `b_i`, and the
-    * re-segmented `w_i`; the result unions the k argmax rows.
+  // ---- bpe_encode: per-doc token counts under the trained tokenizer ----
+  /** Encode the corpus with its own trained tokenizer: per document, the
+    * word count and the BPE token count after the k learned merges — the
+    * number sequence packing and token budgeting actually consume. The
+    * trained word table is vocabulary-sized (one row per distinct word,
+    * its final segmentation length = symbols of its `w` string), so the
+    * scoring join broadcasts it into the exploded token stream; one
+    * doc-keyed aggregate finishes. Integer-only.
     */
-  val bpeMergesSql: String = {
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOn(Tables.documents(spark, dir), Merges)
+
+  private[graft] def bpeEncodeOn(docs: DataFrame, k: Int): DataFrame = {
+    val wordToks = train(docs, k)._2
+      .select(col("word"),
+        (size(split(col("w"), Sep)) - 2).as("n_toks"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(wordToks), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The same k rounds unrolled into DuckDB CTEs: `w0` is the
+    * word-frequency table in the sep-joined representation (the source
+    * word is carried alongside — it is the join key [[bpeEncodeSql]]
+    * needs, and `word → w` is injective so it never changes the rows);
+    * round i derives pair counts `p_i` from `w_{i-1}`, the argmax `b_i`,
+    * and the re-segmented `w_i`.
+    */
+  private val roundCtes: String = {
     val sep = "chr(1)"
     val rounds = (1 to Merges).map { i =>
       s"""p$i AS MATERIALIZED (
@@ -107,28 +141,51 @@ object BpeTrainer {
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT a, b, n FROM p$i ORDER BY n DESC, a ASC, b ASC LIMIT 1),
          |w$i AS MATERIALIZED (
-         |  SELECT replace(w,
+         |  SELECT word,
+         |         replace(w,
          |           $sep || (SELECT a FROM b$i) || $sep || (SELECT b FROM b$i) || $sep,
          |           $sep || (SELECT a FROM b$i) || (SELECT b FROM b$i) || $sep) AS w,
          |         cnt
          |  FROM w${i - 1})""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to Merges).map { i =>
-      s"SELECT $i AS rank, a AS \"left\", b AS \"right\", a || b AS merged, n AS pair_count FROM b$i"
-    }.mkString("\nUNION ALL\n")
     s"""WITH w0 AS MATERIALIZED (
-       |  SELECT $sep || array_to_string(
+       |  SELECT word,
+       |         $sep || array_to_string(
        |           list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)),
        |           $sep) || $sep AS w,
        |         count(*) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  GROUP BY 1),
-       |$rounds
-       |$unions
-       |ORDER BY rank""".stripMargin
+       |  GROUP BY 1, 2),
+       |$rounds""".stripMargin
   }
+
+  val bpeMergesSql: String = {
+    val unions = (1 to Merges).map { i =>
+      s"SELECT $i AS rank, a AS \"left\", b AS \"right\", a || b AS merged, n AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL\n")
+    s"""$roundCtes,
+       |merges AS ($unions)
+       |SELECT * FROM merges ORDER BY rank""".stripMargin
+  }
+
+  /** Encode oracle: the trained word table `w$Merges` scored as final
+    * symbol count per word, joined back into the exploded corpus. Sums
+    * cast to BIGINT (DuckDB promotes to HUGEINT).
+    */
+  val bpeEncodeSql: String =
+    s"""$roundCtes,
+       |wt AS (SELECT word, len(string_split(trim(w, chr(1)), chr(1))) AS n_toks
+       |       FROM w$Merges)
+       |SELECT doc_id,
+       |       count(*) AS n_words,
+       |       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) d
+       |JOIN wt USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "bpe_merges" -> (bpeMerges _, bpeMergesSql),
+    "bpe_encode" -> (bpeEncode _, bpeEncodeSql),
   )
 }

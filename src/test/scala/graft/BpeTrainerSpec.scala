@@ -38,6 +38,22 @@ class BpeTrainerSpec extends SparkSpec {
     assert(out.head.getString(1) == "x" && out.head.getString(2) == "y")
   }
 
+  test("encode scores each word by its final segmentation length") {
+    import spark.implicits._
+    // k=1 trains only (a,b)→ab (count 8 beats (b,c)=3): "ab"→1 token,
+    // "abc"→[ab, c]=2, "a"→1. Doc 0 = "ab abc a" → 3 words, 4 tokens.
+    val docs = (
+      Seq("ab abc a") ++ Seq.fill(4)("ab") ++ Seq.fill(2)("abc") ++ Seq.fill(4)("a"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val out = BpeTrainer.bpeEncodeOn(docs, 1).collect()
+    assert(out.length == 11)
+    val d0 = out.find(_.getLong(0) == 0L).get
+    assert((d0.getLong(1), d0.getLong(2)) == (3L, 4L))
+    val dAbc = out.find(_.getLong(0) == 5L).get
+    assert((dAbc.getLong(1), dAbc.getLong(2)) == (1L, 2L))
+  }
+
   test("leftmost non-overlapping merge scan: aaa yields one aa + a") {
     import spark.implicits._
     // merging (a,a) in "aaa" must consume the FIRST pair only; the
