@@ -1384,8 +1384,57 @@ object TextAnalytics {
        |FROM docs d LEFT JOIN ks USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- stratified_sample: exact-k per-stratum uniform sample ------------
+
+  private val StratKeep = 30
+
+  /** Exact-k uniform sample per language stratum — the "fixed quota per
+    * source/language" selection step of a mixture pipeline when the
+    * contract is a COUNT, not a rate (corpus_mix is the rate version).
+    * Rank within a stratum is ascending (hash60(text), doc_id): uniform
+    * because the hash is, deterministic and engine-independent because
+    * nothing depends on RNG state or row order. Strata smaller than k
+    * are kept whole.
+    *
+    * Scale: the naive exact-k plan is `row_number() OVER (PARTITION BY
+    * stratum ORDER BY …) <= k` — which routes EVERY row of a stratum
+    * through one reducer's sort, exactly the per-stratum serialization
+    * that breaks on a 100 TB corpus with a dominant language. This plan
+    * instead rides the bounded mergeable [[graft.functions.TopKByScore]]
+    * aggregate (the kNN machinery): each map task carries at most ~2k
+    * candidates per stratum and partials merge associatively, so the
+    * shuffle is O(strata × k) rows per map task and no global sort
+    * exists anywhere — same answer, window-free.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), hash60(col("text")).as("h"))
+      // negate: topk_by_score keeps HIGHEST scores, rank wants lowest
+      // hashes; 60-bit hashes collide in double space only at ~2^-53 and
+      // ties fall back to id asc in both engines
+      .groupBy("lang")
+      .agg(expr(s"topk_by_score(-CAST(h AS DOUBLE), doc_id, $StratKeep)").as("top"))
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.id").as("doc_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id, ${hash60Sql("text")} AS h FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |         row_number() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY CAST(h AS DOUBLE) ASC, doc_id ASC) AS rn
+       |  FROM h)
+       |SELECT lang, doc_id FROM r WHERE rn <= $StratKeep
+       |ORDER BY lang, doc_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
+    "stratified_sample" -> (stratifiedSample _, stratifiedSampleSql),
     "corpus_shards"   -> (corpusShards _, corpusShardsSql),
     "lm_quality"      -> (lmQuality _, lmQualitySql),
     "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),

@@ -678,8 +678,61 @@ object Dedup {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim_a, b.sim_a)) + bit_count(xor(a.sim_b, b.sim_b)) <= $HammingMax""".stripMargin
 
+  // ---- split_leakage: train/val contamination audit ---------------------
+
+  /** Train share of the hash split, in percent. */
+  private val TrainPct = 90
+
+  /** Near-duplicate pairs that STRADDLE a deterministic train/val split —
+    * the leakage audit an evaluation pipeline runs before trusting its
+    * held-out metrics: a val document with a ≥-threshold near-dup in
+    * train is contaminated even after exact dedup, because the split was
+    * drawn doc-wise while duplication is cluster-wise. The split is
+    * hash60(doc_id) % 100 < [[TrainPct]] — the reproducible identity
+    * split (stable under re-crawls that change text but keep ids), the
+    * same no-RNG contract as corpus_mix. Output: every verified near-dup
+    * pair whose endpoints land in different splits, with its Jaccard —
+    * the pair list is the actionable artifact (move/remove), a bare rate
+    * is not.
+    *
+    * Scale: pairs come from the normative MinHash-LSH path
+    * ([[dedupMinhash]] — banded, never all-pairs); the split column is a
+    * per-row projection of the doc table joined twice on the pair frame
+    * (pair-graph-sized ≪ corpus, so both joins broadcast; at worst they
+    * shuffle on doc_id). Nothing here adds corpus-scale work to the
+    * dedup pass it piggybacks on.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val split = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(pmod(hash60(col("doc_id").cast("string")), lit(100)) < TrainPct,
+        lit("train")).otherwise(lit("val")).as("split"))
+    dedupMinhash(spark, dir)
+      .join(split.select(col("doc_id").as("doc_id_1"), col("split").as("split_1")), "doc_id_1")
+      .join(split.select(col("doc_id").as("doc_id_2"), col("split").as("split_2")), "doc_id_2")
+      .filter(col("split_1") =!= col("split_2"))
+      .select(col("doc_id_1"), col("doc_id_2"),
+        col("split_1"), col("split_2"), col("jaccard"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH pairs AS (
+       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |s AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${graft.functions.TextFeatures.hash60Sql("doc_id::VARCHAR")} % 100 < $TrainPct
+       |              THEN 'train' ELSE 'val' END AS split
+       |  FROM documents)
+       |SELECT p.doc_id_1, p.doc_id_2,
+       |       s1.split AS split_1, s2.split AS split_2, p.jaccard
+       |FROM pairs p
+       |JOIN s s1 ON p.doc_id_1 = s1.doc_id
+       |JOIN s s2 ON p.doc_id_2 = s2.doc_id
+       |WHERE s1.split <> s2.split""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact"   -> (dedupExact _, dedupExactSql),
+    "split_leakage" -> (splitLeakage _, splitLeakageSql),
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
