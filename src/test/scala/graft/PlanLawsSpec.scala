@@ -25,7 +25,9 @@ class PlanLawsSpec extends SparkSpec {
     "decontam", "source_profile", "lm_quality", "tfidf_topk",
     "corpus_curation", "curation_audit", "dedup_incremental",
     "tfidf_topk_log", "drift_report", "dup_triangles",
-    "bm25_topk", "dsir_weights", "heavy_hitters", "spike_ticks")
+    "bm25_topk", "dsir_weights", "heavy_hitters", "spike_ticks",
+    // 1-row count + max-abs normalizer anchors cross-joined per round
+    "embedding_pca")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
