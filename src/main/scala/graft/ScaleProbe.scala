@@ -249,6 +249,44 @@ object ScaleProbe {
         time(spark, copies, "passage_dedup")(
           graft.analytics.TextAnalytics.passageDedupOn(docs)
             .filter(length(col("clean_text")) >= 0))
+      // exact-k stratified sample: strata from a doc_id residue (the big
+      // frame drops the lang column; stratum semantics are what's timed).
+      // The thing under test is that the bounded top-k aggregate keeps
+      // wall time linear in rows with NO per-stratum sort term — the
+      // window form this replaces would serialize each stratum
+      if (wanted("stratified_sample"))
+        time(spark, copies, "stratified_sample")(
+          graft.analytics.TextAnalytics.stratifiedSampleOn(
+            docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5))))))
+      // split audit piggybacking the banded minhash pass: replica
+      // wrapping keeps the pair graph the base corpus' own per replica,
+      // so cross-split pair output scales ×copies while the added work
+      // stays two pair-graph-sized joins
+      if (wanted("split_leakage"))
+        time(spark, copies, "split_leakage")(Dedup.splitLeakageOn(docs))
+      // BPE: the corpus term is ONE explode + word count; every round is
+      // vocab-sized (replica tagging multiplies vocab ×copies, still
+      // ≪ corpus). Encode adds one broadcast join over the re-exploded
+      // corpus — the linear term under test
+      if (wanted("bpe_merges"))
+        time(spark, copies, "bpe_merges")(
+          graft.analytics.BpeTrainer.bpeMergesOn(docs, 8))
+      if (wanted("bpe_encode"))
+        time(spark, copies, "bpe_encode")(
+          graft.analytics.BpeTrainer.bpeEncodeOn(docs, 8))
+      // NB classifier: class labels from a doc_id residue (constant C=20
+      // like the real source column); training is two keyed counts, the
+      // val fan-out is ×C — wall time should track the token stream
+      if (wanted("nb_classify"))
+        time(spark, copies, "nb_classify")(
+          graft.analytics.SelectionAnalytics.nbClassifyOn(
+            docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))))
+      // power-iteration PCA: N·d exploded integers through two keyed
+      // sums per round, weights a 64-row broadcast — rounds fixed, so
+      // wall time should track N·d and nothing else
+      if (wanted("embedding_pca"))
+        time(spark, copies, "embedding_pca")(
+          graft.similarity.PcaPower.pcaPowerOn(spark.read.parquet(embPath), 64, 5))
       if (wanted("knn_brute"))
         time(spark, copies, "knn_brute")(Similarity.knnBruteOn(emb))
       if (wanted("knn_quantized"))

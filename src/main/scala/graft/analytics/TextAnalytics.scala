@@ -1406,9 +1406,12 @@ object TextAnalytics {
     * shuffle is O(strata × k) rows per map task and no global sort
     * exists anywhere — same answer, window-free.
     */
-  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    graft.GraftExtensions.register(spark)
-    Tables.documents(spark, dir)
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOn(Tables.documents(spark, dir))
+
+  private[graft] def stratifiedSampleOn(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
       .select(col("lang"), col("doc_id"), hash60(col("text")).as("h"))
       // negate: topk_by_score keeps HIGHEST scores, rank wants lowest
       // hashes; 60-bit hashes collide in double space only at ~2^-53 and

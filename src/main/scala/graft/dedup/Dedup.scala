@@ -702,12 +702,15 @@ object Dedup {
     * shuffle on doc_id). Nothing here adds corpus-scale work to the
     * dedup pass it piggybacks on.
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val split = Tables.documents(spark, dir).select(
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOn(Tables.documents(spark, dir))
+
+  private[graft] def splitLeakageOn(docs: DataFrame): DataFrame = {
+    val split = docs.select(
       col("doc_id"),
       when(pmod(hash60(col("doc_id").cast("string")), lit(100)) < TrainPct,
         lit("train")).otherwise(lit("val")).as("split"))
-    dedupMinhash(spark, dir)
+    dedupMinhashOn(shingleSets(docs))
       .join(split.select(col("doc_id").as("doc_id_1"), col("split").as("split_1")), "doc_id_1")
       .join(split.select(col("doc_id").as("doc_id_2"), col("split").as("split_2")), "doc_id_2")
       .filter(col("split_1") =!= col("split_2"))
