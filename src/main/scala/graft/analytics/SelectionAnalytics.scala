@@ -3,6 +3,7 @@ package graft.analytics
 import graft.Tables
 import graft.functions.TextFeatures._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-selection operators over the `documents` table: a bigram LM
@@ -171,8 +172,118 @@ object SelectionAnalytics {
        |FROM feats JOIN lam USING (f)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- nb_classify: Naive Bayes source classifier, confusion matrix ----
+
+  /** Train share of the hash split, in percent (the split_leakage split). */
+  private val NbTrainPct = 90
+
+  /** Multinomial Naive Bayes with add-one smoothing, trained on the
+    * deterministic hash60(doc_id) train split and evaluated on the val
+    * split — the model-based domain/quality classification step of a
+    * curation pipeline (the fastText-classifier role in CCNet/LLaMA-style
+    * filtering), self-contained on the corpus' own `source` labels.
+    * Output is the confusion matrix (true_source, pred_source, n_docs):
+    * the artifact that says whether source is predictable from text at
+    * all, and which sources alias.
+    *
+    * Per-class token log-likelihoods are `ln((c(class,tok)+1)/(c(class)+V))`
+    * — ln over ratios of exact integer counts, identical operation order
+    * in both engines; per-(doc, class) sums fold in SORTED order (the
+    * lm_quality contract); the argmax breaks ties (score desc, class asc).
+    *
+    * Scale: training is two keyed counts over the exploded train stream.
+    * Scoring fans the val token stream out by the C candidate classes —
+    * C is the MODEL size (constant, 20 here), not a data term — and
+    * probes the (class, token) count table with a plain keyed join
+    * (broadcast at test SF, shuffle-hash when class×vocab outgrows it —
+    * the lm_bigram fallback path). The argmax window partitions by doc
+    * over exactly C rows; the confusion aggregate is C² cells.
+    */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassifyOn(Tables.documents(spark, dir))
+
+  private[graft] def nbClassifyOn(docs: DataFrame): DataFrame = {
+    val tagged = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        (pmod(hash60(col("doc_id").cast("string")), lit(100)) < NbTrainPct)
+          .as("is_train"))
+      .localCheckpoint(eager = false)
+    val trToks = tagged.filter(col("is_train"))
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .localCheckpoint(eager = false)
+    val ct = trToks.groupBy("source", "tok").agg(count(lit(1)).as("tn"))
+    val cc = trToks.groupBy("source").agg(count(lit(1)).as("cn"))
+    val v  = trToks.agg(countDistinct(col("tok")).as("v"))
+    val pr = tagged.filter(col("is_train")).groupBy("source")
+      .agg(count(lit(1)).as("pd"))
+    val tt = tagged.filter(col("is_train")).agg(count(lit(1)).as("td"))
+    val ll = tagged.filter(!col("is_train"))
+      .select(col("doc_id"), col("source").as("true_source"),
+        explode(tokens(col("text"))).as("tok"))
+      .crossJoin(broadcast(cc.select(col("source").as("cand"), col("cn"))))
+      .join(ct.select(col("source").as("cand"), col("tok"), col("tn")),
+        Seq("cand", "tok"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("true_source"), col("cand"),
+        log((coalesce(col("tn"), lit(0L)) + lit(1L)).cast("double")
+          / (col("cn") + col("v")).cast("double")).as("ll"))
+    val scored = ll
+      .groupBy("doc_id", "true_source", "cand")
+      .agg(aggregate(sort_array(collect_list(col("ll"))), lit(0.0), _ + _).as("s"))
+      .join(broadcast(pr.select(col("source").as("cand"), col("pd"))), "cand")
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"), col("true_source"), col("cand"),
+        (col("s") + log(col("pd").cast("double") / col("td").cast("double")))
+          .as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("true_source"), col("cand"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("true_source"), col("cand").as("pred_source"), col("n_docs"))
+      .orderBy("true_source", "pred_source")
+  }
+
+  val nbClassifySql: String =
+    s"""WITH tagged AS (
+       |  SELECT doc_id, source, text,
+       |         ${hash60Sql("doc_id::VARCHAR")} % 100 < $NbTrainPct AS is_train
+       |  FROM documents),
+       |tr AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM tagged WHERE is_train),
+       |ct AS (SELECT source, tok, count(*) AS tn FROM tr GROUP BY 1, 2),
+       |cc AS (SELECT source, count(*) AS cn FROM tr GROUP BY 1),
+       |v  AS (SELECT count(DISTINCT tok) AS v FROM tr),
+       |pr AS (SELECT source, count(*) AS pd FROM tagged WHERE is_train GROUP BY 1),
+       |tt AS (SELECT count(*) AS td FROM tagged WHERE is_train),
+       |vt AS (
+       |  SELECT doc_id, source AS true_source, unnest(string_split(text, ' ')) AS tok
+       |  FROM tagged WHERE NOT is_train),
+       |ll AS (
+       |  SELECT vt.doc_id, vt.true_source, cc.source AS cand,
+       |         ln((coalesce(ct.tn, 0) + 1)::DOUBLE
+       |            / ((cc.cn + (SELECT v FROM v))::DOUBLE)) AS ll
+       |  FROM vt CROSS JOIN cc
+       |  LEFT JOIN ct ON ct.source = cc.source AND ct.tok = vt.tok),
+       |sc AS (
+       |  SELECT doc_id, true_source, cand,
+       |         list_reduce(list_sort(list(ll)), (a, b) -> a + b)
+       |           + ln(pr.pd::DOUBLE / ((SELECT td FROM tt))::DOUBLE) AS score
+       |  FROM ll JOIN pr ON pr.source = ll.cand
+       |  GROUP BY doc_id, true_source, cand, pr.pd),
+       |pred AS (
+       |  SELECT doc_id, true_source, cand,
+       |         row_number() OVER (
+       |           PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+       |  FROM sc)
+       |SELECT true_source, cand AS pred_source, count(*) AS n_docs
+       |FROM pred WHERE rn = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "lm_bigram"    -> (lmBigram _, lmBigramSql),
     "dsir_weights" -> (dsirWeights _, dsirWeightsSql),
+    "nb_classify"  -> (nbClassify _, nbClassifySql),
   )
 }

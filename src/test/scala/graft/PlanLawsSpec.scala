@@ -27,7 +27,9 @@ class PlanLawsSpec extends SparkSpec {
     "tfidf_topk_log", "drift_report", "dup_triangles",
     "bm25_topk", "dsir_weights", "heavy_hitters", "spike_ticks",
     // 1-row count + max-abs normalizer anchors cross-joined per round
-    "embedding_pca")
+    "embedding_pca",
+    // candidate-class fan-out (C=20 model rows) + 1-row V/total anchors
+    "nb_classify")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
