@@ -918,6 +918,108 @@ object StarAnalytics {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  // ---- top supplier (TPC-H Q15 shape) ----------------------------------
+  /** The Q15 revenue-view argmax: per-supplier revenue over one quarter,
+    * keeping every supplier that ties the maximum — the classic
+    * view + `WHERE total = (SELECT max(total) FROM view)` scalar
+    * subquery, decorrelated into one broadcast join against a 1-row
+    * max. Revenue sums are exact DECIMAL, so "ties the maximum" is an
+    * exact equality in both engines — the reason Q15's HAVING-max shape
+    * is safe here at all (an IEEE sum could differ in the last ulp and
+    * drop a tying supplier on one engine only).
+    *
+    * Scale: one filtered scan → supplier-keyed partial-agg sum; the max
+    * is a 1-row broadcast; the supplier dim broadcasts. The quarter
+    * filter reaches the parquet scan as a pushed predicate.
+    */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) *
+      (lit(1).cast(Rate) - col("l_discount").cast(Rate))
+    val bySupp = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("_rev"))
+      .localCheckpoint(eager = false)
+    val mx = bySupp.agg(max(col("_rev")).as("_mx"))
+    bySupp.join(broadcast(mx), col("_rev") === col("_mx"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      |             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS total
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total = (SELECT max(total) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- sales opportunity (TPC-H Q22 shape) -----------------------------
+  /** The Q22 shape: well-funded customers gone QUIET — above-average
+    * positive balance and no order since 2001 — grouped by nation: a
+    * global scalar subquery (average positive account balance) gating
+    * an anti join against recent orders. (TPC-H's "never ordered"
+    * predicate is empty on this corpus — every customer has orders —
+    * so the anti side is the recent-order set; the shape under test,
+    * scalar-subquery threshold + decorrelated NOT EXISTS, is
+    * unchanged.) The threshold
+    * comparison is multiplied through (`c_acctbal · n > Σ acctbal`
+    * instead of `c_acctbal > Σ/n`) so it is an EXACT decimal×integer
+    * predicate: Spark's decimal AVG and DuckDB's (double) AVG round
+    * differently, and a boundary customer would flip membership — the
+    * same multiply-through trick embedding_pca uses for its mean.
+    *
+    * Scale: the threshold is a 1-row broadcast off a customer-table
+    * aggregate; the anti join shuffles on custkey against distinct
+    * order custkeys; nation broadcasts. No correlated subquery runs.
+    */
+  def salesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast(Money).as("bal"))
+    val pos = cust.filter(col("bal") > lit(0).cast(Money))
+      .agg(sum(col("bal")).as("_s"), count(lit(1)).as("_n"))
+    cust
+      .crossJoin(broadcast(pos))
+      .filter(col("bal") * col("_n") > col("_s"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  val salesOpportunitySql: String =
+    """WITH pos AS (
+      |  SELECT sum(CAST(c_acctbal AS DECIMAL(10,2))) AS s, count(*) AS n
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(10,2)) > 0)
+      |SELECT n_name,
+      |       count(*) AS numcust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(c_acctbal AS DECIMAL(10,2)) * (SELECT n FROM pos) > (SELECT s FROM pos)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // ---- table_checksum: order-insensitive reconciliation digest ---------
   /** Replica/migration reconciliation: per-partition row counts plus an
     * order-insensitive XOR of canonical row hashes — two tables claiming
@@ -1015,6 +1117,8 @@ object StarAnalytics {
     "drift_report"      -> (driftReport _, driftReportSql),
     "lone_late_suppliers" -> (loneLateSuppliers _, loneLateSuppliersSql),
     "market_share"      -> (marketShare _, marketShareSql),
+    "top_supplier"      -> (topSupplier _, topSupplierSql),
+    "sales_opportunity" -> (salesOpportunity _, salesOpportunitySql),
     "user_churn"        -> (userChurn _, userChurnSql),
     "small_quantity_revenue" -> (smallQuantityRevenue _, smallQuantityRevenueSql),
     "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),

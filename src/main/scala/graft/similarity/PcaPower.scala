@@ -61,22 +61,28 @@ object PcaPower {
   def embeddingPca(spark: SparkSession, dir: String): DataFrame =
     pcaPowerOn(Tables.embeddings(spark, dir), Dims, Rounds)
 
-  private[graft] def pcaPowerOn(emb: DataFrame, dims: Int, rounds: Int): DataFrame = {
-    // quantized exploded frame: (vec_id, i, q) with q = floor(e_i·1000)
+  /** Centered quantized exploded frame (vec_id, i, qc): q = floor(e_i·1000),
+    * qc = N·q − Σq (mean-centering multiplied through — exact integers).
+    */
+  private def centeredFrame(emb: DataFrame): DataFrame = {
     val e0 = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("p", "e")))
       .select(col("vec_id"), (col("p") + 1).as("i"),
         floor(col("e").cast("double") * lit(QScale)).cast("long").as("q"))
     val mu = e0.groupBy("i").agg(sum(col("q")).as("s_i"))
     val n = emb.agg(count(lit(1)).as("n"))
-    // centered by multiplying through: qc = N·q − Σq (exact integers)
-    val e = e0
-      .join(broadcast(mu), "i")
+    e0.join(broadcast(mu), "i")
       .crossJoin(broadcast(n))
       .select(col("vec_id"), col("i"),
         (col("n") * col("q") - col("s_i")).as("qc"))
       .localCheckpoint(eager = false)
-    var w = mu.select(col("i"), lit(1000000L).as("w"))
+  }
+
+  /** The fixed power-iteration rounds over a centered frame; returns the
+    * final scaled weight vector as (i, w) rows.
+    */
+  private def powerRounds(e: DataFrame, rounds: Int): DataFrame = {
+    var w = e.select(col("i")).distinct().select(col("i"), lit(1000000L).as("w"))
     for (_ <- 1 to rounds) {
       val dots = e.join(broadcast(w), "i")
         .groupBy("vec_id")
@@ -91,7 +97,49 @@ object PcaPower {
             .cast("long").as("w"))
         .localCheckpoint(eager = false)
     }
-    w.select(col("i").cast("int").as("dim"), col("w")).orderBy("dim")
+    w
+  }
+
+  private[graft] def pcaPowerOn(emb: DataFrame, dims: Int, rounds: Int): DataFrame =
+    powerRounds(centeredFrame(emb), rounds)
+      .select(col("i").cast("int").as("dim"), col("w")).orderBy("dim")
+
+  // ---- embedding_pca_project: projection histogram on the component ----
+
+  /** Histogram buckets across the projection range. */
+  private val Buckets = 16
+
+  /** The learned component put to work: every vector's exact integer
+    * projection onto the trained direction, folded into a
+    * [[Buckets]]-bucket histogram over the symmetric range ±max|proj| —
+    * the anisotropy profile that says whether the cloud is elongated
+    * (index along this axis) or isotropic (don't bother). Projections
+    * are Σ qc·w — the same exact integer dot the training rounds use —
+    * so bucket membership is deterministic cross-engine; the only IEEE
+    * step is the bucket-index division, identical operation order in
+    * both engines.
+    *
+    * Scale: one more pass of the centered frame against the 64-row
+    * weight broadcast (the training rounds' per-round cost), then a
+    * 16-group count. Output is [[Buckets]] rows at any corpus size.
+    */
+  def embeddingPcaProject(spark: SparkSession, dir: String): DataFrame =
+    pcaProjectOn(Tables.embeddings(spark, dir))
+
+  private[graft] def pcaProjectOn(emb: DataFrame): DataFrame = {
+    val e = centeredFrame(emb)
+    val w = powerRounds(e, Rounds)
+    val proj = e.join(broadcast(w), "i")
+      .groupBy("vec_id")
+      .agg(sum(col("qc") * col("w")).as("p"))
+    val mm = proj.agg(max(abs(col("p"))).as("m"))
+    proj.crossJoin(broadcast(mm))
+      .select((floor(col("p").cast("double") * lit(Buckets / 2.0)
+          / (col("m") + lit(1L)).cast("double"))
+        .cast("int") + lit(Buckets / 2)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
   }
 
   /** The same [[Rounds]] rounds mechanically unrolled into DuckDB CTEs
@@ -99,7 +147,10 @@ object PcaPower {
     * frame, round r derives per-vector dots `d_r`, per-dim sums `s_r`,
     * the max-abs normalizer `m_r`, and the re-scaled weights `w_r`.
     */
-  val embeddingPcaSql: String = {
+  /** Shared CTE chain: centered frame `e`, then the [[Rounds]] unrolled
+    * training rounds ending at `w$Rounds`.
+    */
+  private val pcaCtes: String = {
     val rounds = (1 to Rounds).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT vec_id, CAST(sum(qc * w) AS BIGINT) AS dot
@@ -123,11 +174,27 @@ object PcaPower {
        |         (SELECT count(*) FROM embeddings) * q - mu.s_i AS qc
        |  FROM e0 JOIN mu ON e0.i = mu.i),
        |w0 AS (SELECT i, 1000000::BIGINT AS w FROM generate_series(1, $Dims) AS g(i)),
-       |$rounds
-       |SELECT CAST(i AS INTEGER) AS dim, w FROM w$Rounds ORDER BY dim""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  val embeddingPcaSql: String =
+    s"""$pcaCtes
+       |SELECT CAST(i AS INTEGER) AS dim, w FROM w$Rounds ORDER BY dim""".stripMargin
+
+  val embeddingPcaProjectSql: String =
+    s"""$pcaCtes,
+       |proj AS MATERIALIZED (
+       |  SELECT vec_id, CAST(sum(qc * w) AS BIGINT) AS p
+       |  FROM e JOIN w$Rounds USING (i) GROUP BY vec_id),
+       |mm AS (SELECT max(abs(p)) AS m FROM proj)
+       |SELECT CAST(floor(CAST(p AS DOUBLE) * ${Buckets / 2.0}
+       |                  / CAST((SELECT m FROM mm) + 1 AS DOUBLE)) AS INTEGER)
+       |         + ${Buckets / 2} AS bucket,
+       |       count(*) AS n_vecs
+       |FROM proj GROUP BY 1 ORDER BY 1""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "embedding_pca" -> (embeddingPca _, embeddingPcaSql),
+    "embedding_pca_project" -> (embeddingPcaProject _, embeddingPcaProjectSql),
   )
 }

@@ -29,6 +29,15 @@ class PcaPowerSpec extends SparkSpec {
     assert(rest.max < 200000L, s"noise axes too large: $w")
   }
 
+  test("projection histogram accounts for every vector in range") {
+    val out = PcaPower.pcaProjectOn(cloud(200)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(out.map(_._2).sum == 200L)
+    assert(out.forall { case (b, _) => b >= 0 && b < 16 })
+    // the ±1 cloud projects to the range edges, not one central bucket
+    assert(out.length >= 2)
+  }
+
   test("row order does not change the result") {
     import org.apache.spark.sql.functions._
     val base = PcaPower.pcaPowerOn(cloud(100), dims = 8, rounds = 3).collect()

@@ -29,7 +29,11 @@ class PlanLawsSpec extends SparkSpec {
     // 1-row count + max-abs normalizer anchors cross-joined per round
     "embedding_pca",
     // candidate-class fan-out (C=20 model rows) + 1-row V/total anchors
-    "nb_classify")
+    "nb_classify",
+    // 1-row positive-balance threshold anchor (Q22 scalar subquery)
+    "sales_opportunity",
+    // 1-row max-abs projection anchor on top of the pca round anchors
+    "embedding_pca_project")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
