@@ -1020,6 +1020,274 @@ object StarAnalytics {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---- min-cost supplier (TPC-H Q2 shape) ------------------------------
+  /** The Q2 correlated-min: for each size-25 part, the EUROPE-region
+    * supplier(s) whose shipment achieved the minimum effective cost —
+    * `cost = (SELECT min(cost) … WHERE partkey = p_partkey)` as a
+    * correlated scalar subquery, decorrelated into a per-part min
+    * aggregate joined back on (partkey, cost). Cost is the exact
+    * DECIMAL `extendedprice·(1−discount)`, so min-ties survive the
+    * equality join identically in both engines (IEEE mins could differ
+    * in the last ulp and return different tying suppliers per engine).
+    *
+    * Scale: the region-filtered cost frame is computed ONCE (lazy
+    * checkpoint) and feeds both the min aggregate and the join-back —
+    * the correlated subquery never re-executes per outer row, which is
+    * the entire point of the decorrelation. Part/supplier dims
+    * broadcast; the join-back is a partkey-equi shuffle join with the
+    * exact-decimal cost as a residual equality.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val euCost = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_name"),
+        (col("l_extendedprice").cast(Money) *
+          (lit(1).cast(Rate) - col("l_discount").cast(Rate))).as("cost"))
+      .localCheckpoint(eager = false)
+    val minCost = euCost.groupBy(col("l_partkey").as("_pk"))
+      .agg(min(col("cost")).as("_mc"))
+    euCost
+      .join(minCost, col("l_partkey") === col("_pk") && col("cost") === col("_mc"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_size") === 25)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("cost").cast("double").as("min_cost"))
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val minCostSupplierSql: String =
+    """WITH eu AS (
+      |  SELECT l_partkey, s_name,
+      |         CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS cost
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT DISTINCT p_partkey, p_name, s_name, CAST(cost AS DOUBLE) AS min_cost
+      |FROM part JOIN eu ON p_partkey = l_partkey
+      |WHERE p_size = 25
+      |  AND cost = (SELECT min(cost) FROM eu e2 WHERE e2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  // ---- volume shipping (TPC-H Q7 shape) --------------------------------
+  /** Bilateral trade: revenue shipped between NATION_1 and NATION_2 in
+    * either direction, per ship year — the Q7 shape: the fact table
+    * joined out to TWO different nation roles (supplier's and
+    * customer's) with a symmetric pair predicate, grouped by the
+    * (supp_nation, cust_nation, year) triple.
+    *
+    * Scale: both nation-role maps are supplier/customer-dim broadcasts
+    * pre-filtered to the two nations, so the pair predicate prunes at
+    * the broadcast probe — lineitem rows for the other 23 supplier
+    * nations never survive the first join. One orderkey shuffle joins
+    * facts to orders; the final aggregate has 2·years groups.
+    */
+  def volumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val rev = col("l_extendedprice").cast(Money) *
+      (lit(1).cast(Rate) - col("l_discount").cast(Rate))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val volumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- important parts (TPC-H Q11 shape) -------------------------------
+  /** Parts whose ASIA-supplied revenue exceeds 0.1% of the ASIA total —
+    * the Q11 shape: a grouped aggregate HAVING-filtered against a
+    * scalar subquery over the SAME aggregate. The threshold compare is
+    * multiplied through (`val·1000 > total`) so it stays an exact
+    * DECIMAL predicate — a boundary part would flip membership if each
+    * engine divided in its own rounding.
+    *
+    * Scale: the per-part value frame is computed once (lazy
+    * checkpoint); the global total re-aggregates the per-part frame (a
+    * few-thousand-row second pass, not a second fact scan) into a
+    * 1-row broadcast anchor.
+    */
+  def importantParts(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(Money) *
+        (lit(1).cast(Rate) - col("l_discount").cast(Rate))).as("_v"))
+      .localCheckpoint(eager = false)
+    val total = byPart.agg(sum(col("_v")).as("_t"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("_v") * lit(1000) > col("_t"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("_v").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey").asc)
+  }
+
+  val importantPartsSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS val
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+      |                      JOIN nation ON s_nationkey = n_nationkey
+      |                      JOIN region ON n_regionkey = r_regionkey
+      |                      WHERE r_name = 'ASIA')
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+      |FROM v WHERE val * 1000 > (SELECT sum(val) FROM v)
+      |ORDER BY part_value DESC, p_partkey ASC""".stripMargin
+
+  // ---- order count distribution (TPC-H Q13 shape) ----------------------
+  /** How many customers placed how many (non-urgent) orders, INCLUDING
+    * the zero bucket — the Q13 shape: a left outer join with the filter
+    * in the JOIN condition (an outer-side WHERE would silently drop the
+    * zero-order customers), then a distribution over the counts.
+    * `count(o_orderkey)` counts only matched rows — all-integer
+    * arithmetic, exact on any engine.
+    *
+    * Scale: custkey-shuffle outer join, then a first aggregate keyed by
+    * custkey and a second keyed by the count value (tiny domain). The
+    * priority filter cannot push into the scan past an outer join — it
+    * lives in the join condition by design, and Spark evaluates it
+    * build-side before the join.
+    */
+  def orderCountDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val orderCountDistributionSql: String =
+    """WITH co AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- supplier part counts (TPC-H Q16 shape) --------------------------
+  /** Distinct supplier counts per (brand, type), excluding one brand and
+    * any supplier on credit hold (negative balance) — the Q16 shape: a
+    * NOT IN subquery decorrelated into a broadcast LEFT ANTI join, then
+    * COUNT(DISTINCT) over the surviving fact rows.
+    *
+    * Scale: the exclusion set is supplier-dim-sized (broadcast anti);
+    * the part dim broadcasts with the brand filter applied build-side;
+    * the distinct count shuffles once on (brand, type) with partial
+    * distinct aggregation map-side.
+    */
+  def supplierPartCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_brand") =!= "Brand#1")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc)
+
+  val supplierPartCountsSql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC""".stripMargin
+
+  // ---- dominant suppliers (TPC-H Q20 shape) ----------------------------
+  /** AMERICA-region suppliers who dominate a red part: shipped more than
+    * 1/8 of some red part's total shipped quantity — the Q20 shape:
+    * nested IN subqueries (supplier ∈ {dominant shippers of part ∈ {red
+    * parts}}) decorrelated into aggregate + join + LEFT SEMI chain. The
+    * share test multiplies through (`qty·8 > total`) on exact DECIMAL
+    * quantity sums — no per-engine division rounding at the boundary.
+    *
+    * Scale: the red-part filter broadcasts into the fact scan
+    * (partkey-semi); per-(part,supp) sums shuffle on the pair key; the
+    * per-part totals re-aggregate the pair frame (not the fact table)
+    * and join back partkey-equi; the final supplier probe is a
+    * broadcast semi of a key set bounded by the supplier dim.
+    */
+  def dominantSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_name").like("red%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("_q"))
+      .localCheckpoint(eager = false)
+    val tot = sp.groupBy(col("l_partkey").as("_pk")).agg(sum(col("_q")).as("_t"))
+    val dominant = sp.join(tot, col("l_partkey") === col("_pk"))
+      .filter(col("_q") * lit(8) > col("_t"))
+      .select(col("l_suppkey"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val dominantSuppliersSql: String =
+    """WITH sp AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |  GROUP BY l_partkey, l_suppkey),
+      |pt AS (SELECT l_partkey, sum(qty) AS tot FROM sp GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+      |                    WHERE qty * 8 > tot)
+      |ORDER BY s_suppkey""".stripMargin
+
   // ---- table_checksum: order-insensitive reconciliation digest ---------
   /** Replica/migration reconciliation: per-partition row counts plus an
     * order-insensitive XOR of canonical row hashes — two tables claiming
@@ -1119,6 +1387,12 @@ object StarAnalytics {
     "market_share"      -> (marketShare _, marketShareSql),
     "top_supplier"      -> (topSupplier _, topSupplierSql),
     "sales_opportunity" -> (salesOpportunity _, salesOpportunitySql),
+    "min_cost_supplier" -> (minCostSupplier _, minCostSupplierSql),
+    "volume_shipping"   -> (volumeShipping _, volumeShippingSql),
+    "important_parts"   -> (importantParts _, importantPartsSql),
+    "order_count_distribution" -> (orderCountDistribution _, orderCountDistributionSql),
+    "supplier_part_counts" -> (supplierPartCounts _, supplierPartCountsSql),
+    "dominant_suppliers" -> (dominantSuppliers _, dominantSuppliersSql),
     "user_churn"        -> (userChurn _, userChurnSql),
     "small_quantity_revenue" -> (smallQuantityRevenue _, smallQuantityRevenueSql),
     "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),

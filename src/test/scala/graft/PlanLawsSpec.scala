@@ -33,7 +33,9 @@ class PlanLawsSpec extends SparkSpec {
     // 1-row positive-balance threshold anchor (Q22 scalar subquery)
     "sales_opportunity",
     // 1-row max-abs projection anchor on top of the pca round anchors
-    "embedding_pca_project")
+    "embedding_pca_project",
+    // 1-row ASIA-total threshold anchor (Q11 scalar subquery)
+    "important_parts")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
