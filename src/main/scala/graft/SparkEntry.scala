@@ -3,7 +3,7 @@ package graft
 import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.similarity.{PcaPower, Quantize, Similarity}
+import graft.similarity.{KMeansExact, PcaPower, Quantize, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,7 @@ object SparkEntry {
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
-      Quantize.registry, PcaPower.registry, Multimodal.registry)
+      Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →

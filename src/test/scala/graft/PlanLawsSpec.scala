@@ -35,7 +35,9 @@ class PlanLawsSpec extends SparkSpec {
     // 1-row max-abs projection anchor on top of the pca round anchors
     "embedding_pca_project",
     // 1-row ASIA-total threshold anchor (Q11 scalar subquery)
-    "important_parts")
+    "important_parts",
+    // K-row (constant 20) centroid broadcast per Lloyd round
+    "kmeans_fit")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
