@@ -1,7 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{KMeansExact, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -345,6 +345,13 @@ object ScaleProbe {
       // own probe (dedup_embedding / dedup_embedding_lsh) — and note the
       // fixed-width LSH banding is itself N²/2^bits in expected in-bucket
       // pairs, so the production pair source must scale bits with log N.
+      // Integer Lloyd k-means: K is CONSTANT by the fixed seed rule
+      // (replica ids sit above SeedMax, so no replica adds a seed) —
+      // per-round cost is the N·K broadcast distance pass plus the K·64
+      // integer update, expected LINEAR in N across all three tiers.
+      if (wanted("kmeans_fit"))
+        time(spark, copies, "kmeans_fit")(
+          KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity
