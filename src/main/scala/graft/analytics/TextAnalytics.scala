@@ -82,6 +82,92 @@ object TextAnalytics {
        |FROM f""".stripMargin
   }
 
+  // ---- pii_scrub: PII detection + redaction (email / phone / IPv4) -----
+  // Regex subset chosen to behave identically under Java regex (Spark)
+  // and RE2 (DuckDB): character classes, bounded repetition, \b, \d.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{2,4}-\\d{4}\\b"
+  private val IpRe    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scan + redaction — the C4/CCNet-style scrub pass every
+    * training-data pipeline runs before release: count email / phone /
+    * IPv4 matches per document, then excise them (`<EMAIL>`/`<PHONE>`/
+    * `<IP>`, applied in that fixed order) and report the cleaned length.
+    *
+    * The synthetic corpus is a digit-free word soup, so PII spans are
+    * PLANTED deterministically from `doc_id` — identically in both
+    * engines, the same synthetic-gap technique as [[LangMarkers]]: four
+    * of five residue classes get an email / phone / IPv4 / email+IP
+    * combo appended, the fifth stays untouched (the all-zero negative
+    * class). The operator under test — regex extraction, global
+    * redaction, the count/length contract — is the real thing.
+    *
+    * Scale (100 TB): pure per-row projection, zero shuffles; the three
+    * scans + three replacements stream through codegen like any other
+    * narrow string op. Redaction is char-bounded per row, so the pass
+    * is embarrassingly parallel at any corpus size.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val s = (c: org.apache.spark.sql.Column) => c.cast("string")
+    val planted = when(d % 5 === 0, concat(
+        lit(" contact user"), s(d), lit("@mail"), s(d % 7), lit(".example.com now")))
+      .when(d % 5 === 1, concat(
+        lit(" call 555-"), lpad(s(d % 100), 2, "0"), lit("-"),
+        lpad(s(d % 10000), 4, "0"), lit(" today")))
+      .when(d % 5 === 2, concat(
+        lit(" host 10."), s(d % 256), lit("."), s(d % 251), lit("."),
+        s(d % 254 + 1), lit(" logged")))
+      .when(d % 5 === 3, concat(
+        lit(" mail admin"), s(d), lit("@corp.example.org from 192.168."),
+        s(d % 256), lit("."), s(d % 100 + 1)))
+      .otherwise(lit(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), concat(col("text"), planted).as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), lit(EmailRe), lit("<EMAIL>")),
+            lit(PhoneRe), lit("<PHONE>")),
+          lit(IpRe), lit("<IP>")).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")))
+  }
+
+  val piiScrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text ||
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com now'
+       |      WHEN 1 THEN ' call 555-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+       |                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+       |      WHEN 2 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |                  || '.' || CAST(doc_id % 251 AS VARCHAR)
+       |                  || '.' || CAST(doc_id % 254 + 1 AS VARCHAR) || ' logged'
+       |      WHEN 3 THEN ' mail admin' || CAST(doc_id AS VARCHAR)
+       |                  || '@corp.example.org from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+       |                  || '.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+       |      ELSE '' END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(aug, '$EmailRe')) AS INT) AS n_emails,
+       |       CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS INT) AS n_phones,
+       |       CAST(len(regexp_extract_all(aug, '$IpRe')) AS INT) AS n_ips,
+       |       regexp_replace(
+       |         regexp_replace(
+       |           regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+       |           '$PhoneRe', '<PHONE>', 'g'),
+       |         '$IpRe', '<IP>', 'g') AS clean_text,
+       |       CAST(length(regexp_replace(
+       |         regexp_replace(
+       |           regexp_replace(aug, '$EmailRe', '<EMAIL>', 'g'),
+       |           '$PhoneRe', '<PHONE>', 'g'),
+       |         '$IpRe', '<IP>', 'g')) AS INT) AS clean_len
+       |FROM aug""".stripMargin
+
   // ---- lang_id: marker-vote language ID → confusion matrix -------------
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1437,6 +1523,7 @@ object TextAnalytics {
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
+    "pii_scrub"       -> (piiScrub _, piiScrubSql),
     "stratified_sample" -> (stratifiedSample _, stratifiedSampleSql),
     "corpus_shards"   -> (corpusShards _, corpusShardsSql),
     "lm_quality"      -> (lmQuality _, lmQualitySql),

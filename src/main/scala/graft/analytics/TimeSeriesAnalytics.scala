@@ -417,6 +417,57 @@ object TimeSeriesAnalytics {
        |SELECT symbol, round(max(dd), 6) AS max_drawdown
        |FROM dd GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  // ---- ticks_ewma: exponential smoothing via ordered fold --------------
+  /** Per-symbol exponentially-weighted moving average of price,
+    * `ewma' = α·x + (1−α)·ewma` with α = 0.5 seeded at the first tick —
+    * the genuinely ORDER-DEPENDENT recursion no window frame expresses
+    * (each output depends on every prior input, not a bounded frame).
+    * Cross-engine exactness comes from the house sorted-fold idiom
+    * (`sort_array` + `aggregate` ↔ `list_sort` + `list_reduce`): both
+    * engines run the identical IEEE op sequence over the identically
+    * ordered (event_time, tick_id) price list, and α = 0.5 keeps the
+    * scale factors power-of-two exact. Emitted unrounded (house rule:
+    * no round() on results that are already bit-deterministic).
+    *
+    * Scale (100 TB): the fold carries one symbol's full history through
+    * a single `collect_list`, which is the correct call HERE (5 symbols ×
+    * bounded history) but not the general 100 TB plan. The scalable
+    * formulation — documented, not oracle-matched, because it reorders
+    * the float ops — is the two-level segment composition the engine
+    * already uses for prefix sums in `corpus_pack`: EWMA over a
+    * concatenation composes linearly (each segment reduces to the pair
+    * `(α_seg, b_seg)` with `ewma = α_seg·carry + b_seg`, segments then
+    * fold in order over the tiny per-segment table), so per-partition
+    * state is O(1) and no executor ever holds a full key's history.
+    */
+  def ticksEwma(spark: SparkSession, dir: String): DataFrame =
+    Tables.ticks(spark, dir)
+      .select(col("symbol"),
+        struct(col("event_time"), col("tick_id"),
+          col("price").cast("double").as("price")).as("s"))
+      .groupBy("symbol")
+      .agg(collect_list(col("s")).as("ss"))
+      .select(col("symbol"),
+        expr("transform(array_sort(ss), v -> v.price)").as("ps"))
+      .select(col("symbol"),
+        size(col("ps")).as("n_ticks"),
+        expr("aggregate(slice(ps, 2, size(ps) - 1), ps[0]," +
+          " (acc, x) -> 0.5D * x + 0.5D * acc)").as("ewma"))
+      .orderBy("symbol")
+
+  val ticksEwmaSql: String =
+    s"""${Tables.TICKS_CTE},
+       |g AS (
+       |  SELECT symbol,
+       |         list({'event_time': event_time, 'tick_id': tick_id,
+       |               'price': CAST(price AS DOUBLE)}) AS ss
+       |  FROM ticks GROUP BY symbol),
+       |p AS (
+       |  SELECT symbol, [v.price FOR v IN list_sort(ss)] AS ps FROM g)
+       |SELECT symbol, CAST(len(ps) AS INT) AS n_ticks,
+       |       list_reduce(ps, (acc, x) -> 0.5::DOUBLE * x + 0.5::DOUBLE * acc) AS ewma
+       |FROM p ORDER BY symbol""".stripMargin
+
   // ---- spike_ticks: volume-spike windows via bucketized interval join --
   /** Market-wide activity-spike report: minutes whose tick count exceeds
     * [[SpikeFactor]]× the per-minute mean are merged into maximal spike
@@ -517,6 +568,7 @@ object TimeSeriesAnalytics {
     "tick_sessions"          -> (tickSessions _, tickSessionsSql),
     "tick_sessions_native"   -> (tickSessionsNative _, tickSessionsNativeSql),
     "ticks_sma"              -> (ticksSma _, ticksSmaSql),
+    "ticks_ewma"             -> (ticksEwma _, ticksEwmaSql),
     "price_histogram"        -> (priceHistogram _, priceHistogramSql),
   )
 }

@@ -733,8 +733,78 @@ object Dedup {
        |JOIN s s2 ON p.doc_id_2 = s2.doc_id
        |WHERE s1.split <> s2.split""".stripMargin
 
+  // ---- source_overlap: cross-source duplication matrix ------------------
+
+  /** Which sources duplicate each other — the governance matrix a corpus
+    * owner reads before setting mixture weights or dropping a crawl: one
+    * row per unordered source pair with a verified near-dup crossing it,
+    * with the pair count, the distinct documents involved, and the worst
+    * (max) Jaccard. Heavy off-diagonal cells mean two "different"
+    * sources are re-crawls of each other and their mixture weights
+    * double-count; heavy diagonal cells localize intra-source churn.
+    *
+    * Determinism: counts are exact; max-Jaccard is an order-free max
+    * over the single-division exact ratios [[verifyJaccard]] emits.
+    *
+    * Scale: same piggyback contract as [[splitLeakage]] — the pair graph
+    * from the banded MinHash path is ≪ corpus, the two source-label
+    * joins are pair-graph-sized, and both aggregates land on ≤ S² cells
+    * for S sources. The n_docs side dedups (cell, doc) BEFORE its count
+    * aggregate, so nothing collects per-cell lists.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(Tables.documents(spark, dir))
+
+  private[graft] def sourceOverlapOn(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val labeled = dedupMinhashOn(shingleSets(docs))
+      .join(src.select(col("doc_id").as("doc_id_1"), col("source").as("src_1")), "doc_id_1")
+      .join(src.select(col("doc_id").as("doc_id_2"), col("source").as("src_2")), "doc_id_2")
+      .select(
+        least(col("src_1"), col("src_2")).as("source_a"),
+        greatest(col("src_1"), col("src_2")).as("source_b"),
+        col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+    val nPairs = labeled.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    val nDocs = labeled
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_id_1"), col("doc_id_2"))).as("doc_id"))
+      .distinct()
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_docs"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("n_pairs"), col("n_docs"), col("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH pairs AS (
+       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |lab AS (
+       |  SELECT least(d1.source, d2.source) AS source_a,
+       |         greatest(d1.source, d2.source) AS source_b,
+       |         p.doc_id_1, p.doc_id_2, p.jaccard
+       |  FROM pairs p
+       |  JOIN documents d1 ON p.doc_id_1 = d1.doc_id
+       |  JOIN documents d2 ON p.doc_id_2 = d2.doc_id),
+       |np AS (
+       |  SELECT source_a, source_b, count(*) AS n_pairs,
+       |         max(jaccard) AS max_jaccard
+       |  FROM lab GROUP BY source_a, source_b),
+       |nd AS (
+       |  SELECT source_a, source_b, count(*) AS n_docs FROM (
+       |    SELECT DISTINCT source_a, source_b, doc_id FROM (
+       |      SELECT source_a, source_b, unnest([doc_id_1, doc_id_2]) AS doc_id
+       |      FROM lab))
+       |  GROUP BY source_a, source_b)
+       |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs, np.max_jaccard
+       |FROM np JOIN nd USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact"   -> (dedupExact _, dedupExactSql),
+    "source_overlap" -> (sourceOverlap _, sourceOverlapSql),
     "split_leakage" -> (splitLeakage _, splitLeakageSql),
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
