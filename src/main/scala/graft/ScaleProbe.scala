@@ -249,6 +249,25 @@ object ScaleProbe {
         time(spark, copies, "passage_dedup")(
           graft.analytics.TextAnalytics.passageDedupOn(docs)
             .filter(length(col("clean_text")) >= 0))
+      // PII scrub: pure narrow projection, zero shuffles — flat per-row
+      // regex cost is the thing under test. Planted spans key off doc_id
+      // so every replica carries the same planted density; the length
+      // filter forces clean_text to materialize (count() would prune the
+      // three regexp_replace scans away — same guard as
+      // span_removal_clean).
+      if (wanted("pii_scrub"))
+        time(spark, copies, "pii_scrub")(
+          graft.analytics.TextAnalytics.piiScrubOn(docs)
+            .filter(length(col("clean_text")) >= 0))
+      // cross-source duplication matrix: source labels from a doc_id
+      // residue (constant S=20 like the real source column). The pair
+      // graph stays the base corpus' own per replica (token wrapping),
+      // so the two label joins are pair-graph-sized and the matrix lands
+      // on ≤ S² cells — the piggyback contract under test.
+      if (wanted("source_overlap"))
+        time(spark, copies, "source_overlap")(
+          Dedup.sourceOverlapOn(
+            docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20))))))
       // exact-k stratified sample: strata from a doc_id residue (the big
       // frame drops the lang column; stratum semantics are what's timed).
       // The thing under test is that the bounded top-k aggregate keeps

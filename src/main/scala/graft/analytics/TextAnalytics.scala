@@ -107,7 +107,10 @@ object TextAnalytics {
     * narrow string op. Redaction is char-bounded per row, so the pass
     * is embarrassingly parallel at any corpus size.
     */
-  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubOn(Tables.documents(spark, dir))
+
+  private[graft] def piiScrubOn(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
     val s = (c: org.apache.spark.sql.Column) => c.cast("string")
     val planted = when(d % 5 === 0, concat(
@@ -122,7 +125,7 @@ object TextAnalytics {
         lit(" mail admin"), s(d), lit("@corp.example.org from 192.168."),
         s(d % 256), lit("."), s(d % 100 + 1)))
       .otherwise(lit(""))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), concat(col("text"), planted).as("aug"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).as("n_emails"),
