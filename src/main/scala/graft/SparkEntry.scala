@@ -3,6 +3,7 @@ package graft
 import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.operators.Layout
 import graft.similarity.{KMeansExact, PcaPower, Quantize, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -20,7 +21,8 @@ object SparkEntry {
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
-      Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry)
+      Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry,
+      Layout.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →
