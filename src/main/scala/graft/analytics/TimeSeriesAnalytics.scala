@@ -21,6 +21,15 @@ object TimeSeriesAnalytics {
 
   private val SessionGapUs = 1800L * 1000000 // 30 min, in exact microseconds
 
+  /** Epoch microseconds that tolerates TIMESTAMP_NTZ input: the testdata
+    * parquet stores `ts` with isAdjustedToUTC=false, which Spark reads as
+    * TIMESTAMP_NTZ — a type `unix_micros` rejects outright. The cast to
+    * TIMESTAMP is exact under the fixed UTC session timezone (wall time IS
+    * the instant) and a no-op when the column is already LTZ.
+    */
+  private def epochUs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast("timestamp"))
+
   // ---- ticks_asof_bars: each tick joined to the latest COMPLETED bar ---
   /** As-of join via the union + ordered carry-forward shape: a 1-minute
     * bar becomes visible at `bucket_start + 1 minute`; bar-availability
@@ -93,7 +102,7 @@ object TimeSeriesAnalytics {
       .withColumn("prev", lag(col("event_time"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev").isNull
-          || unix_micros(col("event_time")) - unix_micros(col("prev")) > SessionGapUs, 1)
+          || epochUs(col("event_time")) - epochUs(col("prev")) > SessionGapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_sess")).over(wc))
       .groupBy(col("symbol"), col("session_id"))
@@ -102,7 +111,7 @@ object TimeSeriesAnalytics {
         max(col("event_time")).as("session_end"),
         count(lit(1)).as("n_ticks"))
       .withColumn("duration_us",
-        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+        epochUs(col("session_end")) - epochUs(col("session_start")))
   }
 
   val tickSessionsSql: String =
@@ -299,7 +308,7 @@ object TimeSeriesAnalytics {
     val fr = Window.partitionBy("symbol").orderBy(col("t_us"))
       .rangeBetween(-300000000L, 0L)
     Tables.ticks(spark, dir)
-      .withColumn("t_us", unix_micros(col("event_time")))
+      .withColumn("t_us", epochUs(col("event_time")))
       .withColumn("_pv",
         (col("price") * col("volume").cast(DecimalType(12, 0))).as("_pv"))
       .select(col("tick_id"), col("symbol"), col("event_time"),
@@ -503,7 +512,7 @@ object TimeSeriesAnalytics {
       .withColumn("prev", lag(col("m"), 1).over(w))
       .withColumn("new_iv",
         when(col("prev").isNull
-          || unix_micros(col("m")) - unix_micros(col("prev")) > 60000000L, 1)
+          || epochUs(col("m")) - epochUs(col("prev")) > 60000000L, 1)
           .otherwise(0))
       .withColumn("iv", sum(col("new_iv")).over(wc))
       .groupBy("iv")
@@ -516,7 +525,8 @@ object TimeSeriesAnalytics {
         countDistinct(col("symbol")).as("n_symbols"),
         sum(col("v")).as("spike_volume"))
       .withColumn("n_minutes",
-        expr("(unix_micros(spike_end) - unix_micros(spike_start)) div 60000000 + 1"))
+        expr("(unix_micros(cast(spike_end as timestamp))" +
+          " - unix_micros(cast(spike_start as timestamp))) div 60000000 + 1"))
       .select(col("spike_start"), col("spike_end"), col("n_minutes"),
         col("n_ticks"), col("n_symbols"), col("spike_volume"))
       .orderBy("spike_start")

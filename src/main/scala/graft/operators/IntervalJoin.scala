@@ -40,7 +40,9 @@ object IntervalJoin {
     val overlap = points.columns.toSet intersect intervals.columns.toSet
     require(overlap.isEmpty, s"column collision across sides: $overlap")
     val widthUs = bucketSeconds * 1000000L
-    def bucketOf(c: Column): Column = floor(unix_micros(c) / widthUs)
+    // cast("timestamp") first: tolerates TIMESTAMP_NTZ point/bound columns
+    // (exact under the fixed UTC session timezone, no-op for LTZ input).
+    def bucketOf(c: Column): Column = floor(unix_micros(c.cast("timestamp")) / widthUs)
     val taken = points.columns.toSet ++ intervals.columns.toSet
     val bk = Iterator.iterate("_bucket")(_ + "_").dropWhile(taken.contains).next()
     val iv = intervals.withColumn(bk,
