@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, JaccardSorted, MinHashSig, SimhashFold, TopKByScore, VecDotI8, VecSum, WinnowFp}
+import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, SimhashFold, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -99,6 +99,28 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "bloom_contains takes (bloom, xxhash64 value)")
         BloomFilterMightContain(children.head, children(1))
+      }),
+    (FunctionIdentifier("hilbert_key"),
+      new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "hilbert_key takes (x, y, bits)")
+        val bits = children(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hilbert_key bits must be an integer literal, got $other")
+        }
+        HilbertKey(children.head, children(1), bits)
+      }),
+    (FunctionIdentifier("morton_key"),
+      new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "morton_key takes (x, y, bits)")
+        val bits = children(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"morton_key bits must be an integer literal, got $other")
+        }
+        MortonKey(children.head, children(1), bits)
       }),
     (FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

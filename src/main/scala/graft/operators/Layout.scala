@@ -61,8 +61,16 @@ object Layout {
   private def mortonTerm(x: String, y: String, shl: Shift, shr: Shift): String =
     s"(${shl(s"(${shr(x, "i")} & 1)", "(2*i)")} | ${shl(s"(${shr(y, "i")} & 1)", "((2*i)+1)")})"
 
+  /** Morton (z-order) key via the native codegen'd
+    * [[graft.functions.MortonKey]] (needs `GraftExtensions`) — see
+    * [[hilbertKeyNative]] for the fold-vs-native trade.
+    */
+  def zorderKeyNative(xName: String, yName: String, bits: Int): Column =
+    expr(s"morton_key(cast($xName as bigint), cast($yName as bigint), $bits)")
+
   /** Morton (z-order) key of two non-negative integer columns, low
-    * `bits` bits each. Spark side: one `aggregate` fold in codegen.
+    * `bits` bits each — the engine-portable HOF-fold spelling (one
+    * `aggregate` fold; its DuckDB twin is [[zorderKeySql]]).
     */
   def zorderKey(xName: String, yName: String, bits: Int): Column =
     zorderKeyOf(s"cast($xName as bigint)", s"cast($yName as bigint)", bits)
@@ -107,8 +115,21 @@ object Layout {
     s"(${shl(s"(${shl(dNew, bits.toString)} | $xNew)", bits.toString)} | $yNew)"
   }
 
+  /** Hilbert curve index on the 2^bits × 2^bits grid via the native
+    * codegen'd [[graft.functions.HilbertKey]] expression — the production
+    * spelling (needs `GraftExtensions`; a dozen long ops per bit plane
+    * inside whole-stage codegen, measured ~5× faster than the fold at
+    * sf0.1 because HOF lambdas evaluate interpreted with every shared
+    * subterm re-inlined). `LayoutSpec` law-checks native == fold.
+    */
+  def hilbertKeyNative(xName: String, yName: String, bits: Int): Column =
+    expr(s"hilbert_key(cast($xName as bigint), cast($yName as bigint), $bits)")
+
   /** Hilbert curve index of two non-negative integer columns on the
-    * 2^bits × 2^bits grid.
+    * 2^bits × 2^bits grid — the pure-HOF spelling, engine-portable (the
+    * identical expression template evaluates in DuckDB, making the
+    * oracle exact by construction); prefer [[hilbertKeyNative]] where
+    * the extension is installed.
     */
   def hilbertKey(xName: String, yName: String, bits: Int): Column = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1, 20], got $bits")
@@ -218,13 +239,17 @@ object Layout {
        |       min(y) AS min_y, max(y) AS max_y
        |FROM keyed GROUP BY bucket ORDER BY bucket""".stripMargin
 
-  def zorderLineitem(spark: SparkSession, dir: String): DataFrame =
-    bucketStats(liDims(spark, dir), zorderKey("x", "y", Bits))
+  def zorderLineitem(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    bucketStats(liDims(spark, dir), zorderKeyNative("x", "y", Bits))
+  }
 
   val zorderLineitemSql: String = bucketStatsSql(zorderKeySql("x", "y", Bits))
 
-  def hilbertLineitem(spark: SparkSession, dir: String): DataFrame =
-    bucketStats(liDims(spark, dir), hilbertKey("x", "y", Bits))
+  def hilbertLineitem(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    bucketStats(liDims(spark, dir), hilbertKeyNative("x", "y", Bits))
+  }
 
   val hilbertLineitemSql: String = bucketStatsSql(hilbertKeySql("x", "y", Bits))
 

@@ -59,6 +59,30 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbertKeyNative == hilbertKey fold over the full grid + lineitem dims") {
+    GraftExtensions.register(spark)
+    // exhaustive on a 64x64 grid…
+    val g = grid(6)
+      .withColumn("native", Layout.hilbertKeyNative("x", "y", 6))
+      .withColumn("fold", Layout.hilbertKey("x", "y", 6))
+      .filter(col("native") =!= col("fold"))
+    assert(g.count() == 0, "native and fold Hilbert keys diverge on the grid")
+    val m = grid(6)
+      .withColumn("native", Layout.zorderKeyNative("x", "y", 6))
+      .withColumn("fold", Layout.zorderKey("x", "y", 6))
+      .filter(col("native") =!= col("fold"))
+    assert(m.count() == 0, "native and fold Morton keys diverge on the grid")
+    // …and on real lineitem dims at the production bit width
+    val dims = Tables.lineitem(spark, "/root/testdata/sf0.001").select(
+      col("l_partkey").cast("long").as("x"),
+      datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long").as("y"))
+    val d = dims
+      .withColumn("native", Layout.hilbertKeyNative("x", "y", 12))
+      .withColumn("fold", Layout.hilbertKey("x", "y", 12))
+      .filter(col("native") =!= col("fold"))
+    assert(d.count() == 0, "native and fold Hilbert keys diverge on lineitem")
+  }
+
   test("zorderWrite: curve layout bounds both dims per file; day-sort does not") {
     val dir = "/root/testdata/sf0.01"
     val dims = Tables.lineitem(spark, dir).select(
