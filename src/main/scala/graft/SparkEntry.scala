@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics}
+import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics, TrainingPrep}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.Layout
@@ -22,7 +22,7 @@ object SparkEntry {
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
       Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry,
-      Layout.registry)
+      Layout.registry, TrainingPrep.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →
