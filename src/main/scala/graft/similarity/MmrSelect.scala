@@ -1,0 +1,143 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maximal-marginal-relevance (MMR) diverse subset selection — the
+  * rerank stage that picks k items balancing relevance to a query
+  * against redundancy with what's already picked (Carbonell & Goldstein,
+  * SIGIR'98): step score = λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j). The
+  * training-data use is hard-example/demo selection: retrieve a
+  * candidate pool, then pick a subset that COVERS it instead of k
+  * near-copies of the top hit.
+  *
+  * Cross-engine exactness, same recipe as [[KMeansExact]]: components
+  * quantize to `floor(e·1000)` BIGINT, relevance and pairwise similarity
+  * are exact integer dot products, and λ = 1/2 makes the argmax of
+  * `rel − max_sim` (the common λ factor cancels) — so the greedy walk is
+  * bit-reproducible on any engine/partitioning, ties broken to the
+  * smaller vec_id. The seed is the max-relevance candidate with a
+  * max_sim of 0 by convention.
+  *
+  * Scale (100 TB): MMR is a RERANKER — the candidate pool is the output
+  * of a retrieval stage (here the fixed `vec_id % 10` rule standing in
+  * for an ANN top-C), so |C| is bounded by construction and the
+  * quadratic pair-similarity table is |C|² over broadcast-sized frames,
+  * never corpus². Each greedy step is one keyed aggregate over ≤ |C|
+  * rows; the k-step chain stays lazy with per-step localCheckpoints
+  * fusing the plan cascade (the kmeans/doc_pagerank lesson). Corpus-wide
+  * diverse SAMPLING (no query) would run this per retrieval shard and
+  * union — the greedy is sequential by definition, so the parallel axis
+  * is pools, not steps.
+  */
+object MmrSelect {
+
+  /** Component quantization: floor(e · 1000) (see [[KMeansExact]]). */
+  private val QScale = 1000.0
+
+  /** Candidate pool rule: vec_id % PoolMod == 0, excluding the query. */
+  private val PoolMod = 10L
+
+  /** The query vector: vec_id == 0. */
+  private val QueryId = 0L
+
+  /** Selections. */
+  private val K = 10
+
+  def mmrSelect(spark: SparkSession, dir: String): DataFrame =
+    mmrSelectOn(Tables.embeddings(spark, dir))
+
+  private[graft] def mmrSelectOn(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+        .as("qv"))
+    val query = q.filter(col("vec_id") === QueryId)
+      .select(col("qv").as("qq"))
+    val cand = q.filter(col("vec_id") % PoolMod === 0 && col("vec_id") =!= QueryId)
+    val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+    val rel = cand.crossJoin(broadcast(query))
+      .select(col("vec_id"), col("qv"),
+        expr(idot.format("qv", "qq")).as("rel"))
+      .localCheckpoint(eager = false)
+    // |C|² pair similarities once, reused by every step
+    val sim = rel.select(col("vec_id").as("va"), col("qv").as("v1"))
+      .join(broadcast(rel.select(col("vec_id").as("vb"), col("qv").as("v2"))),
+        col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), expr(idot.format("v1", "v2")).as("s"))
+      .localCheckpoint(eager = false)
+    val relOnly = rel.select("vec_id", "rel")
+
+    // seed: max relevance, ties to the smaller id; max_sim = 0. Each
+    // argmax is orderBy+limit(1) (TakeOrderedAndProject over the pool-
+    // sized frame), which is also EMPTY-SAFE: when the pool has fewer
+    // than K candidates the step yields zero rows, matching the oracle's
+    // LIMIT 1 over an empty set — an agg() would fabricate a null row.
+    var sel = relOnly
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(1)
+      .select(lit(1L).as("sel_rank"), col("vec_id"),
+        col("rel"), lit(0L).as("max_sim"), col("rel").as("score"))
+      .localCheckpoint(eager = false)
+    for (r <- 2 to K) {
+      val pick = sim
+        .join(broadcast(sel.select(col("vec_id").as("vb"))), "vb")
+        .groupBy(col("va").as("vec_id")).agg(max(col("s")).as("m"))
+        .join(relOnly, "vec_id")
+        .join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
+        .orderBy((col("m") - col("rel")).asc, col("vec_id"))
+        .limit(1)
+        .select(lit(r.toLong).as("sel_rank"), col("vec_id"),
+          col("rel"), col("m").as("max_sim"),
+          (col("rel") - col("m")).as("score"))
+      sel = sel.unionByName(pick).localCheckpoint(eager = false)
+    }
+    sel.orderBy("sel_rank")
+  }
+
+  /** The greedy unrolled into DuckDB CTEs (the [[KMeansExact]] oracle
+    * pattern): e0 explodes quantized components, rel/sim are the exact
+    * integer dots, u_r accumulates the selection one LIMIT-1 argmax CTE
+    * per step.
+    */
+  val mmrSelectSql: String = {
+    val steps = (2 to K).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT $r AS sel_rank, vec_id, rel, m AS max_sim, rel - m AS score
+         |  FROM (SELECT r.vec_id, r.rel, CAST(max(s.s) AS BIGINT) AS m
+         |        FROM rel r
+         |        JOIN sim s ON s.va = r.vec_id
+         |        JOIN u${r - 1} u ON s.vb = u.vec_id
+         |        WHERE r.vec_id NOT IN (SELECT vec_id FROM u${r - 1})
+         |        GROUP BY 1, 2)
+         |  ORDER BY rel - m DESC, vec_id LIMIT 1),
+         |u$r AS MATERIALIZED (
+         |  SELECT * FROM u${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
+       |  FROM embeddings, generate_series(1, 64) AS g(i)
+       |  WHERE vec_id % $PoolMod = 0 OR vec_id = $QueryId),
+       |rel AS MATERIALIZED (
+       |  SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS rel
+       |  FROM e0 a JOIN e0 b ON b.vec_id = $QueryId AND a.i = b.i
+       |  WHERE a.vec_id <> $QueryId GROUP BY 1),
+       |sim AS MATERIALIZED (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb, CAST(sum(a.q * b.q) AS BIGINT) AS s
+       |  FROM e0 a JOIN e0 b ON a.i = b.i
+       |  WHERE a.vec_id <> $QueryId AND b.vec_id <> $QueryId
+       |    AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |u1 AS MATERIALIZED (
+       |  SELECT 1 AS sel_rank, vec_id, rel, 0 AS max_sim, rel AS score
+       |  FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, rel,
+       |       CAST(max_sim AS BIGINT) AS max_sim, CAST(score AS BIGINT) AS score
+       |FROM u$K ORDER BY sel_rank""".stripMargin
+  }
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "mmr_select" -> (mmrSelect _, mmrSelectSql))
+}

@@ -66,9 +66,15 @@ class AsofJoinSpec extends SparkSpec {
   test("native operator matches the union+window composition on testdata") {
     GraftExtensions.register(spark)
     val dir    = "/root/testdata/sf0.001"
+    // normalize event_time to one timestamp type before rendering: the
+    // native path carries the scan's TIMESTAMP_NTZ through, while the
+    // composition's union with the bar timeline coerces to LTZ — same
+    // instants under the UTC session, different Row rendering
     val native = graft.analytics.TimeSeriesAnalytics.ticksAsofBarsNative(spark, dir)
+      .withColumn("event_time", col("event_time").cast("timestamp"))
       .collect().map(_.toString).sorted
     val composed = graft.analytics.TimeSeriesAnalytics.ticksAsofBars(spark, dir)
+      .withColumn("event_time", col("event_time").cast("timestamp"))
       .collect().map(_.toString).sorted
     assert(native.toSeq == composed.toSeq)
   }

@@ -117,7 +117,11 @@ class LayoutSpec extends SparkSpec {
     val probes = Seq(137L, 400L, 800L, 1500L)
     probes.foreach { v =>
       assert(hits(yAudit, v) >= 14, s"baseline should not skip x=$v")
-      assert(hits(zAudit, v) <= 8, s"curve layout skipped too little for x=$v: ${hits(zAudit, v)}/16")
+      // 10, not a tighter bound: repartitionByRange SAMPLES its
+      // boundaries with a seed derived from the RDD id, so the exact
+      // file split shifts with suite order; the law is "prunes well
+      // under the 14+ baseline", not a specific split
+      assert(hits(zAudit, v) <= 10, s"curve layout skipped too little for x=$v: ${hits(zAudit, v)}/16")
     }
     // ...while y stays bounded too (the curve is a both-dims contract):
     // every z-file's y-envelope must be well under full width

@@ -37,7 +37,10 @@ class PlanLawsSpec extends SparkSpec {
     // 1-row ASIA-total threshold anchor (Q11 scalar subquery)
     "important_parts",
     // K-row (constant 20) centroid broadcast per Lloyd round
-    "kmeans_fit")
+    "kmeans_fit",
+    // 1-row query anchor + bounded candidate-pool pair join (|C|², C
+    // fixed by the retrieval stage, never corpus-sized)
+    "mmr_select")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)

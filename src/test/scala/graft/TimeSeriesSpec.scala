@@ -12,6 +12,17 @@ class TimeSeriesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Epoch millis of a timestamp column value regardless of whether the
+    * scan produced LTZ (`java.sql.Timestamp`) or NTZ
+    * (`java.time.LocalDateTime` — what the isAdjustedToUTC=false testdata
+    * reads as); NTZ wall time IS the UTC instant under the test session.
+    */
+  private def epochMs(v: Any): Long = v match {
+    case t: java.sql.Timestamp      => t.getTime
+    case d: java.time.LocalDateTime => d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    case other => fail(s"not a timestamp value: $other (${other.getClass})")
+  }
+
   test("as-of join: prev_close is the close of the latest completed bar") {
     val out = TimeSeriesAnalytics.ticksAsofBars(spark, dir)
     val rows = out.filter(col("symbol") === "CLICK")
@@ -36,19 +47,19 @@ class TimeSeriesSpec extends SparkSpec {
     val out = TimeSeriesAnalytics.tickSessions(spark, dir).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
-      val start = r.getTimestamp(2); val end = r.getTimestamp(3)
-      assert(!start.after(end))
-      // getTime is ms-truncated; duration_us keeps µs precision
-      assert(math.abs(r.getLong(5) - (end.getTime - start.getTime) * 1000) < 2000)
+      val start = epochMs(r.get(2)); val end = epochMs(r.get(3))
+      assert(start <= end)
+      // epoch ms is ms-truncated; duration_us keeps µs precision
+      assert(math.abs(r.getLong(5) - (end - start) * 1000) < 2000)
       assert(r.getLong(4) >= 1)
     }
     // per symbol: session count == number of >30min gaps + 1
     val ticks = Tables.ticks(spark, dir)
       .select("symbol", "event_time").collect()
-      .map(r => r.getString(0) -> r.getTimestamp(1)).groupBy(_._1)
+      .map(r => r.getString(0) -> epochMs(r.get(1))).groupBy(_._1)
     val sessionsPerSymbol = out.groupBy(_.getString(0)).view.mapValues(_.length).toMap
     ticks.foreach { case (sym, rows) =>
-      val ts = rows.map(_._2.getTime).sorted
+      val ts = rows.map(_._2).sorted
       val gaps = ts.zip(ts.drop(1)).count { case (a, b) => b - a > 1800000L }
       assert(sessionsPerSymbol(sym) == gaps + 1, s"symbol $sym")
     }
