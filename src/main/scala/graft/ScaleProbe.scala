@@ -371,6 +371,33 @@ object ScaleProbe {
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))
+      // training-order shuffle: two-level rank over the hash-prefix
+      // groups — one keyed shuffle + a 64-row broadcast; output rows = N
+      // exactly, wall time should track N and nothing else. The filter
+      // is the span_removal_clean materialization guard: count() alone
+      // doesn't need global_idx, so Catalyst prunes the entire rank
+      // machinery (measured 0.6 s flat at 100× — a non-measurement)
+      if (wanted("training_order"))
+        time(spark, copies, "training_order")(
+          graft.analytics.TrainingPrep.trainingOrderOn(docs)
+            .filter(col("global_idx") >= 0))
+      // length-bucketed batching: the same prefix-sum machinery with
+      // window partitions bounded by (bucket, length, doc_id-range)
+      // cells; batch output scales ×copies, no per-bucket serialization
+      if (wanted("length_batches"))
+        time(spark, copies, "length_batches")(
+          graft.analytics.TrainingPrep.lengthBatchesOn(docs))
+      // MMR is a RERANKER — its scale axis is the candidate POOL, not
+      // the corpus (the pool is a retrieval stage's bounded output), so
+      // this probe runs at copies=1 and widens the pool rule instead:
+      // mod 10/5/2 ≈ 500/1k/2.5k candidates. The |C|² pair table is the
+      // documented quadratic term; the greedy adds k bounded passes.
+      if (wanted("mmr_pool") && copies == 1)
+        Seq(10L, 5L, 2L).foreach { m =>
+          time(spark, copies, s"mmr_pool_mod$m")(
+            graft.similarity.MmrSelect.mmrSelectOn(
+              Tables.embeddings(spark, sfDir), poolMod = m))
+        }
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

@@ -201,10 +201,16 @@ object Layout {
   // ---- oracle-checked curve queries ------------------------------------
 
   /** Layout dims for lineitem: (l_partkey, ship-day ordinal) — the
-    * classic two-predicate scan pair. 12 bits covers partkey ≤ 1999 and
-    * day ≤ 3595 at every generated SF.
+    * classic two-predicate scan pair. 15 bits covers partkey ≤ 19,999
+    * (it scales with SF: 199 / 1,999 / 19,999 at the generated scales)
+    * and day ≤ 3,595. 12 bits looked sufficient from the small SFs but
+    * silently truncated sf0.1's partkey — the fold SPILLS out-of-range
+    * high bits into the packed accumulator while the native expression
+    * MASKS them, so the two spellings only agree on in-grid input; size
+    * `bits` to the data, and the `LayoutSpec` law now pins the
+    * production width on real dims.
     */
-  private val Bits = 12
+  private val Bits = 15
 
   private def liDims(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select(

@@ -48,13 +48,14 @@ object MmrSelect {
   def mmrSelect(spark: SparkSession, dir: String): DataFrame =
     mmrSelectOn(Tables.embeddings(spark, dir))
 
-  private[graft] def mmrSelectOn(emb: DataFrame): DataFrame = {
+  private[graft] def mmrSelectOn(emb: DataFrame,
+                                 poolMod: Long = PoolMod): DataFrame = {
     val q = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
         .as("qv"))
     val query = q.filter(col("vec_id") === QueryId)
       .select(col("qv").as("qq"))
-    val cand = q.filter(col("vec_id") % PoolMod === 0 && col("vec_id") =!= QueryId)
+    val cand = q.filter(col("vec_id") % poolMod === 0 && col("vec_id") =!= QueryId)
     val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0L, (a, b) -> a + b)"
     val rel = cand.crossJoin(broadcast(query))
       .select(col("vec_id"), col("qv"),

@@ -72,13 +72,17 @@ class LayoutSpec extends SparkSpec {
       .withColumn("fold", Layout.zorderKey("x", "y", 6))
       .filter(col("native") =!= col("fold"))
     assert(m.count() == 0, "native and fold Morton keys diverge on the grid")
-    // …and on real lineitem dims at the production bit width
+    // …and on real lineitem dims at the production bit width. NOTE the
+    // law only holds for IN-GRID input: out-of-range coordinates spill
+    // into the fold's packed accumulator but are masked by the native
+    // expression — which is exactly how the 12-bit grid's silent
+    // truncation of sf0.1 partkeys was caught.
     val dims = Tables.lineitem(spark, "/root/testdata/sf0.001").select(
       col("l_partkey").cast("long").as("x"),
       datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).cast("long").as("y"))
     val d = dims
-      .withColumn("native", Layout.hilbertKeyNative("x", "y", 12))
-      .withColumn("fold", Layout.hilbertKey("x", "y", 12))
+      .withColumn("native", Layout.hilbertKeyNative("x", "y", 15))
+      .withColumn("fold", Layout.hilbertKey("x", "y", 15))
       .filter(col("native") =!= col("fold"))
     assert(d.count() == 0, "native and fold Hilbert keys diverge on lineitem")
   }
