@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, SimhashFold, TopKByScore, VecDotI8, VecSum, WinnowFp}
+import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, SimhashFold, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -40,6 +40,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "jaccard_sorted takes exactly 2 arguments")
         JaccardSorted(children.head, children(1))
+      }),
+    (FunctionIdentifier("overlap_sorted"),
+      new ExpressionInfo(classOf[OverlapSorted].getName, "overlap_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "overlap_sorted takes exactly 2 arguments")
+        OverlapSorted(children.head, children(1))
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

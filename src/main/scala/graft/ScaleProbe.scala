@@ -136,6 +136,12 @@ object ScaleProbe {
         time(spark, copies, "char_candidates")(Dedup.prefixCandidatesOn(Dedup.charShingleSets(docs)))
       if (wanted("word_candidates"))
         time(spark, copies, "word_candidates")(Dedup.prefixCandidatesOn(Dedup.shingleSets(docs)))
+      // asymmetric containment: A-prefix joined against the FULL
+      // inverted index (no size filter by design) — candidate volume is
+      // rare-posting-bounded, the thing under test; replica wrapping
+      // kills cross-replica shingle sharing so pairs stay per-replica
+      if (wanted("dedup_containment"))
+        time(spark, copies, "dedup_containment")(Dedup.dedupContainmentOn(Dedup.shingleSets(docs)))
       if (wanted("dedup_minhash"))
         time(spark, copies, "dedup_minhash")(Dedup.dedupMinhashOn(Dedup.shingleSets(docs)))
       // replica offsets are ≡ 0 (mod 10), so the 10% new-batch split is

@@ -251,6 +251,80 @@ object Dedup {
   def dedupJaccardChar(spark: SparkSession, dir: String): DataFrame =
     dedupJaccardOn(charShingleSets(spark, dir))
 
+  // ---- dedup_containment: asymmetric shingle containment ---------------
+  /** Sub-document duplication: pairs where the SMALLER document's shingle
+    * set is ≥ t contained in the larger's — `C(A→B) = |A∩B| / |A|` — the
+    * quote/excerpt/boilerplate-wrapper detector Jaccard structurally
+    * misses (a page embedding a full short doc has J ≈ |A|/|B| ≈ 0 but
+    * C(A→B) = 1). Reported direction is smaller-into-larger only (ties
+    * by id), the quote-detection semantic.
+    *
+    * Candidates use the OVERLAP form of the prefix filter (Chaudhuri/
+    * Ganti/Kaushik): C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·n_A⌉, and A's suffix under
+    * any canonical order holds < t·n_A elements, so at least one shared
+    * shingle sits in A's first `n_A − ⌈t·n_A⌉ + 1` positions. Unlike the
+    * Jaccard AllPairs join there is NO size filter (a 10-token quote
+    * inside a 10k-token page qualifies — that asymmetry is the point),
+    * and the probe side is the FULL inverted index, not prefix×prefix;
+    * df-ascending prefix order keeps the joined postings the corpus'
+    * rarest, so candidate volume stays rare-posting-bounded. Verify is
+    * the native [[graft.functions.OverlapSorted]] two-pointer count with
+    * the INTEGER threshold `c·den ≥ n_A·num` — no float in the filter;
+    * the reported containment is the one double division both engines
+    * evaluate identically.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentOn(shingleSets(spark, dir))
+
+  def dedupContainmentOn(rawSets: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(rawSets.sparkSession)
+    val sets = hashedSets(rawSets).repartition(col("doc_id"))
+    val inverted = sets.select(
+      col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    val prefixLen =
+      col("n") - floor((col("n") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1
+    val prefix = inverted.join(freq, "shingle")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("shingle"), col("n"))
+    val cands = prefix.as("a")
+      .join(inverted.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && (col("a.n") < col("b.n")
+            || (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_in"), col("b.doc_id").as("doc_out"))
+      .distinct()
+    val s1 = sets.select(col("doc_id").as("doc_in"), col("sh").as("sh1"))
+    val s2 = sets.select(col("doc_id").as("doc_out"), col("sh").as("sh2"))
+    cands
+      .join(s1, "doc_in")
+      .join(s2, "doc_out")
+      .withColumn("c", expr("overlap_sorted(sh1, sh2)"))
+      .filter(col("c") * ThreshDen >= size(col("sh1")).cast("long") * ThreshNum)
+      .select(col("doc_in"), col("doc_out"),
+        (col("c").cast("double") / size(col("sh1"))).as("containment"))
+  }
+
+  val containmentOracleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_in, b.doc_id AS doc_out, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_in, doc_out, c::DOUBLE / s1.n AS containment
+       |FROM common
+       |JOIN sizes s1 ON doc_in = s1.doc_id
+       |JOIN sizes s2 ON doc_out = s2.doc_id
+       |WHERE (s1.n < s2.n OR (s1.n = s2.n AND doc_in < doc_out))
+       |  AND c * $ThreshDen >= s1.n * $ThreshNum""".stripMargin
+
   // ---- dedup_minhash: MinHash + LSH banding, exact verification --------
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     dedupMinhashOn(shingleSets(spark, dir))
@@ -807,6 +881,7 @@ object Dedup {
     "source_overlap" -> (sourceOverlap _, sourceOverlapSql),
     "split_leakage" -> (splitLeakage _, splitLeakageSql),
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
+    "dedup_containment" -> (dedupContainment _, containmentOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
     "dedup_components" -> (dedupComponents _, dedupComponentsSql),
