@@ -374,6 +374,14 @@ object ScaleProbe {
       // (replica ids sit above SeedMax, so no replica adds a seed) —
       // per-round cost is the N·K broadcast distance pass plus the K·64
       // integer update, expected LINEAR in N across all three tiers.
+      // PQ: training is the per-subspace Lloyd against a 1,024-row
+      // broadcast codebook, encode one pass, ADC ranking through the
+      // bounded top-k agg — N·M·K integer distance terms are the linear
+      // term under test (queries grow with replicas here, so the scored
+      // stream is queries × N; a production batch pins the query side)
+      if (wanted("knn_pq"))
+        time(spark, copies, "knn_pq")(
+          graft.similarity.PqAnn.knnPqOn(spark.read.parquet(embPath)))
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))

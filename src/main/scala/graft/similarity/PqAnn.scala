@@ -1,0 +1,170 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN (Jégou/Douze/Schmid, PAMI'11) — the
+  * compressed-domain search tier between the int8 scan
+  * ([[Quantize]], 4× byte cut, full-precision ranking) and IVF routing
+  * ([[Similarity]]): vectors compress to M=8 one-byte codes (a 32×
+  * cut of the 64-float payload) and queries rank candidates WITHOUT
+  * touching any vector — per-subspace distance TABLES are summed by
+  * code (asymmetric distance computation), so the scan cost per
+  * (query, vector) is M table lookups + adds.
+  *
+  * Everything is EXACT INTEGER arithmetic, the [[KMeansExact]] recipe
+  * per subspace: components quantize to `floor(e·1000)`; each of the M
+  * 8-dim subspaces trains its own K=16 codebook with 2 Lloyd rounds
+  * (fixed-point centroid means via the pmod floor-division identity,
+  * ties to the smaller code id); encode is an integer argmin; ADC
+  * distances are integer sums < 2⁵³ (so the one cast to double for the
+  * bounded top-k aggregate is exact). The DuckDB oracle unrolls the
+  * identical rounds over the exploded (vec, sub, j, q) frame —
+  * bit-for-bit reproducible on any engine or partitioning.
+  *
+  * Seeding: K=16 FIXED vectors (`vec_id % 31 == 0 ∧ vec_id < 496`) at
+  * every scale — constant K, same contract as [[KMeansExact]].
+  *
+  * Scale (100 TB): training is per-subspace k-means against a 1,024-row
+  * (M·K·D) broadcast — the N·M·K distance pass is the linear term;
+  * encode is one pass; the ADC table is (queries × M × K) rows,
+  * broadcast-sized for any bounded query batch; ranking aggregates
+  * through the bounded [[graft.functions.TopKByScore]] partial agg, ≤ k
+  * candidates per (query, map task) crossing the shuffle. At billions
+  * of vectors PQ composes with IVF (IVF-ADC): route to nprobe
+  * partitions first, then this exact machinery scans codes within them.
+  */
+object PqAnn {
+
+  private val QScale  = 1000.0
+  private val CScale  = 64L
+  private val M       = 8  // subspaces
+  private val D       = 8  // dims per subspace
+  private val Rounds  = 2
+  private val TopK    = 10
+  private val SeedMod = 31L
+  private val SeedMax = 496L
+  private val QueryMod = 100L
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame =
+    knnPqOn(Tables.embeddings(spark, dir))
+
+  private[graft] def knnPqOn(emb: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    // exploded integer frame: (vec_id, sub, j, q)
+    val sub = emb.select(col("vec_id"),
+        posexplode(expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"))
+          .as(Seq("p", "q")))
+      .select(col("vec_id"), expr(s"p div $D").as("sub"), (col("p") % D).as("j"),
+        col("q"))
+      .localCheckpoint(eager = false)
+    // codebook init: seed sub-vectors at the fixed-point scale
+    var c = sub.filter(col("vec_id") % SeedMod === 0 && col("vec_id") < SeedMax)
+      .select(col("sub"), col("vec_id").as("code"), col("j"),
+        (lit(CScale) * col("q")).as("ci"))
+    def assign(cb: DataFrame): DataFrame =
+      sub.join(broadcast(cb), Seq("sub", "j"))
+        .withColumn("t", (lit(CScale) * col("q") - col("ci")))
+        .groupBy(col("vec_id"), col("sub"), col("code"))
+        .agg(sum(col("t") * col("t")).as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(struct(col("code"), col("d2")), struct(col("d2"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"),
+          col("m.d2").as("d2"))
+    for (_ <- 1 to Rounds) {
+      val a = assign(c)
+      c = a.join(sub, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"), col("j"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("j"),
+          expr(s"($CScale * s - pmod($CScale * s, n)) div n").as("ci"))
+        .localCheckpoint(eager = false)
+    }
+    val enc = assign(c).select(col("vec_id"), col("sub"), col("code"))
+      .localCheckpoint(eager = false)
+    // ADC distance tables for the query subset, then ranked code sums
+    val dtab = sub.filter(col("vec_id") % QueryMod === 0)
+      .join(broadcast(c), Seq("sub", "j"))
+      .withColumn("t", (lit(CScale) * col("q") - col("ci")))
+      .groupBy(col("vec_id").as("query_id"), col("sub"), col("code"))
+      .agg(sum(col("t") * col("t")).as("dt"))
+    val scored = enc.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("d2"))
+    // integer d2 < 2^53 casts to double exactly; (-d2 desc, id asc)
+    // through the bounded top-k agg == (d2 asc, id asc)
+    scored
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The per-subspace Lloyd rounds + encode + ADC ranking unrolled into
+    * DuckDB CTEs — [[KMeansExact.kmeansFitSql]] with a subspace key.
+    */
+  val knnPqSql: String = {
+    val rounds = (1 to Rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT e0.vec_id, e0.sub, c.code,
+         |         CAST(sum(($CScale * e0.q - c.ci) * ($CScale * e0.q - c.ci)) AS BIGINT) AS d2
+         |  FROM e0 JOIN c${r - 1} c ON e0.sub = c.sub AND e0.j = c.j
+         |  GROUP BY 1, 2, 3),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |c$r AS MATERIALIZED (
+         |  SELECT sub, code, j,
+         |         ($CScale * s - (($CScale * s % n + n) % n)) // n AS ci
+         |  FROM (SELECT a.sub, a.code, e0.j, CAST(sum(e0.q) AS BIGINT) AS s,
+         |               CAST(count(*) AS BIGINT) AS n
+         |        FROM a$r a JOIN e0 ON a.vec_id = e0.vec_id AND a.sub = e0.sub
+         |        GROUP BY 1, 2, 3))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT vec_id, (i - 1) // $D AS sub, (i - 1) % $D AS j,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
+       |  FROM embeddings, generate_series(1, ${M * D}) AS g(i)),
+       |c0 AS MATERIALIZED (
+       |  SELECT sub, vec_id AS code, j, $CScale * q AS ci FROM e0
+       |  WHERE vec_id % $SeedMod = 0 AND vec_id < $SeedMax),
+       |$rounds,
+       |denc AS MATERIALIZED (
+       |  SELECT e0.vec_id, e0.sub, c.code,
+       |         CAST(sum(($CScale * e0.q - c.ci) * ($CScale * e0.q - c.ci)) AS BIGINT) AS d2
+       |  FROM e0 JOIN c$Rounds c ON e0.sub = c.sub AND e0.j = c.j
+       |  GROUP BY 1, 2, 3),
+       |aenc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |    FROM denc) WHERE rn = 1),
+       |dtab AS MATERIALIZED (
+       |  SELECT e0.vec_id AS query_id, c.sub, c.code,
+       |         CAST(sum(($CScale * e0.q - c.ci) * ($CScale * e0.q - c.ci)) AS BIGINT) AS dt
+       |  FROM e0 JOIN c$Rounds c ON e0.sub = c.sub AND e0.j = c.j
+       |  WHERE e0.vec_id % $QueryMod = 0
+       |  GROUP BY 1, 2, 3),
+       |scored AS MATERIALIZED (
+       |  SELECT t.query_id, a.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
+       |  FROM aenc a JOIN dtab t ON a.sub = t.sub AND a.code = t.code
+       |  WHERE a.vec_id <> t.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
+       |  SELECT query_id, vec_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "knn_pq" -> (knnPq _, knnPqSql))
+}
