@@ -377,11 +377,15 @@ object ScaleProbe {
       // PQ: training is the per-subspace Lloyd against a 1,024-row
       // broadcast codebook, encode one pass, ADC ranking through the
       // bounded top-k agg — N·M·K integer distance terms are the linear
-      // term under test (queries grow with replicas here, so the scored
-      // stream is queries × N; a production batch pins the query side)
+      // term under test. Queries PIN to the base id range (the fixed
+      // eval-suite model, same as the decontam probe): the scored
+      // stream is |queries|·N, and replica queries would grow it
+      // quadratically — measured: heap exhaustion at 100× with 2,000
+      // replica queries vs linear with the fixed 20
       if (wanted("knn_pq"))
         time(spark, copies, "knn_pq")(
-          graft.similarity.PqAnn.knnPqOn(spark.read.parquet(embPath)))
+          graft.similarity.PqAnn.knnPqOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L))
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))

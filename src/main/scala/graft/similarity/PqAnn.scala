@@ -50,7 +50,14 @@ object PqAnn {
   def knnPq(spark: SparkSession, dir: String): DataFrame =
     knnPqOn(Tables.embeddings(spark, dir))
 
-  private[graft] def knnPqOn(emb: DataFrame): DataFrame = {
+  /** @param queryPred picks the query side. Production contract: a
+    *   BOUNDED query batch (the default modulo rule stands in for one) —
+    *   the ADC scored stream is |queries| × N, so an unbounded query set
+    *   turns the linear scan quadratic (the 100× probe pins queries to
+    *   the base id range for exactly this reason).
+    */
+  private[graft] def knnPqOn(emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
     // exploded integer frame: (vec_id, sub, j, q)
     val sub = emb.select(col("vec_id"),
@@ -85,7 +92,7 @@ object PqAnn {
     val enc = assign(c).select(col("vec_id"), col("sub"), col("code"))
       .localCheckpoint(eager = false)
     // ADC distance tables for the query subset, then ranked code sums
-    val dtab = sub.filter(col("vec_id") % QueryMod === 0)
+    val dtab = sub.filter(queryPred)
       .join(broadcast(c), Seq("sub", "j"))
       .withColumn("t", (lit(CScale) * col("q") - col("ci")))
       .groupBy(col("vec_id").as("query_id"), col("sub"), col("code"))
