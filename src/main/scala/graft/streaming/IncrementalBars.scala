@@ -71,11 +71,17 @@ object IncrementalBars {
     */
   def runOnce(
       spark: SparkSession,
-      ticks: DataFrame,
+      rawTicks: DataFrame,
       barsPath: String,
       etlRunsPath: String,
       now: Timestamp): RunResult = {
 
+    // Normalize TIMESTAMP_NTZ tick frames (what the testdata parquet
+    // reads as) to LTZ ONCE at entry — exact under the pinned UTC
+    // session, no-op for LTZ input. Everything downstream (driver-side
+    // Timestamp gets, comparisons against Timestamp literals, to_date
+    // partition values) assumes one timestamp type.
+    val ticks = rawTicks.withColumn("event_time", col("event_time").cast("timestamp"))
     val toTime = Timestamp.from(now.toInstant.truncatedTo(java.time.temporal.ChronoUnit.MINUTES))
     val fromTime = readWatermark(spark, etlRunsPath).orElse {
       ticks.agg(min(col("event_time"))).collect()(0).getTimestamp(0) match {
