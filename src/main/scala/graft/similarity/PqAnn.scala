@@ -57,7 +57,21 @@ object PqAnn {
     *   the base id range for exactly this reason).
     */
   private[graft] def knnPqOn(emb: DataFrame,
-      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame = {
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame =
+    pqScored(emb, queryPred)
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("d2"))
+      .orderBy("query_id", "rank")
+
+  /** The ADC-scored (query_id, vec_id, d2) stream — training, encode and
+    * table build shared by the pure-ADC ranking and the rerank variant.
+    */
+  private def pqScored(emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
     // exploded integer frame: (vec_id, sub, j, q)
     val sub = emb.select(col("vec_id"),
@@ -97,13 +111,51 @@ object PqAnn {
       .withColumn("t", (lit(CScale) * col("q") - col("ci")))
       .groupBy(col("vec_id").as("query_id"), col("sub"), col("code"))
       .agg(sum(col("t") * col("t")).as("dt"))
-    val scored = enc.join(broadcast(dtab), Seq("sub", "code"))
+    // integer d2 < 2^53 casts to double exactly; (-d2 desc, id asc)
+    // through the bounded top-k agg == (d2 asc, id asc)
+    enc.join(broadcast(dtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dt")).as("d2"))
-    // integer d2 < 2^53 casts to double exactly; (-d2 desc, id asc)
-    // through the bounded top-k agg == (d2 asc, id asc)
-    scored
+  }
+
+  /** PQ shortlist size for the rerank variant. */
+  private val Fetch = 40
+
+  // ---- knn_pq_rerank: the production pairing ---------------------------
+  /** PQ shortlist → EXACT rerank: the compressed scan over-fetches
+    * [[Fetch]] candidates per query by ADC distance, then only those
+    * [[Fetch]] rows are re-scored with the exact integer L2 on the full
+    * quantized vectors and cut to the final top-k — the
+    * [[Quantize.knnQuantized]] two-stage shape with PQ codes as the
+    * cheap tier. The oracle checks the two-stage SEMANTICS bit-for-bit;
+    * recall vs the unrestricted exact scan is the measured property
+    * (PLANS.md recall table: 0.16 pure-ADC → with the 4× over-fetch the
+    * exact tier repairs whatever the shortlist captured).
+    *
+    * Scale: stage 1 is [[knnPqOn]]'s linear compressed scan; stage 2
+    * touches Fetch·|queries| full vectors — per-query constant work, the
+    * whole point of shortlist-then-rerank.
+    */
+  def knnPqRerank(spark: SparkSession, dir: String): DataFrame =
+    knnPqRerankOn(Tables.embeddings(spark, dir))
+
+  private[graft] def knnPqRerankOn(emb: DataFrame,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame = {
+    val qv = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+        .as("qv"))
+      .localCheckpoint(eager = false)
+    val shortlist = pqScored(emb, queryPred)
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $Fetch)").as("top"))
+      .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    shortlist
+      .join(qv, "vec_id")
+      .join(broadcast(qv.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))), "query_id")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qv, qq, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"))
       .groupBy(col("query_id"))
       .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -115,8 +167,10 @@ object PqAnn {
 
   /** The per-subspace Lloyd rounds + encode + ADC ranking unrolled into
     * DuckDB CTEs — [[KMeansExact.kmeansFitSql]] with a subspace key.
+    * [[pqPrefixSql]] is everything through the `scored` CTE, shared by
+    * the pure-ADC and rerank oracles.
     */
-  val knnPqSql: String = {
+  private val pqPrefixSql: String = {
     val rounds = (1 to Rounds).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT e0.vec_id, e0.sub, c.code,
@@ -164,14 +218,39 @@ object PqAnn {
        |  SELECT t.query_id, a.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
        |  FROM aenc a JOIN dtab t ON a.sub = t.sub AND a.code = t.code
        |  WHERE a.vec_id <> t.query_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val knnPqSql: String =
+    s"""$pqPrefixSql
        |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
        |  SELECT query_id, vec_id, d2,
        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
        |  FROM scored) WHERE rn <= $TopK
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Shortlist + exact integer-L2 rerank on the same CTE chain. */
+  val knnPqRerankSql: String =
+    s"""$pqPrefixSql,
+       |short AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |    FROM scored) WHERE rn <= $Fetch),
+       |exact AS MATERIALIZED (
+       |  SELECT s.query_id, s.vec_id,
+       |         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+       |  FROM short s
+       |  JOIN e0 a ON a.vec_id = s.vec_id
+       |  JOIN e0 b ON b.vec_id = s.query_id AND b.sub = a.sub AND b.j = a.j
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
+       |  SELECT query_id, vec_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |  FROM exact) WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "knn_pq" -> (knnPq _, knnPqSql))
+    "knn_pq" -> (knnPq _, knnPqSql),
+    "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql))
 }
