@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, SimhashFold, TopKByScore, VecDotI8, VecSum, WinnowFp}
+import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Evaluate any FOLDABLE integral expression to an Int at build time —
+    * so `hilbert_key(x, y, 15)`, `CAST(15 AS BIGINT)`, a SMALLINT
+    * literal, or `10 + 5` all work, with a clean AnalysisException
+    * otherwise (not a raw match error at analysis time).
+    */
+  private def foldToInt(e: Expression, what: String): Int = {
+    def fail(detail: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        // the pass-through error class: renders exactly <message>
+        errorClass = "_LEGACY_ERROR_TEMP_3100",
+        messageParameters = Map(
+          "message" -> s"$what must be a foldable integer expression, $detail"))
+    if (!e.foldable) fail(s"got non-foldable ${e.sql}")
+    (try e.eval() catch { case scala.util.control.NonFatal(_) => fail(s"evaluation of ${e.sql} failed") }) match {
+      case null => fail("got NULL")
+      case v: Int => v
+      case v: Long if v.isValidInt => v.toInt
+      case v: Short => v.toInt
+      case v: Byte => v.toInt
+      case other => fail(s"got ${other.getClass.getSimpleName} ${e.sql}")
+    }
+  }
+
   private[graft] val descriptors = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
@@ -34,6 +57,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot_i8 takes exactly 2 arguments")
         VecDotI8(children.head, children(1))
+      }),
+    (FunctionIdentifier("sq_dist_i64"),
+      new ExpressionInfo(classOf[SqDistI64].getName, "sq_dist_i64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sq_dist_i64 takes exactly 2 arguments")
+        SqDistI64(children.head, children(1))
       }),
     (FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
@@ -110,23 +139,13 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HilbertKey].getName, "hilbert_key"),
       (children: Seq[Expression]) => {
         require(children.length == 3, "hilbert_key takes (x, y, bits)")
-        val bits = children(2) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"hilbert_key bits must be an integer literal, got $other")
-        }
-        HilbertKey(children.head, children(1), bits)
+        HilbertKey(children.head, children(1), foldToInt(children(2), "hilbert_key bits"))
       }),
     (FunctionIdentifier("morton_key"),
       new ExpressionInfo(classOf[MortonKey].getName, "morton_key"),
       (children: Seq[Expression]) => {
         require(children.length == 3, "morton_key takes (x, y, bits)")
-        val bits = children(2) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"morton_key bits must be an integer literal, got $other")
-        }
-        MortonKey(children.head, children(1), bits)
+        MortonKey(children.head, children(1), foldToInt(children(2), "morton_key bits"))
       }),
     (FunctionIdentifier("topk_by_score"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),

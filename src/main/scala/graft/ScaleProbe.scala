@@ -416,6 +416,11 @@ object ScaleProbe {
             graft.similarity.MmrSelect.mmrSelectOn(
               Tables.embeddings(spark, sfDir), poolMod = m))
         }
+      else if (wanted("mmr_pool") && opSel.contains("mmr_pool"))
+        // no silent caps: the reranker's scale axis is the POOL, probed
+        // at copies=1 only — say so instead of dropping the row
+        println(s"SCALEPROBE scale=$copies op=mmr_pool SKIPPED " +
+          "(pool-axis probe runs at copies=1 only; see scaladoc)")
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

@@ -73,7 +73,14 @@ object Dedup {
     * verification run on this compact form.
     */
   private[graft] def hashedSets(sets: DataFrame): DataFrame =
-    sets.select(col("doc_id"), array_sort(transform(col("sh"), s => xxhash64(s))).as("sh"))
+    // array_distinct: the sorted-set contract ([[graft.functions.OverlapSorted]]
+    // / [[graft.functions.JaccardSorted]] assume element-distinct input) must
+    // hold for CALLER-supplied raw sets too, not just the upstream shingles()
+    // path that already distincts — and it absorbs the (theoretical) xxhash64
+    // collision that would otherwise duplicate a hashed element. No-op cost
+    // on already-distinct sets.
+    sets.select(col("doc_id"),
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("sh"))
       // Materialize once (lazily, on first action): three plan branches
       // consume these sets (inverted index / both verify sides) and AQE's
       // broadcast conversion would otherwise re-run the shingle+hash

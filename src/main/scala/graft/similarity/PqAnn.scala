@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN (Jégou/Douze/Schmid, PAMI'11) — the
@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *
   * Everything is EXACT INTEGER arithmetic, the [[KMeansExact]] recipe
   * per subspace: components quantize to `floor(e·1000)`; each of the M
-  * 8-dim subspaces trains its own K=16 codebook with 2 Lloyd rounds
+  * 8-dim subspaces trains its own codebook with 2 Lloyd rounds
   * (fixed-point centroid means via the pmod floor-division identity,
   * ties to the smaller code id); encode is an integer argmin; ADC
   * distances are integer sums < 2⁵³ (so the one cast to double for the
@@ -23,11 +23,26 @@ import org.apache.spark.sql.functions._
   * identical rounds over the exploded (vec, sub, j, q) frame —
   * bit-for-bit reproducible on any engine or partitioning.
   *
-  * Seeding: K=16 FIXED vectors (`vec_id % 31 == 0 ∧ vec_id < 496`) at
-  * every scale — constant K, same contract as [[KMeansExact]].
+  * Two codebook tiers, same machinery, different constants:
+  *  - K=16 (`knn_pq`/`knn_pq_rerank`): seeds `vec_id % 31 == 0 ∧
+  *    vec_id < 496` — the demonstration tier whose measured recall
+  *    (0.16 ADC / 0.405 rerank, PLANS.md) quantifies what 4-bit codes
+  *    lose on cluster-free geometry;
+  *  - K=256 (`knn_pq256`/`knn_pq256_rerank`): seeds `vec_id < 256` —
+  *    one-byte codes, the production fidelity the round-8 verdict
+  *    called for; recall measured by [[graft.tools.RecallProbe]].
+  * K is constant at every scale (same contract as [[KMeansExact]]).
   *
-  * Scale (100 TB): training is per-subspace k-means against a 1,024-row
-  * (M·K·D) broadcast — the N·M·K distance pass is the linear term;
+  * Hot-path shape: sub-vectors are PACKED `array<bigint>` (already
+  * multiplied by the CScale fixed-point factor), so codebook assignment
+  * joins N·M rows against a K-row broadcast per subspace and scores each
+  * pair with the codegen'd [[graft.functions.SqDistI64]] — N·M·K
+  * distance rows with an O(D) loop in whole-stage codegen, not the
+  * N·M·D·K exploded join the r8 version shuffled into a two-level
+  * aggregate (8× the rows, interpreted fold).
+  *
+  * Scale (100 TB): training is per-subspace k-means against a ≤ M·K-row
+  * broadcast codebook — the N·M·K distance pass is the linear term;
   * encode is one pass; the ADC table is (queries × M × K) rows,
   * broadcast-sized for any bounded query batch; ranking aggregates
   * through the bounded [[graft.functions.TopKByScore]] partial agg, ≤ k
@@ -39,16 +54,26 @@ object PqAnn {
 
   private val QScale  = 1000.0
   private val CScale  = 64L
-  private val M       = 8  // subspaces
-  private val D       = 8  // dims per subspace
+  private val Dim     = 64 // embedding dimension
   private val Rounds  = 2
   private val TopK    = 10
-  private val SeedMod = 31L
-  private val SeedMax = 496L
   private val QueryMod = 100L
+
+  /** Codebook tier: seed rule (K = |{id : id % seedMod == 0 ∧ id <
+    * seedMax}|), subspace width `d` (M = Dim/d subspaces ⇒ M one-byte
+    * codes per vector), and the rerank shortlist width.
+    */
+  private[graft] final case class Tier(seedMod: Long, seedMax: Long, fetch: Int, d: Int) {
+    def m: Int = Dim / d
+  }
+  private[graft] val K16  = Tier(seedMod = 31L, seedMax = 496L, fetch = 40, d = 8)
+  private[graft] val K256 = Tier(seedMod = 1L, seedMax = 256L, fetch = 64, d = 4)
 
   def knnPq(spark: SparkSession, dir: String): DataFrame =
     knnPqOn(Tables.embeddings(spark, dir))
+
+  def knnPq256(spark: SparkSession, dir: String): DataFrame =
+    knnPqOn(Tables.embeddings(spark, dir), tier = K256)
 
   /** @param queryPred picks the query side. Production contract: a
     *   BOUNDED query batch (the default modulo rule stands in for one) —
@@ -57,8 +82,9 @@ object PqAnn {
     *   the base id range for exactly this reason).
     */
   private[graft] def knnPqOn(emb: DataFrame,
-      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame =
-    pqScored(emb, queryPred)
+      queryPred: Column = col("vec_id") % QueryMod === 0,
+      tier: Tier = K16): DataFrame =
+    pqScored(emb, queryPred, tier)
       .groupBy(col("query_id"))
       .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -67,50 +93,60 @@ object PqAnn {
         (-col("col.score")).cast("long").as("d2"))
       .orderBy("query_id", "rank")
 
+  /** Packed fixed-point sub-vectors (vec_id, sub, qs) with
+    * qs[j] = CScale · floor(x·QScale) — the frame every training,
+    * encode and table pass scores with [[graft.functions.SqDistI64]].
+    */
+  private def subVectors(emb: DataFrame, tier: Tier): DataFrame =
+    emb.select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${tier.m - 1}), s ->
+             |  transform(slice(embedding, s * ${tier.d} + 1, ${tier.d}), x ->
+             |    ${CScale}L * CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)))"""
+            .stripMargin)).as(Seq("sub", "qs")))
+      .localCheckpoint(eager = false)
+
   /** The ADC-scored (query_id, vec_id, d2) stream — training, encode and
     * table build shared by the pure-ADC ranking and the rerank variant.
     */
-  private def pqScored(emb: DataFrame,
-      queryPred: org.apache.spark.sql.Column): DataFrame = {
+  private def pqScored(emb: DataFrame, queryPred: Column, tier: Tier): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
-    // exploded integer frame: (vec_id, sub, j, q)
-    val sub = emb.select(col("vec_id"),
-        posexplode(expr(
-          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))"))
-          .as(Seq("p", "q")))
-      .select(col("vec_id"), expr(s"p div $D").as("sub"), (col("p") % D).as("j"),
-        col("q"))
-      .localCheckpoint(eager = false)
-    // codebook init: seed sub-vectors at the fixed-point scale
-    var c = sub.filter(col("vec_id") % SeedMod === 0 && col("vec_id") < SeedMax)
-      .select(col("sub"), col("vec_id").as("code"), col("j"),
-        (lit(CScale) * col("q")).as("ci"))
+    val subv = subVectors(emb, tier)
+    // codebook init: seed sub-vectors, already at the fixed-point scale
+    var c = subv.filter(col("vec_id") % tier.seedMod === 0 && col("vec_id") < tier.seedMax)
+      .select(col("sub"), col("vec_id").as("code"), col("qs").as("cv"))
     def assign(cb: DataFrame): DataFrame =
-      sub.join(broadcast(cb), Seq("sub", "j"))
-        .withColumn("t", (lit(CScale) * col("q") - col("ci")))
-        .groupBy(col("vec_id"), col("sub"), col("code"))
-        .agg(sum(col("t") * col("t")).as("d2"))
+      subv.join(broadcast(cb), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"),
+          expr("sq_dist_i64(qs, cv)").as("d2"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min_by(struct(col("code"), col("d2")), struct(col("d2"), col("code"))).as("m"))
         .select(col("vec_id"), col("sub"), col("m.code").as("code"),
           col("m.d2").as("d2"))
     for (_ <- 1 to Rounds) {
       val a = assign(c)
-      c = a.join(sub, Seq("vec_id", "sub"))
+      // centroid update on the scaled components: Σqs = CScale·Σq, so
+      // floor(CScale·Σq / n) = (Σqs − pmod(Σqs, n)) div n — bit-identical
+      // to the oracle's (CScale·s − pmod(CScale·s, n)) // n
+      c = a.join(subv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("qs")).as(Seq("j", "qsj")))
         .groupBy(col("sub"), col("code"), col("j"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("qsj")).as("s"), count(lit(1)).as("n"))
         .select(col("sub"), col("code"), col("j"),
-          expr(s"($CScale * s - pmod($CScale * s, n)) div n").as("ci"))
+          expr("(s - pmod(s, n)) div n").as("ci"))
+        .groupBy(col("sub"), col("code"))
+        .agg(collect_list(struct(col("j"), col("ci"))).as("l"))
+        .select(col("sub"), col("code"),
+          expr("transform(array_sort(l), t -> t.ci)").as("cv"))
         .localCheckpoint(eager = false)
     }
     val enc = assign(c).select(col("vec_id"), col("sub"), col("code"))
       .localCheckpoint(eager = false)
     // ADC distance tables for the query subset, then ranked code sums
-    val dtab = sub.filter(queryPred)
-      .join(broadcast(c), Seq("sub", "j"))
-      .withColumn("t", (lit(CScale) * col("q") - col("ci")))
-      .groupBy(col("vec_id").as("query_id"), col("sub"), col("code"))
-      .agg(sum(col("t") * col("t")).as("dt"))
+    val dtab = subv.filter(queryPred)
+      .join(broadcast(c), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        expr("sq_dist_i64(qs, cv)").as("dt"))
     // integer d2 < 2^53 casts to double exactly; (-d2 desc, id asc)
     // through the bounded top-k agg == (d2 asc, id asc)
     enc.join(broadcast(dtab), Seq("sub", "code"))
@@ -119,43 +155,43 @@ object PqAnn {
       .agg(sum(col("dt")).as("d2"))
   }
 
-  /** PQ shortlist size for the rerank variant. */
-  private val Fetch = 40
-
   // ---- knn_pq_rerank: the production pairing ---------------------------
   /** PQ shortlist → EXACT rerank: the compressed scan over-fetches
-    * [[Fetch]] candidates per query by ADC distance, then only those
-    * [[Fetch]] rows are re-scored with the exact integer L2 on the full
+    * `tier.fetch` candidates per query by ADC distance, then only those
+    * rows are re-scored with the exact integer L2 on the full
     * quantized vectors and cut to the final top-k — the
     * [[Quantize.knnQuantized]] two-stage shape with PQ codes as the
     * cheap tier. The oracle checks the two-stage SEMANTICS bit-for-bit;
     * recall vs the unrestricted exact scan is the measured property
-    * (PLANS.md recall table: 0.16 pure-ADC → with the 4× over-fetch the
-    * exact tier repairs whatever the shortlist captured).
+    * (PLANS.md recall table — rerank quality is BOUNDED BY shortlist
+    * recall, which is why the K=256 tier exists).
     *
     * Scale: stage 1 is [[knnPqOn]]'s linear compressed scan; stage 2
-    * touches Fetch·|queries| full vectors — per-query constant work, the
+    * touches fetch·|queries| full vectors — per-query constant work, the
     * whole point of shortlist-then-rerank.
     */
   def knnPqRerank(spark: SparkSession, dir: String): DataFrame =
     knnPqRerankOn(Tables.embeddings(spark, dir))
 
+  def knnPq256Rerank(spark: SparkSession, dir: String): DataFrame =
+    knnPqRerankOn(Tables.embeddings(spark, dir), tier = K256)
+
   private[graft] def knnPqRerankOn(emb: DataFrame,
-      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame = {
+      queryPred: Column = col("vec_id") % QueryMod === 0,
+      tier: Tier = K16): DataFrame = {
     val qv = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
         .as("qv"))
       .localCheckpoint(eager = false)
-    val shortlist = pqScored(emb, queryPred)
+    val shortlist = pqScored(emb, queryPred, tier)
       .groupBy(col("query_id"))
-      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $Fetch)").as("top"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, ${tier.fetch})").as("top"))
       .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
     shortlist
       .join(qv, "vec_id")
       .join(broadcast(qv.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("qv").as("qq"))), "query_id")
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qv, qq, (a, b) -> (a - b) * (a - b)), 0L, (s, x) -> s + x)"))
+      .withColumn("d2", expr("sq_dist_i64(qv, qq)"))
       .groupBy(col("query_id"))
       .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
       .select(col("query_id"), posexplode(col("top")))
@@ -168,9 +204,11 @@ object PqAnn {
   /** The per-subspace Lloyd rounds + encode + ADC ranking unrolled into
     * DuckDB CTEs — [[KMeansExact.kmeansFitSql]] with a subspace key.
     * [[pqPrefixSql]] is everything through the `scored` CTE, shared by
-    * the pure-ADC and rerank oracles.
+    * the pure-ADC and rerank oracles; the tier enters ONLY through the
+    * c0 seed constants (K never appears structurally, so the K=256
+    * oracle is the same template).
     */
-  private val pqPrefixSql: String = {
+  private def pqPrefixSql(tier: Tier): String = {
     val rounds = (1 to Rounds).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT e0.vec_id, e0.sub, c.code,
@@ -191,12 +229,12 @@ object PqAnn {
          |        GROUP BY 1, 2, 3))""".stripMargin
     }.mkString(",\n")
     s"""WITH e0 AS MATERIALIZED (
-       |  SELECT vec_id, (i - 1) // $D AS sub, (i - 1) % $D AS j,
+       |  SELECT vec_id, (i - 1) // ${tier.d} AS sub, (i - 1) % ${tier.d} AS j,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
-       |  FROM embeddings, generate_series(1, ${M * D}) AS g(i)),
+       |  FROM embeddings, generate_series(1, $Dim) AS g(i)),
        |c0 AS MATERIALIZED (
        |  SELECT sub, vec_id AS code, j, $CScale * q AS ci FROM e0
-       |  WHERE vec_id % $SeedMod = 0 AND vec_id < $SeedMax),
+       |  WHERE vec_id % ${tier.seedMod} = 0 AND vec_id < ${tier.seedMax}),
        |$rounds,
        |denc AS MATERIALIZED (
        |  SELECT e0.vec_id, e0.sub, c.code,
@@ -221,8 +259,8 @@ object PqAnn {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  val knnPqSql: String =
-    s"""$pqPrefixSql
+  private def knnPqSqlFor(tier: Tier): String =
+    s"""${pqPrefixSql(tier)}
        |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
        |  SELECT query_id, vec_id, d2,
        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
@@ -230,13 +268,13 @@ object PqAnn {
        |ORDER BY query_id, rank""".stripMargin
 
   /** Shortlist + exact integer-L2 rerank on the same CTE chain. */
-  val knnPqRerankSql: String =
-    s"""$pqPrefixSql,
+  private def knnPqRerankSqlFor(tier: Tier): String =
+    s"""${pqPrefixSql(tier)},
        |short AS MATERIALIZED (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
-       |    FROM scored) WHERE rn <= $Fetch),
+       |    FROM scored) WHERE rn <= ${tier.fetch}),
        |exact AS MATERIALIZED (
        |  SELECT s.query_id, s.vec_id,
        |         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
@@ -250,7 +288,14 @@ object PqAnn {
        |  FROM exact) WHERE rn <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  val knnPqSql: String          = knnPqSqlFor(K16)
+  val knnPqRerankSql: String    = knnPqRerankSqlFor(K16)
+  val knnPq256Sql: String       = knnPqSqlFor(K256)
+  val knnPq256RerankSql: String = knnPqRerankSqlFor(K256)
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_pq" -> (knnPq _, knnPqSql),
-    "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql))
+    "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql),
+    "knn_pq256" -> (knnPq256 _, knnPq256Sql),
+    "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql))
 }
