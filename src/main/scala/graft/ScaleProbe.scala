@@ -386,6 +386,19 @@ object ScaleProbe {
         time(spark, copies, "knn_pq")(
           graft.similarity.PqAnn.knnPqOn(spark.read.parquet(embPath),
             queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L))
+      // K=256 production tier: same pinned query batch; the N·M·K assign
+      // stream is 32× the K=16 tier's rows (2× M, 16× K) — the linear
+      // term whose constant the probe prices
+      if (wanted("knn_pq256"))
+        time(spark, copies, "knn_pq256")(
+          graft.similarity.PqAnn.knnPqOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
+            tier = graft.similarity.PqAnn.K256))
+      if (wanted("knn_pq256_rerank"))
+        time(spark, copies, "knn_pq256_rerank")(
+          graft.similarity.PqAnn.knnPqRerankOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
+            tier = graft.similarity.PqAnn.K256))
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))

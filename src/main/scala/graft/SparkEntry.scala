@@ -5,6 +5,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.Layout
 import graft.similarity.{KMeansExact, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
+import graft.streaming.TrendingTokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +23,8 @@ object SparkEntry {
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
       Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry,
-      Layout.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry)
+      Layout.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry,
+      TrendingTokens.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.functions.MisraGries
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.functions.TextFeatures.{hash60, hash60Sql, tokens}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -73,4 +74,89 @@ object TrendingTokens {
           BucketTrend(bucket, n, sorted.map(_._1), sorted.map(_._2))
         })
   }
+
+  // ---- the reader side: what a dashboard actually queries --------------
+
+  /** Merge a materialized [[BucketTrend]] summary table (the streaming
+    * sink's latest row per bucket) into the GUARANTEED-trending list:
+    * tokens whose LOWER-BOUND count already clears the bucket threshold
+    * `count · k > n_arrivals`. Misra-Gries counts undercount, so
+    * clearing the threshold on the lower bound implies the true count
+    * clears it — NO false positives; tokens between the bound and the
+    * threshold need the exact recount ([[trendingMergeOn]]) to resolve.
+    * Cost: B·k rows in, ≤ B·k out — a dashboard-sized view.
+    */
+  def guaranteedTrending(summaries: DataFrame, k: Int): DataFrame =
+    summaries
+      .select(col("bucket"), col("n_arrivals"),
+        explode(arrays_zip(col("tokens"), col("counts"))).as("tc"))
+      .select(col("bucket"), col("n_arrivals"),
+        col("tc.tokens").as("token"), col("tc.counts").as("count_lb"))
+      .filter(col("count_lb") * k > col("n_arrivals"))
+      .orderBy(col("bucket"), col("count_lb").desc, col("token"))
+
+  /** The full merge/reader view as a deterministic BATCH operator —
+    * union the per-bucket summaries, apply the `count·k > N_bucket`
+    * presence guarantee to get the candidate set, then join the exact
+    * pass-2 recount (the `heavy_hitters` machinery, per bucket): output
+    * is every (bucket, token) whose EXACT count clears its bucket's
+    * threshold, with exact counts. The sketch only PRUNES — its
+    * candidate set provably contains every true heavy hitter and the
+    * exact filter discards the rest — so the result is independent of
+    * the sketch's arrival-order-dependent internals and the DuckDB
+    * oracle can pin it with a plain per-bucket GROUP BY.
+    *
+    * Buckets here come from the cross-engine [[hash60]] (the streaming
+    * topology's xxhash64 has no DuckDB twin); the partition-by-hash
+    * semantics are identical.
+    *
+    * Scale: pass 1 shuffles ≤ k counters per (bucket, map task) — never
+    * the vocabulary; pass 2 recounts via one broadcast semi-probe of the
+    * ≤ B·k candidate set. Both passes are token-stream-linear with
+    * constant state, the same contract as the streaming topology.
+    */
+  def trendingMerge(spark: SparkSession, dir: String): DataFrame =
+    trendingMergeOn(graft.Tables.documents(spark, dir))
+
+  private val MergeK = 200
+  private val MergeBuckets = 8
+
+  def trendingMergeOn(docs: DataFrame,
+      k: Int = MergeK, buckets: Int = MergeBuckets): DataFrame = {
+    // One token pass materialized for both the sketch and the recount
+    // (house pattern, see Dedup.hashedSets).
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket", pmod(hash60(col("token")), lit(buckets)).cast("int"))
+      .localCheckpoint(eager = false)
+    // pass 1: per-bucket mergeable sketch + bucket totals — ≤ k counters
+    // per partial cross the shuffle, B rows out
+    val summaries = toks.groupBy(col("bucket"))
+      .agg(MisraGries.mg(k)(col("token")).as("cands"),
+        count(lit(1)).as("n_bucket"))
+    val cands = summaries.select(col("bucket"), col("n_bucket"),
+      explode(col("cands")).as("token"))
+    // pass 2: exact recount of the ≤ B·k candidates, exact threshold
+    toks.join(broadcast(cands), Seq("bucket", "token"))
+      .groupBy(col("bucket"), col("token"), col("n_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("n_bucket"))
+      .select(col("bucket"), col("token"), col("cnt"), col("n_bucket"))
+      .orderBy(col("bucket"), col("cnt").desc, col("token"))
+  }
+
+  val trendingMergeSql: String =
+    s"""WITH tok AS (
+       |  SELECT t.token, CAST(${hash60Sql("t.token")} % $MergeBuckets AS INT) AS bucket
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+       |  WHERE len(t.token) > 0),
+       |nb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_bucket FROM tok GROUP BY 1)
+       |SELECT tok.bucket, tok.token, CAST(count(*) AS BIGINT) AS cnt, nb.n_bucket
+       |FROM tok JOIN nb ON tok.bucket = nb.bucket
+       |GROUP BY tok.bucket, tok.token, nb.n_bucket
+       |HAVING count(*) * $MergeK > nb.n_bucket
+       |ORDER BY tok.bucket, cnt DESC, token""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    Map("trending_merge" -> (trendingMerge _, trendingMergeSql))
 }

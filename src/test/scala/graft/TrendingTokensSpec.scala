@@ -72,4 +72,79 @@ class TrendingTokensSpec extends SparkSpec {
       assert(withViral.nonEmpty, "dominant token missing from its bucket")
     } finally query.stop()
   }
+
+  // ---- the merge/reader view (round 9) ---------------------------------
+
+  test("trendingMergeOn == the exact per-bucket computation, sketch pruning active") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // vocabulary (200 noise tokens) >> k (5), so the sketch MUST prune;
+    // two heavy tokens planted well above every bucket threshold
+    val text = ((1 to 200).map(i => s"noise$i") ++
+      Seq.fill(120)("alpha") ++ Seq.fill(90)("beta"))
+    // arrival order scrambled across 7 partitions — the merged result
+    // must not depend on partitioning or order
+    val docs = scala.util.Random.shuffle(text).grouped(13).map(_.mkString(" "))
+      .toSeq.toDF("text").repartition(7)
+    val got = TrendingTokens.trendingMergeOn(docs, k = 5, buckets = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // exact reference: plain per-bucket group-by + threshold, no sketch
+    val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("bucket",
+        pmod(graft.functions.TextFeatures.hash60(col("token")), lit(3)).cast("int"))
+    val nb = toks.groupBy("bucket").agg(count(lit(1)).as("n_bucket"))
+    val want = toks.groupBy("bucket", "token").agg(count(lit(1)).as("cnt"))
+      .join(nb, "bucket")
+      .filter(col("cnt") * 5 > col("n_bucket"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got.exists(_._2 == "alpha") && got.exists(_._2 == "beta"),
+      s"planted heavy hitters missing: $got")
+    // noise tokens (count 1 each) never clear a threshold
+    assert(got.forall(t => t._2 == "alpha" || t._2 == "beta"), s"false positive: $got")
+  }
+
+  test("guaranteedTrending over the STREAMING sink's summaries: sound, and exact-complete after recount") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val trends = TrendingTokens.trendingTokens(in.toDF().toDF("text"), K, buckets = 2)
+    val query = trends.writeStream.format("memory").queryName("trending_m")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Seq.fill(12)("surge").mkString(" ") + " x1 x2 x3")
+      query.processAllAvailable()
+      in.addData(Seq.fill(9)("surge").mkString(" ") + " x4 x5 x6")
+      query.processAllAvailable()
+      // latest summary row per bucket = the materialized sink table a
+      // dashboard reads
+      val summaries = spark.table("trending_m")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+            .orderBy(col("n_arrivals").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      val guaranteed = TrendingTokens.guaranteedTrending(summaries, K).collect()
+      // soundness: every guaranteed row's true count clears its bucket
+      // threshold (lower bound <= truth, so lb*k > N implies true*k > N)
+      val trueCounts = Map("surge" -> 21L) ++
+        (1 to 6).map(i => s"x$i" -> 1L).toMap
+      guaranteed.foreach { r =>
+        val (tok, lb, n) = (r.getString(2), r.getLong(3), r.getLong(1))
+        assert(lb <= trueCounts(tok), s"lower bound above truth for $tok")
+        assert(trueCounts(tok) * K > n, s"false positive $tok")
+      }
+      // the dominant token IS guaranteed (its lb clears even after MG
+      // undercount: 21 arrivals, bucket N <= 27, band N/k)
+      assert(guaranteed.exists(_.getString(2) == "surge"),
+        "dominant token not in the guaranteed tier")
+      // presence guarantee feeding the recount: every true heavy hitter
+      // is among the summary candidates (merged-guarantee half the
+      // exact recount relies on)
+      val candTokens = summaries
+        .select(explode(col("tokens")).as("t")).as[String].collect().toSet
+      assert(candTokens.contains("surge"))
+    } finally query.stop()
+  }
 }
