@@ -399,6 +399,13 @@ object ScaleProbe {
           graft.similarity.PqAnn.knnPqRerankOn(spark.read.parquet(embPath),
             queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
             tier = graft.similarity.PqAnn.K256))
+      // IVF-ADC: routing prunes the ADC scan to nprobe/C of the corpus;
+      // train/encode stay the corpus-level linear pass
+      if (wanted("knn_ivf_pq"))
+        time(spark, copies, "knn_ivf_pq")(
+          graft.similarity.PqAnn.knnIvfPqOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
+            tier = graft.similarity.PqAnn.K256))
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))

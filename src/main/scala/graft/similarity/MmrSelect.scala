@@ -20,9 +20,19 @@ import org.apache.spark.sql.functions._
   * smaller vec_id. The seed is the max-relevance candidate with a
   * max_sim of 0 by convention.
   *
+  * Two pool sources, same greedy:
+  *  - `mmr_select`: the fixed `vec_id % 10` rule standing in for a
+  *    retrieval stage's top-C (the original oracle entry);
+  *  - `mmr_select_ann` (round 9): the REAL composition the scaladoc
+  *    always promised — the pool is [[Quantize]]'s stage-1 int8
+  *    shortlist (top-40 by quantized cosine for the query), so the
+  *    operator chain is retrieve → diversify exactly as a production
+  *    demo-selection pipeline runs it. Oracle-checked end-to-end: the
+  *    DuckDB oracle rebuilds the int8 shortlist, then unrolls the same
+  *    greedy over it.
+  *
   * Scale (100 TB): MMR is a RERANKER — the candidate pool is the output
-  * of a retrieval stage (here the fixed `vec_id % 10` rule standing in
-  * for an ANN top-C), so |C| is bounded by construction and the
+  * of a retrieval stage, so |C| is bounded by construction and the
   * quadratic pair-similarity table is |C|² over broadcast-sized frames,
   * never corpus². Each greedy step is one keyed aggregate over ≤ |C|
   * rows; the k-step chain stays lazy with per-step localCheckpoints
@@ -45,17 +55,44 @@ object MmrSelect {
   /** Selections. */
   private val K = 10
 
+  /** ANN pool width for the composed variant ([[Quantize]] shortlist). */
+  private val AnnFetch = 40
+
   def mmrSelect(spark: SparkSession, dir: String): DataFrame =
     mmrSelectOn(Tables.embeddings(spark, dir))
 
+  def mmrSelectAnn(spark: SparkSession, dir: String): DataFrame =
+    mmrSelectAnnOn(Tables.embeddings(spark, dir))
+
   private[graft] def mmrSelectOn(emb: DataFrame,
                                  poolMod: Long = PoolMod): DataFrame = {
-    val q = emb.select(col("vec_id"),
+    val q = quantized(emb)
+    greedy(q, q.filter(col("vec_id") % poolMod === 0 && col("vec_id") =!= QueryId))
+  }
+
+  /** The retrieve→diversify composition: pool = the int8 ANN shortlist
+    * for [[QueryId]] (top-[[AnnFetch]] by quantized cosine).
+    */
+  private[graft] def mmrSelectAnnOn(emb: DataFrame): DataFrame = {
+    val q = quantized(emb)
+    val pool = Quantize.int8ShortlistOn(emb, QueryId, AnnFetch)
+    greedy(q, q.join(broadcast(pool), "vec_id"))
+  }
+
+  /** vec_id → quantized integer components. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
         .as("qv"))
+
+  /** The exact-integer greedy over an arbitrary bounded pool (vec_id,
+    * qv rows). Pool membership is the ONLY thing the two registry
+    * variants change — a law the spec pins by feeding the ANN shortlist
+    * back through this entry point explicitly.
+    */
+  private def greedy(q: DataFrame, cand: DataFrame): DataFrame = {
     val query = q.filter(col("vec_id") === QueryId)
       .select(col("qv").as("qq"))
-    val cand = q.filter(col("vec_id") % poolMod === 0 && col("vec_id") =!= QueryId)
     val idot = "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0L, (a, b) -> a + b)"
     val rel = cand.crossJoin(broadcast(query))
       .select(col("vec_id"), col("qv"),
@@ -97,11 +134,12 @@ object MmrSelect {
   }
 
   /** The greedy unrolled into DuckDB CTEs (the [[KMeansExact]] oracle
-    * pattern): e0 explodes quantized components, rel/sim are the exact
-    * integer dots, u_r accumulates the selection one LIMIT-1 argmax CTE
-    * per step.
+    * pattern): e0 explodes quantized components of the pool ∪ query,
+    * rel/sim are the exact integer dots, u_r accumulates the selection
+    * one LIMIT-1 argmax CTE per step. `prefix` lets a pool-producing CTE
+    * chain precede e0; `e0Where` is the pool membership predicate.
     */
-  val mmrSelectSql: String = {
+  private def mmrSqlFrom(prefix: String, e0Where: String): String = {
     val steps = (2 to K).map { r =>
       s"""s$r AS MATERIALIZED (
          |  SELECT $r AS sel_rank, vec_id, rel, m AS max_sim, rel - m AS score
@@ -115,11 +153,11 @@ object MmrSelect {
          |u$r AS MATERIALIZED (
          |  SELECT * FROM u${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
+    s"""WITH $prefix e0 AS MATERIALIZED (
        |  SELECT vec_id, i,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
        |  FROM embeddings, generate_series(1, 64) AS g(i)
-       |  WHERE vec_id % $PoolMod = 0 OR vec_id = $QueryId),
+       |  WHERE $e0Where),
        |rel AS MATERIALIZED (
        |  SELECT a.vec_id, CAST(sum(a.q * b.q) AS BIGINT) AS rel
        |  FROM e0 a JOIN e0 b ON b.vec_id = $QueryId AND a.i = b.i
@@ -139,6 +177,42 @@ object MmrSelect {
        |FROM u$K ORDER BY sel_rank""".stripMargin
   }
 
+  val mmrSelectSql: String =
+    mmrSqlFrom("", s"vec_id % $PoolMod = 0 OR vec_id = $QueryId")
+
+  /** The composed oracle: rebuild [[Quantize]]'s int8 shortlist for the
+    * query (identical quantization + cosine + (score desc, id asc) cut
+    * as the `knn_quantized` oracle), then run the same greedy over it.
+    */
+  val mmrSelectAnnSql: String = {
+    val shortlist =
+      s"""qe AS MATERIALIZED (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         list_reduce(list_transform(embedding::DOUBLE[], x -> abs(x)), (a, b) -> greatest(a, b)) AS max_abs
+         |  FROM embeddings),
+         |qn AS MATERIALIZED (
+         |  SELECT vec_id, q,
+         |         list_reduce(list_transform(list_zip(q, q), p -> p[1] * p[2]), (qa, qb) -> qa + qb) AS in2
+         |  FROM (
+         |    SELECT vec_id,
+         |           CASE WHEN max_abs = 0 THEN list_transform(v, x -> 0::BIGINT)
+         |                ELSE list_transform(v, x -> CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT)) END AS q
+         |    FROM qe)),
+         |short AS MATERIALIZED (
+         |  SELECT vec_id FROM (
+         |    SELECT qb.vec_id,
+         |           row_number() OVER (ORDER BY
+         |             CAST(list_reduce(list_transform(list_zip(qa.q, qb.q), p -> p[1] * p[2]),
+         |                              (acc, x) -> acc + x) AS DOUBLE)
+         |               / sqrt(CAST(qa.in2 AS DOUBLE) * CAST(qb.in2 AS DOUBLE)) DESC,
+         |             qb.vec_id ASC) AS rn
+         |    FROM qn qa JOIN qn qb ON qa.vec_id = $QueryId AND qb.vec_id <> $QueryId)
+         |  WHERE rn <= $AnnFetch),""".stripMargin
+    mmrSqlFrom(shortlist + "\n",
+      s"vec_id = $QueryId OR vec_id IN (SELECT vec_id FROM short)")
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "mmr_select" -> (mmrSelect _, mmrSelectSql))
+    "mmr_select" -> (mmrSelect _, mmrSelectSql),
+    "mmr_select_ann" -> (mmrSelectAnn _, mmrSelectAnnSql))
 }

@@ -110,6 +110,21 @@ object PqAnn {
     * table build shared by the pure-ADC ranking and the rerank variant.
     */
   private def pqScored(emb: DataFrame, queryPred: Column, tier: Tier): DataFrame = {
+    val (enc, dtab) = pqEncode(emb, queryPred, tier)
+    // integer d2 < 2^53 casts to double exactly; (-d2 desc, id asc)
+    // through the bounded top-k agg == (d2 asc, id asc)
+    enc.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("d2"))
+  }
+
+  /** Train + encode + ADC tables: (enc = (vec_id, sub, code) codes for
+    * the whole corpus, dtab = (query_id, sub, code, dt) distance tables
+    * for the query batch) — the two frames every ADC consumer joins.
+    */
+  private def pqEncode(emb: DataFrame, queryPred: Column,
+      tier: Tier): (DataFrame, DataFrame) = {
     graft.GraftExtensions.register(emb.sparkSession)
     val subv = subVectors(emb, tier)
     // codebook init: seed sub-vectors, already at the fixed-point scale
@@ -142,17 +157,52 @@ object PqAnn {
     }
     val enc = assign(c).select(col("vec_id"), col("sub"), col("code"))
       .localCheckpoint(eager = false)
-    // ADC distance tables for the query subset, then ranked code sums
+    // ADC distance tables for the query subset
     val dtab = subv.filter(queryPred)
       .join(broadcast(c), Seq("sub"))
       .select(col("vec_id").as("query_id"), col("sub"), col("code"),
         expr("sq_dist_i64(qs, cv)").as("dt"))
-    // integer d2 < 2^53 casts to double exactly; (-d2 desc, id asc)
-    // through the bounded top-k agg == (d2 asc, id asc)
-    enc.join(broadcast(dtab), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
+    (enc, dtab)
+  }
+
+  // ---- knn_ivf_pq: the IVF-ADC composition -----------------------------
+  /** IVF routing × ADC scanning — the billion-vector composition this
+    * object's scaladoc promises: [[Similarity.ivfMembersOn]] routes each
+    * query to its nprobe coarse buckets (cosine to the fixed modular
+    * centroid set, the oracle-checked `knn_ivf` routing verbatim), and
+    * ONLY the bucket members are ranked by the PQ code sums. Scan cost
+    * per query drops from N·M table adds to (nprobe/C)·N·M — the IVF
+    * factor — while training/encode stay the corpus-level one-time pass.
+    *
+    * Recall composes multiplicatively: misses are routing misses
+    * (`knn_ivf`'s 0.925 on this geometry) times shortlist misses (the
+    * K=256 ADC tier) — production tunes nprobe and code bits
+    * independently. Output is ADC-ranked (query_id, rank, vec_id, d2),
+    * the `knn_pq` contract on the routed subset; the oracle replays both
+    * stages bit-for-bit ([[Similarity.ivfMembersSqlPrefix]] +
+    * the PQ CTE chain restricted to members).
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqOn(Tables.embeddings(spark, dir))
+
+  private[graft] def knnIvfPqOn(emb: DataFrame,
+      queryPred: Column = col("vec_id") % QueryMod === 0,
+      tier: Tier = K256): DataFrame = {
+    val (enc, dtab) = pqEncode(emb, queryPred, tier)
+    val members = Similarity.ivfMembersOn(emb)
+    // members is |queries|·(nprobe·N/C) — query-batch-bounded, broadcast
+    // into the code stream so only routed (query, vector) pairs score
+    enc.join(broadcast(members), "vec_id")
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dt")).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("d2"))
+      .orderBy("query_id", "rank")
   }
 
   // ---- knn_pq_rerank: the production pairing ---------------------------
@@ -208,7 +258,7 @@ object PqAnn {
     * c0 seed constants (K never appears structurally, so the K=256
     * oracle is the same template).
     */
-  private def pqPrefixSql(tier: Tier): String = {
+  private def pqCoreSql(tier: Tier): String = {
     val rounds = (1 to Rounds).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT e0.vec_id, e0.sub, c.code,
@@ -228,7 +278,7 @@ object PqAnn {
          |        FROM a$r a JOIN e0 ON a.vec_id = e0.vec_id AND a.sub = e0.sub
          |        GROUP BY 1, 2, 3))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
+    s"""e0 AS MATERIALIZED (
        |  SELECT vec_id, (i - 1) // ${tier.d} AS sub, (i - 1) % ${tier.d} AS j,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
        |  FROM embeddings, generate_series(1, $Dim) AS g(i)),
@@ -251,13 +301,17 @@ object PqAnn {
        |         CAST(sum(($CScale * e0.q - c.ci) * ($CScale * e0.q - c.ci)) AS BIGINT) AS dt
        |  FROM e0 JOIN c$Rounds c ON e0.sub = c.sub AND e0.j = c.j
        |  WHERE e0.vec_id % $QueryMod = 0
-       |  GROUP BY 1, 2, 3),
+       |  GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** Full prefix through the unrestricted ADC `scored` CTE. */
+  private def pqPrefixSql(tier: Tier): String =
+    s"""WITH ${pqCoreSql(tier)},
        |scored AS MATERIALIZED (
        |  SELECT t.query_id, a.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
        |  FROM aenc a JOIN dtab t ON a.sub = t.sub AND a.code = t.code
        |  WHERE a.vec_id <> t.query_id
        |  GROUP BY 1, 2)""".stripMargin
-  }
 
   private def knnPqSqlFor(tier: Tier): String =
     s"""${pqPrefixSql(tier)}
@@ -288,6 +342,22 @@ object PqAnn {
        |  FROM exact) WHERE rn <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  /** IVF routing CTEs + PQ CTEs, `scored` restricted to routed members. */
+  val knnIvfPqSql: String =
+    s"""${Similarity.ivfMembersSqlPrefix},
+       |${pqCoreSql(K256)},
+       |scored AS MATERIALIZED (
+       |  SELECT m.query_id, m.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
+       |  FROM members m
+       |  JOIN aenc a ON a.vec_id = m.vec_id
+       |  JOIN dtab t ON t.query_id = m.query_id AND t.sub = a.sub AND t.code = a.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
+       |  SELECT query_id, vec_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |  FROM scored) WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val knnPqSql: String          = knnPqSqlFor(K16)
   val knnPqRerankSql: String    = knnPqRerankSqlFor(K16)
   val knnPq256Sql: String       = knnPqSqlFor(K256)
@@ -297,5 +367,6 @@ object PqAnn {
     "knn_pq" -> (knnPq _, knnPqSql),
     "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql),
     "knn_pq256" -> (knnPq256 _, knnPq256Sql),
-    "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql))
+    "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql),
+    "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql))
 }

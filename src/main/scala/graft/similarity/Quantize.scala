@@ -98,16 +98,15 @@ object Quantize {
   def knnQuantized(spark: SparkSession, dir: String): DataFrame =
     knnQuantizedOn(Tables.embeddings(spark, dir))
 
-  def knnQuantizedOn(raw: DataFrame): DataFrame = {
+  /** The int8 tier: vec_id, q (array<tinyint>), integer squared norm.
+    * The transform(array(fold), m -> …)[0] idiom binds max|v| ONCE per
+    * row — naming it via withColumn would let CollapseProject re-inline
+    * the whole fold into the per-element lambda (64× re-evaluation).
+    */
+  private def int8On(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     graft.GraftExtensions.register(spark)
-    import org.apache.spark.sql.functions.broadcast
-
-    // int8 tier: vec_id, q (array<tinyint>), integer squared norm.
-    // The transform(array(fold), m -> …)[0] idiom binds max|v| ONCE per
-    // row — naming it via withColumn would let CollapseProject re-inline
-    // the whole fold into the per-element lambda (64× re-evaluation).
-    val q8 = raw
+    raw
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("q", expr(
@@ -119,7 +118,33 @@ object Quantize {
           |  END)[0]""".stripMargin))
       .withColumn("in2", expr("vec_dot_i8(q, q)"))
       .select(col("vec_id"), col("q"), col("in2"))
+  }
 
+  /** Stage-1 int8 approx shortlist for ONE query: the top-`fetch`
+    * neighbor ids by quantized cosine (score desc, id asc — the
+    * `topk_by_score` order). This is the ANN retrieval stage other
+    * rerankers compose over — [[MmrSelect]] feeds its diverse-selection
+    * greedy from exactly this frame.
+    */
+  private[graft] def int8ShortlistOn(raw: DataFrame, queryId: Long,
+      fetch: Int): DataFrame = {
+    val q8 = int8On(raw)
+    val qq = q8.filter(col("vec_id") === queryId)
+      .select(col("q").as("qa"), col("in2").as("qin2"))
+    q8.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qq))
+      .withColumn("ascore",
+        expr("vec_dot_i8(qa, q)").cast("double")
+          / sqrt(col("qin2").cast("double") * col("in2").cast("double")))
+      .agg(expr(s"topk_by_score(ascore, vec_id, $fetch)").as("top"))
+      .select(explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+  }
+
+  def knnQuantizedOn(raw: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(raw.sparkSession)
+    import org.apache.spark.sql.functions.broadcast
+
+    val q8 = int8On(raw)
     val qq = q8.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("in2").as("qin2"))
     val cand = q8.withColumnRenamed("q", "qb")

@@ -128,7 +128,21 @@ object Similarity {
   def knnIvfTrainedOn(e: DataFrame, seeds: DataFrame, iters: Int = 3): DataFrame =
     knnIvfWith(e, kmeansCentroids(e, seeds, iters))
 
-  def knnIvfWith(e: DataFrame, c: DataFrame): DataFrame = {
+  /** The default oracle-checked centroid set: the fixed modular
+    * subsample (constant C at every scale, same contract as the PQ
+    * seeds).
+    */
+  private[graft] def ivfDefaultCentroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
+
+  /** The IVF ROUTING stage alone: (query_id, vec_id) member pairs of the
+    * nprobe probed buckets per query, query itself excluded. This is the
+    * composition point other scorers plug into — `knn_ivf` scores these
+    * members with exact cosine, `knn_ivf_pq` ([[PqAnn]]) with ADC code
+    * sums.
+    */
+  private[graft] def ivfMembers(e: DataFrame, c: DataFrame): DataFrame = {
     // assignment: nearest centroid per vector (argmax cosine, tie → min
     // id), as a PARTIAL-AGGREGABLE min_by over struct(-cos, id) — one row
     // per vector per map task crosses the shuffle, vs a row_number window
@@ -158,9 +172,23 @@ object Similarity {
       .select(col("query_id"), col("centroid_id"))
 
     // search only the probed buckets
-    val members = probes.join(assign, "centroid_id")
+    probes.join(assign, "centroid_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
+  }
+
+  /** [[ivfMembers]] with the default centroids off a raw embeddings
+    * table — the entry [[PqAnn.knnIvfPqOn]] composes over.
+    */
+  private[graft] def ivfMembersOn(raw: DataFrame): DataFrame = {
+    val e = withNorms(raw)
+    ivfMembers(e, ivfDefaultCentroids(e))
+  }
+
+  def knnIvfWith(e: DataFrame, c: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val members = ivfMembers(e, c)
     val scored = members
       .join(e.select(col("vec_id"), col("v").as("vb"), col("n2").as("bn2")), "vec_id")
       .join(broadcast(q.select(col("query_id"), col("va"), col("qn2"))), "query_id")
@@ -171,7 +199,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  val knnIvfSql: String =
+  /** The routing stage's oracle CTE chain (e → centroids → assign →
+    * probes → members) — shared verbatim by `knn_ivf` and the IVF-ADC
+    * composition ([[PqAnn.knnIvfPqSql]]), so the two oracles route
+    * identically by construction.
+    */
+  private[graft] val ivfMembersSqlPrefix: String =
     s"""$EmbCte,
        |c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $CentroidMod = 0),
        |assign AS (
@@ -190,7 +223,10 @@ object Similarity {
        |members AS (
        |  SELECT p.query_id, a.vec_id
        |  FROM probes p JOIN assign a USING (centroid_id)
-       |  WHERE p.query_id <> a.vec_id),
+       |  WHERE p.query_id <> a.vec_id)""".stripMargin
+
+  val knnIvfSql: String =
+    s"""$ivfMembersSqlPrefix,
        |scored AS (
        |  SELECT m.query_id, m.vec_id AS neighbor_id,
        |         ${cosSql("q.qv", "e.v", "q.qn2", "e.n2")} AS cosine

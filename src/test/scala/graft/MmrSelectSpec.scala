@@ -26,4 +26,34 @@ class MmrSelectSpec extends SparkSpec {
       assert(s == rel - m, s"rank $r score identity broken")
     }
   }
+
+  test("retrieve→diversify composition: the ANN variant picks only shortlist members and keeps the greedy invariants") {
+    val emb = Tables.embeddings(spark, dir)
+    // the stage-1 int8 shortlist the composed operator promises to use
+    val pool = graft.similarity.Quantize
+      .int8ShortlistOn(emb, queryId = 0L, fetch = 40)
+      .as[Long].collect().toSet
+    assert(pool.size == 40, s"shortlist size ${pool.size}")
+    val rows = MmrSelect.mmrSelectAnn(spark, dir)
+      .select("sel_rank", "vec_id", "rel", "max_sim", "score")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 10)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(rows.map(_._2).distinct.length == 10)
+    // every pick is a shortlist member — the pool really is the ANN stage
+    rows.foreach { case (r, id, _, _, _) =>
+      assert(pool.contains(id), s"rank $r picked $id outside the ANN shortlist")
+    }
+    // same greedy: seed is the pool's max-relevance row, score identity
+    val seed = rows.head
+    assert(seed._4 == 0L)
+    assert(rows.forall(_._3 <= seed._3))
+    rows.tail.foreach { case (r, _, rel, m, s) =>
+      assert(s == rel - m, s"rank $r score identity broken")
+    }
+    // redundancy penalty is ACTIVE: after the seed, max_sim is the
+    // similarity to an actual prior pick, so it must be positive
+    // somewhere on a shortlist of mutually-near vectors
+    assert(rows.tail.exists(_._4 != 0L), "no pick ever paid a redundancy penalty")
+  }
 }

@@ -20,6 +20,12 @@ class PlanLawsSpec extends SparkSpec {
     "movers", "movers_join", "bars_summary", "ticks_summary",
     "ticks_gapfill", "user_churn",
     "knn_brute", "knn_ivf", "knn_lsh", "knn_lsh_mp", "knn_quantized",
+    // IVF routing's broadcast centroid cross-score + the ADC tier's
+    // broadcast query anchors — constant-size build sides at any scale
+    "knn_ivf_pq",
+    // the ANN-pool MMR composition: int8 shortlist query anchor + the
+    // same pool-bounded pair join as mmr_select
+    "mmr_select_ann",
     "dedup_embedding", "dedup_embedding_lsh", "sim_pairs_topk",
     "table_profile_approx", "corpus_mix", "embedding_quantize",
     "decontam", "source_profile", "lm_quality", "tfidf_topk",
@@ -116,6 +122,50 @@ class PlanLawsSpec extends SparkSpec {
     // count operator-detail headers: the tree section repeats each name
     val n = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plans("spike_ticks")).length
     assert(n == 1, s"spike_ticks has $n nested-loop joins; expected only the stats anchor")
+  }
+
+  test("rank machinery: row_number windows are partitioned; unpartitioned windows only ride pre-aggregated frames") {
+    // The two-level prefix sum's whole point is that no corpus-sized
+    // frame ever flows through a single-partition window. A future
+    // "simplification" back to a global row_number() would surface here
+    // as an unpartitioned rank window.
+    Seq("training_order", "length_batches").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$q: rank machinery lost its windows entirely")
+      wins.foreach { w =>
+        val isRank = w.windowExpression.exists(_.sql.contains("row_number"))
+        if (isRank)
+          assert(w.partitionSpec.nonEmpty, s"$q: GLOBAL row_number window")
+        if (w.partitionSpec.isEmpty)
+          // the only unpartitioned window allowed is the offsets cum-sum
+          // over the 2^GrpBits-row group-count aggregate — never a frame
+          // that still carries doc_id
+          assert(!w.child.output.exists(_.name == "doc_id"),
+            s"$q: unpartitioned window over a corpus-sized frame")
+      }
+    }
+  }
+
+  test("rank machinery: one presentation-sort range exchange, corpus never crosses a SinglePartition exchange") {
+    // Exchange budget (formatted plan at sf0.001): the only
+    // rangepartitioning is the final ORDER BY; SinglePartition appears
+    // at most once (training_order's 64-row offsets window input) and
+    // never for length_batches; hash exchanges stay at the designed
+    // count (group-count agg + rank window [+ cell agg + batch agg]).
+    def kinds(q: String): Map[String, Int] =
+      "Arguments: (hashpartitioning|rangepartitioning|SinglePartition)".r
+        .findAllMatchIn(plans(q)).toSeq.groupBy(_.group(1)).map { case (k, v) => k -> v.size }
+    val to = kinds("training_order")
+    assert(to.getOrElse("rangepartitioning", 0) == 1, s"training_order: $to")
+    assert(to.getOrElse("SinglePartition", 0) <= 1, s"training_order: $to")
+    assert(to.getOrElse("hashpartitioning", 0) <= 2, s"training_order: $to")
+    val lb = kinds("length_batches")
+    assert(lb.getOrElse("rangepartitioning", 0) == 1, s"length_batches: $lb")
+    assert(lb.getOrElse("SinglePartition", 0) == 0, s"length_batches: $lb")
+    assert(lb.getOrElse("hashpartitioning", 0) <= 4, s"length_batches: $lb")
   }
 
   test("source_profile keeps its curation sets on broadcast joins") {

@@ -46,4 +46,25 @@ class PqAnnSpec extends SparkSpec {
     }
     assert(adc.nonEmpty)
   }
+
+  test("IVF-ADC composition: every neighbor lies in a probed bucket; scores agree with the unrestricted ADC scan") {
+    val emb = Tables.embeddings(spark, dir)
+    val members = graft.similarity.Similarity.ivfMembersOn(emb)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = PqAnn.knnIvfPqOn(emb)
+      .select("query_id", "rank", "vec_id", "d2").as[(Long, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // routing law: the ADC scan never leaves the probed buckets
+    rows.foreach { case (q, r, id, _) =>
+      assert(members.contains((q, id)), s"query $q rank $r scored $id outside its probed buckets")
+    }
+    // score law: on routed pairs the composed d2 IS the tier's ADC d2 —
+    // routing restricts, never rescores
+    val adc = PqAnn.knnPqOn(emb, tier = PqAnn.K256)
+      .select("query_id", "vec_id", "d2").as[(Long, Long, Long)].collect()
+      .map { case (q, id, d) => (q, id) -> d }.toMap
+    rows.foreach { case (q, _, id, d2) =>
+      adc.get((q, id)).foreach(d => assert(d == d2, s"($q,$id) rescored: $d vs $d2"))
+    }
+  }
 }
