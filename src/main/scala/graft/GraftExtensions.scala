@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
+import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, PqArgminCode, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -57,6 +57,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot_i8 takes exactly 2 arguments")
         VecDotI8(children.head, children(1))
+      }),
+    (FunctionIdentifier("pq_argmin_code"),
+      new ExpressionInfo(classOf[PqArgminCode].getName, "pq_argmin_code"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "pq_argmin_code takes exactly 2 arguments")
+        PqArgminCode(children.head, children(1))
       }),
     (FunctionIdentifier("sq_dist_i64"),
       new ExpressionInfo(classOf[SqDistI64].getName, "sq_dist_i64"),

@@ -130,29 +130,39 @@ object PqAnn {
     // codebook init: seed sub-vectors, already at the fixed-point scale
     var c = subv.filter(col("vec_id") % tier.seedMod === 0 && col("vec_id") < tier.seedMax)
       .select(col("sub"), col("vec_id").as("code"), col("qs").as("cv"))
-    def assign(cb: DataFrame): DataFrame =
-      subv.join(broadcast(cb), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"),
-          expr("sq_dist_i64(qs, cv)").as("d2"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(struct(col("code"), col("d2")), struct(col("d2"), col("code"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.code").as("code"),
-          col("m.d2").as("d2"))
+    // assignment: the K·d argmin loop runs INSIDE the projection over
+    // the N·M sub-vector rows via the codegen'd pq_argmin_code — the
+    // codebook packs to ONE row per subspace (sorted by code, so the
+    // strict-< loop reproduces the oracle's (d2, code) tie-break) and
+    // rides an M-row broadcast. Zero extra rows, no aggregate, no
+    // shuffle — vs the join+min_by spelling that materialized N·M·K
+    // rows per Lloyd pass (measured 3× the wall at the 2k tier, and the
+    // whole 150 s at the 100× probe).
+    def assign(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy(col("sub"))
+        .agg(collect_list(struct(col("code"), col("cv"))).as("l"))
+        .select(col("sub"), expr("array_sort(l)").as("cbm"))
+      subv.join(broadcast(packed), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          expr("pq_argmin_code(qs, cbm)").as("code"))
+    }
     for (_ <- 1 to Rounds) {
       val a = assign(c)
       // centroid update on the scaled components: Σqs = CScale·Σq, so
       // floor(CScale·Σq / n) = (Σqs − pmod(Σqs, n)) div n — bit-identical
-      // to the oracle's (CScale·s − pmod(CScale·s, n)) // n
+      // to the oracle's (CScale·s − pmod(CScale·s, n)) // n. The
+      // element-wise sum rides ONE vec_sum typed aggregate (partial-
+      // aggregable, O(d) state per group) — its double accumulator is
+      // exact here because every partial sum of the integer components
+      // stays far below 2⁵³ (|qs| ≤ CScale·QScale·‖x‖∞ ≈ 2.6e5 per
+      // element, so even 10⁹ members per centroid keep sums < 2⁴⁸).
       c = a.join(subv, Seq("vec_id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("qs")).as(Seq("j", "qsj")))
-        .groupBy(col("sub"), col("code"), col("j"))
-        .agg(sum(col("qsj")).as("s"), count(lit(1)).as("n"))
-        .select(col("sub"), col("code"), col("j"),
-          expr("(s - pmod(s, n)) div n").as("ci"))
         .groupBy(col("sub"), col("code"))
-        .agg(collect_list(struct(col("j"), col("ci"))).as("l"))
+        .agg(expr("vec_sum(cast(qs as array<double>))").as("sv"),
+          count(lit(1)).as("n"))
         .select(col("sub"), col("code"),
-          expr("transform(array_sort(l), t -> t.ci)").as("cv"))
+          expr("transform(sv, x -> (cast(x as bigint) - pmod(cast(x as bigint), n)) div n)")
+            .as("cv"))
         .localCheckpoint(eager = false)
     }
     val enc = assign(c).select(col("vec_id"), col("sub"), col("code"))
