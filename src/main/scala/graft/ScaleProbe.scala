@@ -220,6 +220,14 @@ object ScaleProbe {
         time(spark, copies, "span_removal_clean")(
           graft.analytics.TextAnalytics.spanRemovalCleanOn(docs)
             .filter(length(col("clean_text")) >= 0))
+      // line_dedup: the df count shuffles (line, doc) pairs once; the
+      // removal side is a broadcast anti-probe, so wall should track the
+      // segment stream linearly. The materialization guard mirrors
+      // span_removal_clean (count() would prune the re-stitch).
+      if (wanted("line_dedup"))
+        time(spark, copies, "line_dedup")(
+          graft.analytics.TextAnalytics.lineDedupOn(docs)
+            .filter(length(col("clean_text")) >= 0))
       if (wanted("lm_quality"))
         time(spark, copies, "lm_quality")(
           graft.analytics.TextAnalytics.lmQualityOn(docs))
@@ -406,6 +414,19 @@ object ScaleProbe {
           graft.similarity.PqAnn.knnIvfPqOn(spark.read.parquet(embPath),
             queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
             tier = graft.similarity.PqAnn.K256))
+      // sqrt-rule IVF-ADC: same ADC scan, coarse C = Θ(√N) instead of
+      // N/50 — the assignment stream drops from N²/50 to N^1.5 (at
+      // 100×: 200k·446 ≈ 89M cosine rows vs 800M). The arm that prices
+      // the production centroid rule directly against the modular one.
+      if (wanted("knn_ivf_pq_sqrt"))
+        time(spark, copies, "knn_ivf_pq_sqrt")(
+          graft.similarity.PqAnn.knnIvfPqOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
+            tier = graft.similarity.PqAnn.K256,
+            membersOf = Similarity.ivfMembersSqrtOn))
+      if (wanted("knn_ivf_sqrt"))
+        time(spark, copies, "knn_ivf_sqrt")(
+          Similarity.knnIvfSqrtOn(Similarity.withNorms(spark.read.parquet(embPath))))
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))

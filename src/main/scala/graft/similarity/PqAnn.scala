@@ -195,11 +195,22 @@ object PqAnn {
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqOn(Tables.embeddings(spark, dir))
 
+  /** [[knnIvfPq]] with the √N coarse-centroid rule
+    * ([[Similarity.sqrtCentroids]]): same ADC scan, but the coarse
+    * assignment stream is N·C = N^1.5 instead of the modular rule's
+    * N²/50 — the composition that actually survives a 100× corpus
+    * (ScaleProbe measures the cut directly).
+    */
+  def knnIvfPqSqrt(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqOn(Tables.embeddings(spark, dir),
+      membersOf = Similarity.ivfMembersSqrtOn)
+
   private[graft] def knnIvfPqOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
-      tier: Tier = K256): DataFrame = {
+      tier: Tier = K256,
+      membersOf: DataFrame => DataFrame = Similarity.ivfMembersOn): DataFrame = {
     val (enc, dtab) = pqEncode(emb, queryPred, tier)
-    val members = Similarity.ivfMembersOn(emb)
+    val members = membersOf(emb)
     // members is |queries|·(nprobe·N/C) — query-batch-bounded, broadcast
     // into the code stream so only routed (query, vector) pairs score
     enc.join(broadcast(members), "vec_id")
@@ -353,8 +364,8 @@ object PqAnn {
        |ORDER BY query_id, rank""".stripMargin
 
   /** IVF routing CTEs + PQ CTEs, `scored` restricted to routed members. */
-  val knnIvfPqSql: String =
-    s"""${Similarity.ivfMembersSqlPrefix},
+  private def knnIvfPqSqlWith(routingPrefix: String): String =
+    s"""$routingPrefix,
        |${pqCoreSql(K256)},
        |scored AS MATERIALIZED (
        |  SELECT m.query_id, m.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
@@ -368,6 +379,9 @@ object PqAnn {
        |  FROM scored) WHERE rn <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  val knnIvfPqSql: String = knnIvfPqSqlWith(Similarity.ivfMembersSqlPrefix)
+  val knnIvfPqSqrtSql: String = knnIvfPqSqlWith(Similarity.ivfMembersSqrtSqlPrefix)
+
   val knnPqSql: String          = knnPqSqlFor(K16)
   val knnPqRerankSql: String    = knnPqRerankSqlFor(K16)
   val knnPq256Sql: String       = knnPqSqlFor(K256)
@@ -378,5 +392,6 @@ object PqAnn {
     "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql),
     "knn_pq256" -> (knnPq256 _, knnPq256Sql),
     "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql),
-    "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql))
+    "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql),
+    "knn_ivf_pq_sqrt" -> (knnIvfPqSqrt _, knnIvfPqSqrtSql))
 }

@@ -136,6 +136,45 @@ object Similarity {
     e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
 
+  /** √N-rule centroid set — the production answer to the fixed modular
+    * rule's scale flaw. `vec_id % CentroidMod == 0` makes C grow LINEARLY
+    * with N, so the coarse assignment's N·C cosine stream turns quadratic
+    * (measured: 800M assignment rows at the 100× probe, PLANS.md). The
+    * classic IVF sizing rule is C ∝ √N, which balances assignment cost
+    * (N·C = N^1.5) against bucket size (N/C = √N members scanned per
+    * probe) — the knee of total cost for a fixed nprobe.
+    *
+    * The modulus is derived from the data IN-PLAN (no driver-side
+    * collect): m = the smallest power of two with m² ≥ N, so
+    * C = |{id : id % m == 0}| ≈ N/m ∈ (√N/2, √N]. Exact integer
+    * arithmetic end-to-end — the oracle reproduces m from its own
+    * count(*) and the centroid sets agree bit-for-bit (contrast
+    * [[knnIvfTrainedOn]], whose float Lloyd averages are deliberately
+    * NOT oracle-checkable).
+    */
+  private[graft] def sqrtCentroids(e: DataFrame): DataFrame = {
+    val md = e.agg(count(lit(1)).as("n"))
+      .select(expr(
+        "filter(transform(sequence(0, 31), i -> shiftleft(CAST(1 AS BIGINT), i)), m -> m * m >= n)[0]")
+        .as("m"))
+    e.crossJoin(broadcast(md))
+      .filter(col("vec_id") % col("m") === 0)
+      .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
+  }
+
+  // ---- knn_ivf_sqrt: IVF with the √N centroid rule ---------------------
+  /** [[knnIvf]] with [[sqrtCentroids]] — identical routing/scoring
+    * machinery, C scaling as √N instead of N/50. At sf0.01 (N=500) the
+    * rule lands m=32 ⇒ C=16 (vs knn_ivf's 10), so the two operators are
+    * deliberately comparable at test scale while diverging at 100×
+    * (C=391 modular vs C≈N/512 sqrt — a 10× cut of the assignment
+    * stream, measured in ScaleProbe).
+    */
+  def knnIvfSqrt(spark: SparkSession, dir: String): DataFrame =
+    knnIvfSqrtOn(emb(spark, dir))
+
+  def knnIvfSqrtOn(e: DataFrame): DataFrame = knnIvfWith(e, sqrtCentroids(e))
+
   /** The IVF ROUTING stage alone: (query_id, vec_id) member pairs of the
     * nprobe probed buckets per query, query itself excluded. This is the
     * composition point other scorers plug into — `knn_ivf` scores these
@@ -185,6 +224,14 @@ object Similarity {
     ivfMembers(e, ivfDefaultCentroids(e))
   }
 
+  /** [[ivfMembersOn]] with the √N centroid rule — the routing stage
+    * [[PqAnn.knnIvfPqSqrt]] composes over.
+    */
+  private[graft] def ivfMembersSqrtOn(raw: DataFrame): DataFrame = {
+    val e = withNorms(raw)
+    ivfMembers(e, sqrtCentroids(e))
+  }
+
   def knnIvfWith(e: DataFrame, c: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
@@ -204,9 +251,25 @@ object Similarity {
     * composition ([[PqAnn.knnIvfPqSql]]), so the two oracles route
     * identically by construction.
     */
-  private[graft] val ivfMembersSqlPrefix: String =
+  private[graft] val ivfMembersSqlPrefix: String = ivfMembersSqlPrefixC(
+    s"c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $CentroidMod = 0)")
+
+  /** [[ivfMembersSqlPrefix]] with the sqrt-rule centroid set: the same
+    * routing chain, `c` defined by the data-derived modulus
+    * ([[sqrtCentroids]]'s integer rule, computed in-query so the oracle
+    * scales its own C).
+    */
+  private[graft] val ivfMembersSqrtSqlPrefix: String = ivfMembersSqlPrefixC(
+    s"""nv AS (SELECT count(*) AS n FROM e),
+       |md AS (SELECT min(CAST(1 AS BIGINT) << i) AS m
+       |       FROM generate_series(0, 31) AS t(i), nv
+       |       WHERE (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i) >= nv.n),
+       |c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM e, md
+       |      WHERE vec_id % md.m = 0)""".stripMargin)
+
+  private def ivfMembersSqlPrefixC(cCte: String): String =
     s"""$EmbCte,
-       |c AS (SELECT vec_id AS centroid_id, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $CentroidMod = 0),
+       |$cCte,
        |assign AS (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT e.vec_id, c.centroid_id,
@@ -225,15 +288,25 @@ object Similarity {
        |  FROM probes p JOIN assign a USING (centroid_id)
        |  WHERE p.query_id <> a.vec_id)""".stripMargin
 
-  val knnIvfSql: String =
-    s"""$ivfMembersSqlPrefix,
-       |scored AS (
+  /** Exact-cosine scoring + rank over a `members` CTE — the suffix both
+    * IVF oracles share.
+    */
+  private val ivfScoredSql: String =
+    s"""scored AS (
        |  SELECT m.query_id, m.vec_id AS neighbor_id,
        |         ${cosSql("q.qv", "e.v", "q.qn2", "e.n2")} AS cosine
        |  FROM members m JOIN e ON m.vec_id = e.vec_id JOIN q ON m.query_id = q.query_id)
        |SELECT query_id, neighbor_id, rank, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $TopK""".stripMargin
+
+  val knnIvfSql: String =
+    s"""$ivfMembersSqlPrefix,
+       |$ivfScoredSql""".stripMargin
+
+  val knnIvfSqrtSql: String =
+    s"""$ivfMembersSqrtSqlPrefix,
+       |$ivfScoredSql""".stripMargin
 
   // ---- exact unordered-pair stream: triangle block partitioning --------
   /** Exact all-pairs as an EQUI-join, not a nested loop: each vector is
@@ -979,6 +1052,7 @@ object Similarity {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_brute"       -> (knnBrute _, knnBruteSql),
     "knn_ivf"         -> (knnIvf _, knnIvfSql),
+    "knn_ivf_sqrt"    -> (knnIvfSqrt _, knnIvfSqrtSql),
     "knn_lsh"         -> (knnLsh _, knnLshSql),
     "knn_lsh_mp"      -> (knnLshMp _, knnLshMpSql),
     "sim_pairs_topk"  -> (simPairsTopk _, simPairsTopkSql),

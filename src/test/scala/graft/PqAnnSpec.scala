@@ -67,4 +67,19 @@ class PqAnnSpec extends SparkSpec {
       adc.get((q, id)).foreach(d => assert(d == d2, s"($q,$id) rescored: $d vs $d2"))
     }
   }
+
+  test("sqrt-rule IVF-ADC: neighbors only from the sqrt routing's probed buckets") {
+    val emb = Tables.embeddings(spark, dir)
+    val members = graft.similarity.Similarity.ivfMembersSqrtOn(emb)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = PqAnn.knnIvfPqSqrt(spark, dir)
+      .select("query_id", "rank", "vec_id", "d2").as[(Long, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, r, id, _) =>
+      assert(members.contains((q, id)), s"query $q rank $r scored $id outside its sqrt-probed buckets")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length) && rs.length <= 10, s"query $q ranks")
+    }
+  }
 }

@@ -59,6 +59,35 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.length == 40 && counts.forall(_.getLong(1) == 5))
   }
 
+  test("sqrt centroid rule: modulus is the smallest power of two with m^2 >= N") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def centroidIds(n: Long): Seq[Long] = {
+      val rows = (0L until n).map(i => (i, Array(i.toFloat, 1f, 0f, 0f)))
+      Similarity.sqrtCentroids(Similarity.withNorms(rows.toDF("vec_id", "embedding")))
+        .select(col("centroid_id")).as[Long].collect().sorted.toSeq
+    }
+    // N=5 → m=4 (2^2=4 < 5 ≤ 16=4^2); N=40 → m=8 (49 > 36); N=500 → m=32
+    assert(centroidIds(5) == Seq(0L, 4L))
+    assert(centroidIds(40) == (0L until 40L by 8L))
+    assert(centroidIds(500) == (0L until 500L by 32L))
+  }
+
+  test("knn_ivf_sqrt == knnIvfWith on the rule's explicit centroid set") {
+    val rnd  = new scala.util.Random(19)
+    val rows = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Similarity.withNorms(rows.toDF("vec_id", "embedding"))
+    val explicit = Similarity.knnIvfWith(e,
+        e.filter(col("vec_id") % 8 === 0)
+          .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val viaRule = Similarity.knnIvfSqrtOn(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(viaRule == explicit && viaRule.nonEmpty)
+  }
+
   test("sim_pairs_topk ranks the parallel pair first") {
     val top = Similarity.simPairsTopkOn(Similarity.withNorms(emb)).collect()
     assert((top(0).getLong(0), top(0).getLong(1)) == (0L, 1L))
