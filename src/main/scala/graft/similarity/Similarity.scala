@@ -169,6 +169,16 @@ object Similarity {
     * deliberately comparable at test scale while diverging at 100×
     * (C=391 modular vs C≈N/512 sqrt — a 10× cut of the assignment
     * stream, measured in ScaleProbe).
+    *
+    * Recall honesty (round-9 finding, [[graft.tools.IvfArtifactProbe]]):
+    * this variant measures 0.335 recall@10 at sf0.1 vs `knn_ivf`'s
+    * 0.925 — but the modular figure is largely a QUERY-AS-CENTROID
+    * artifact (every query id %100 is also a centroid id %50, so each
+    * query always probes its own Voronoi cell first; removing query ids
+    * from the modular set collapses it to 0.315). 0.335 is the honest
+    * nprobe=3 routing recall on near-isotropic geometry; production
+    * lifts it via nprobe, trained centroids ([[knnIvfTrainedOn]]), or
+    * the rerank tiers.
     */
   def knnIvfSqrt(spark: SparkSession, dir: String): DataFrame =
     knnIvfSqrtOn(emb(spark, dir))

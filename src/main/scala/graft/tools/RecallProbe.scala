@@ -75,7 +75,9 @@ object RecallProbe {
         "knn_pq_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K16)),
         "knn_pq256" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K256)),
         "knn_pq256_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K256)),
-        "knn_ivf_pq" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256)))
+        "knn_ivf_pq" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256)),
+        "knn_ivf_pq_sqrt" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256,
+          membersOf = graft.similarity.Similarity.ivfMembersSqrtOn)))
       variants.foreach { case (name, mk) =>
         val hits = mk().select(col("query_id"), col("vec_id"))
           .join(truth, Seq("query_id", "vec_id"), "left_semi").count()

@@ -22,7 +22,8 @@ class PlanLawsSpec extends SparkSpec {
     "knn_brute", "knn_ivf", "knn_lsh", "knn_lsh_mp", "knn_quantized",
     // IVF routing's broadcast centroid cross-score + the ADC tier's
     // broadcast query anchors — constant-size build sides at any scale
-    "knn_ivf_pq",
+    // (the sqrt-rule variants add only a broadcast 1-row modulus anchor)
+    "knn_ivf_pq", "knn_ivf_sqrt", "knn_ivf_pq_sqrt",
     // the ANN-pool MMR composition: int8 shortlist query anchor + the
     // same pool-bounded pair join as mmr_select
     "mmr_select_ann",
@@ -113,6 +114,17 @@ class PlanLawsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "keep_best lost its broadcast join")
     assert(!p.contains("SortMergeJoin"),
       "dedup_keep_best exchanges the corpus through a sort-merge join")
+  }
+
+  test("line_dedup removes boilerplate through a broadcast anti-join") {
+    // the df>=3 drop set is tiny by construction, so the segment stream
+    // must NEVER shuffle for the removal — a sort-merge anti join here
+    // would exchange every (line, doc) row at 100 TB
+    val p = plans("line_dedup")
+    assert("BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "line_dedup: boilerplate removal lost its broadcast anti-join")
+    assert(!"SortMergeJoin[^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "line_dedup: anti-join degraded to sort-merge (segment stream shuffles)")
   }
 
   test("spike_ticks' interval join stays bucketized: only the scalar anchor is a BNLJ") {
