@@ -183,7 +183,12 @@ object Similarity {
   def knnIvfSqrt(spark: SparkSession, dir: String): DataFrame =
     knnIvfSqrtOn(emb(spark, dir))
 
-  def knnIvfSqrtOn(e: DataFrame): DataFrame = knnIvfWith(e, sqrtCentroids(e))
+  /** @param nprobe probed buckets per query — the recall/scan-fraction
+    *   tuning axis (the registry entry pins the oracle-checked default;
+    *   [[graft.tools.IvfArtifactProbe]] measures the recall curve).
+    */
+  def knnIvfSqrtOn(e: DataFrame, nprobe: Int = NProbe): DataFrame =
+    knnIvfWith(e, sqrtCentroids(e), nprobe)
 
   /** The IVF ROUTING stage alone: (query_id, vec_id) member pairs of the
     * nprobe probed buckets per query, query itself excluded. This is the
@@ -191,7 +196,8 @@ object Similarity {
     * members with exact cosine, `knn_ivf_pq` ([[PqAnn]]) with ADC code
     * sums.
     */
-  private[graft] def ivfMembers(e: DataFrame, c: DataFrame): DataFrame = {
+  private[graft] def ivfMembers(e: DataFrame, c: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
     // assignment: nearest centroid per vector (argmax cosine, tie → min
     // id), as a PARTIAL-AGGREGABLE min_by over struct(-cos, id) — one row
     // per vector per map task crosses the shuffle, vs a row_number window
@@ -217,7 +223,7 @@ object Similarity {
       .withColumn("cos_c", expr(dotExpr) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
     val wp = Window.partitionBy("query_id").orderBy(col("cos_c").desc, col("centroid_id").asc)
     val probes = probeScored.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= NProbe)
+      .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("centroid_id"))
 
     // search only the probed buckets
@@ -242,10 +248,10 @@ object Similarity {
     ivfMembers(e, sqrtCentroids(e))
   }
 
-  def knnIvfWith(e: DataFrame, c: DataFrame): DataFrame = {
+  def knnIvfWith(e: DataFrame, c: DataFrame, nprobe: Int = NProbe): DataFrame = {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
-    val members = ivfMembers(e, c)
+    val members = ivfMembers(e, c, nprobe)
     val scored = members
       .join(e.select(col("vec_id"), col("v").as("vb"), col("n2").as("bn2")), "vec_id")
       .join(broadcast(q.select(col("query_id"), col("va"), col("qn2"))), "query_id")

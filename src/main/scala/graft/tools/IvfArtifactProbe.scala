@@ -46,7 +46,10 @@ object IvfArtifactProbe {
       .select(col("vec_id").as("centroid_id"), col("v").as("vb"), col("n2").as("cn2"))
     println(f"IVFARTIFACT op=knn_ivf(modular,queries-are-centroids) recall=${recall(Similarity.knnIvfOn(e))}%.3f")
     println(f"IVFARTIFACT op=knn_ivf(modular-minus-queries) recall=${recall(Similarity.knnIvfWith(e, cNoQueries))}%.3f")
-    println(f"IVFARTIFACT op=knn_ivf_sqrt recall=${recall(Similarity.knnIvfSqrtOn(e))}%.3f")
+    // the nprobe recall curve: the axis production actually tunes
+    Seq(3, 6, 12).foreach { np =>
+      println(f"IVFARTIFACT op=knn_ivf_sqrt nprobe=$np%d recall=${recall(Similarity.knnIvfSqrtOn(e, np))}%.3f")
+    }
     spark.stop()
   }
 }

@@ -88,6 +88,21 @@ class SimilaritySpec extends SparkSpec {
     assert(viaRule == explicit && viaRule.nonEmpty)
   }
 
+  test("nprobe axis: probed members are monotone supersets; recall never drops") {
+    val e = Similarity.withNorms(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    def neighbors(np: Int): Set[(Long, Long)] =
+      Similarity.knnIvfSqrtOn(e, np).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.knnBruteOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = Seq(1, 3, 6).map(np => (neighbors(np) & brute).size)
+    assert(rec == rec.sorted, s"recall not monotone in nprobe: $rec")
+    // widening nprobe can only ADD scanned candidates, so every exact
+    // top-10 hit at nprobe=1 must survive at nprobe=6
+    assert((neighbors(1) & brute).subsetOf(neighbors(6)))
+  }
+
   test("sim_pairs_topk ranks the parallel pair first") {
     val top = Similarity.simPairsTopkOn(Similarity.withNorms(emb)).collect()
     assert((top(0).getLong(0), top(0).getLong(1)) == (0L, 1L))
