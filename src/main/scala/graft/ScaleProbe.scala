@@ -228,6 +228,16 @@ object ScaleProbe {
         time(spark, copies, "line_dedup")(
           graft.analytics.TextAnalytics.lineDedupOn(docs)
             .filter(length(col("clean_text")) >= 0))
+      // token_budget_sample: same prefix-sum shape as training_order;
+      // output is budget-bounded (S sources × ≤400 tokens) so rows stay
+      // CONSTANT while the scanned corpus grows — the wall prices the
+      // token-count scan + one keyed shuffle
+      if (wanted("token_budget_sample"))
+        // bigDocs carries only (doc_id, text); derive the source key the
+        // way the base table does (20 sources, id-keyed)
+        time(spark, copies, "token_budget_sample")(
+          graft.analytics.TrainingPrep.tokenBudgetSampleOn(
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))))
       if (wanted("lm_quality"))
         time(spark, copies, "lm_quality")(
           graft.analytics.TextAnalytics.lmQualityOn(docs))

@@ -165,7 +165,79 @@ object TrainingPrep {
        |FROM r GROUP BY bucket, batch_id
        |ORDER BY bucket, batch_id""".stripMargin
 
+  // ---- token_budget_sample: per-source token-budget mixture sampling ---
+
+  /** Per-source token budget: the sampled prefix stops once a source's
+    * running token total reaches this. (A real mixture run sets one
+    * budget per source from the target mixture weights; a single
+    * constant keeps the oracle one query.)
+    */
+  private val TokenBudget = 400L
+
+  /** TOKEN-level mixture sampling: for each source, documents are
+    * ordered by the deterministic shuffle hash (hash60(text), doc_id)
+    * and kept while the source's RUNNING TOKEN TOTAL stays within
+    * [[TokenBudget]] — the "sample this source down to k tokens"
+    * primitive a pretraining mixture actually needs, where
+    * `corpus_mix` samples ROWS at a rate and `stratified_sample` takes
+    * a fixed DOC count. Because the cumulative sum is strictly
+    * increasing (every doc has ≥ 1 token), `filter(cum ≤ B)` IS the
+    * greedy take-while prefix; the doc that would overflow the budget
+    * and everything after it drop out.
+    *
+    * Determinism: the hash order is a replayable permutation (same
+    * `hash60` rule as [[trainingOrder]]) — any engine, any partitioning,
+    * any retry draws the same sample, which is what makes a mixture
+    * auditable; a `rand()` sample is none of these.
+    *
+    * Scale (100 TB): the running total rides the same two-level prefix
+    * sum as [[trainingOrder]] — hash-prefix groups cap every window
+    * partition at a (source, grp) cell, per-cell token subtotals
+    * cumulate in a S·2^[[GrpBits]]-row broadcast offsets table, and no
+    * per-source global window ever executes. One keyed shuffle, one
+    * tiny broadcast.
+    */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetSampleOn(Tables.documents(spark, dir))
+
+  def tokenBudgetSampleOn(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        hash60(col("text")).as("k"))
+      .withColumn("grp", shiftright(col("k"), 60 - GrpBits))
+    val offs = t.groupBy("source", "grp").agg(sum("n_tokens").as("c"))
+      .withColumn("goff", coalesce(sum("c").over(
+        Window.partitionBy("source").orderBy("grp")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "grp", "goff")
+    t.withColumn("run", sum("n_tokens").over(
+        Window.partitionBy("source", "grp").orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offs), Seq("source", "grp"))
+      .withColumn("cum_tokens", col("goff") + col("run"))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
+  val tokenBudgetSampleSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         ${hash60Sql("text")} AS k
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= $TokenBudget
+       |ORDER BY source, cum_tokens""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "training_order" -> (trainingOrder _, trainingOrderSql),
-    "length_batches" -> (lengthBatches _, lengthBatchesSql))
+    "length_batches" -> (lengthBatches _, lengthBatchesSql),
+    "token_budget_sample" -> (tokenBudgetSample _, tokenBudgetSampleSql))
 }

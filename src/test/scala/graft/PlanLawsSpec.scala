@@ -141,7 +141,7 @@ class PlanLawsSpec extends SparkSpec {
     // frame ever flows through a single-partition window. A future
     // "simplification" back to a global row_number() would surface here
     // as an unpartitioned rank window.
-    Seq("training_order", "length_batches").foreach { q =>
+    Seq("training_order", "length_batches", "token_budget_sample").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
       val wins = plan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -157,6 +157,13 @@ class PlanLawsSpec extends SparkSpec {
           // that still carries doc_id
           assert(!w.child.output.exists(_.name == "doc_id"),
             s"$q: unpartitioned window over a corpus-sized frame")
+        // token_budget_sample's naive regression partitions by source
+        // alone — still "partitioned", but each partition is a whole
+        // source's corpus slice. Any window over per-doc rows must carry
+        // the hash-prefix group key too.
+        if (q == "token_budget_sample" && w.child.output.exists(_.name == "doc_id"))
+          assert(w.partitionSpec.size >= 2,
+            s"$q: per-doc window partitioned by ${w.partitionSpec.map(_.sql)} — lost the grp key")
       }
     }
   }

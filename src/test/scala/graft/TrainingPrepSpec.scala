@@ -72,4 +72,38 @@ class TrainingPrepSpec extends SparkSpec {
     assert(bucketedWaste < streamWaste / 2,
       s"bucketed padding $bucketedWaste does not clearly beat stream padding $streamWaste")
   }
+
+  test("token_budget_sample: prefix-sum spelling equals the naive per-source window; prefix law holds") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFeatures.hash60
+    val docs = Tables.documents(spark, dir)
+    val got = TrainingPrep.tokenBudgetSampleOn(docs)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // naive reference: ONE window per source (the spelling the two-level
+    // machinery exists to avoid at scale — must agree bit-for-bit)
+    val naive = docs.select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        hash60(col("text")).as("k"))
+      .withColumn("cum_tokens", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy(col("k"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= 400)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // prefix laws: budget respected, totals strictly increase, and the
+    // kept set per source is a PREFIX (max cum + next doc would overflow
+    // is implied by equality with the take-while window above)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val cums = rows.toSeq.map(_._4).sorted
+      assert(cums.last <= 400, s"$src exceeds the token budget")
+      assert(cums.distinct.size == cums.size, s"$src cum totals not strictly increasing")
+    }
+    // deterministic: a second run draws the identical sample
+    val again = TrainingPrep.tokenBudgetSampleOn(docs)
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
 }
