@@ -374,10 +374,192 @@ object Multimodal {
       |       round(CAST(list_sum(sm) AS BIGINT) / 32, 4) AS mean_amp
       |FROM samples ORDER BY doc_id""".stripMargin
 
+  // ---- multimodal_resize: decode → transform → re-encode ----------------
+
+  /** Nearest-neighbor-resized PPM: output dimensions + the RE-ENCODED
+    * 2×2 raster bytes (hex) + resized channel means.
+    */
+  case class PpmResized(
+      doc_id: Long, out_w: Int, out_h: Int, resized_hex: String,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image resize — the decode → transform → re-encode codec-stage
+    * the brief names: parses the P6 header (same netpbm rules as
+    * [[decodePpm]]), nearest-neighbor-subsamples the raster by 2× in
+    * both axes (`out(y,x) = in(2y, 2x)` — the floor-rule nearest
+    * neighbor, exact integer indexing so any engine agrees byte-for-
+    * byte), and emits the resized raster as bytes a writer would wrap in
+    * a `P6\n2 2\n255\n` header. Works on any even-sided 8-bit P6, not
+    * just [[ppmTable]]'s 4×4 blobs. Partition-parallel, no shuffle — the
+    * transform stage slots between the decode and the sink exactly like
+    * a real thumbnailer; interpolating kernels (bilinear etc.) replace
+    * only the pixel-pick line.
+    */
+  def resizePpm(media: DataFrame): Dataset[PpmResized] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          var p = 0
+          def skipSpace(): Unit = {
+            var go = true
+            while (go && p < bytes.length) {
+              val c = bytes(p).toChar
+              if (c == '#') { while (p < bytes.length && bytes(p).toChar != '\n') p += 1 }
+              else if (c.isWhitespace) p += 1
+              else go = false
+            }
+          }
+          def readInt(): Int = {
+            skipSpace()
+            var v = 0
+            while (p < bytes.length && bytes(p).toChar.isDigit) {
+              v = v * 10 + (bytes(p) - '0'); p += 1
+            }
+            v
+          }
+          require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+            s"doc $id: not a P6 PPM")
+          p = 2
+          val w = readInt(); val h = readInt(); val mv = readInt()
+          p += 1
+          require(mv > 0 && mv < 256, s"doc $id: only 8-bit maxval supported")
+          require(bytes.length - p == w * h * 3, s"doc $id: short raster")
+          val ow = w / 2; val oh = h / 2
+          val out = new Array[Byte](ow * oh * 3)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              val src = p + ((y * 2) * w + (x * 2)) * 3
+              val dst = (y * ow + x) * 3
+              out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+              sr += bytes(src) & 0xff; sg += bytes(src + 1) & 0xff; sb += bytes(src + 2) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PpmResized(id, ow, oh, out.map(b => f"${b & 0xff}%02x").mkString,
+            sr, sg, sb)
+        }
+      }
+  }
+
+  /** [[resizePpm]] over [[ppmTable]], oracle-checked byte-for-byte:
+    * DuckDB picks the same source pixels out of the md5 hex (pixel
+    * (y,x) lives at hex offset 6·(4y+x); the resize keeps (0,0), (0,2),
+    * (2,0), (2,2)) and re-concatenates the hex in raster order. Means
+    * divide by 4 — exact binary fraction, round(·,4) exact.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    resizePpm(ppmTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("out_w"), col("out_h"), col("resized_hex"),
+        round(col("sum_r") / (col("out_w") * col("out_h")), 4).as("mean_r"),
+        round(col("sum_g") / (col("out_w") * col("out_h")), 4).as("mean_g"),
+        round(col("sum_b") / (col("out_w") * col("out_h")), 4).as("mean_b"))
+      .orderBy("doc_id")
+
+  val multimodalResizeSql: String =
+    """WITH hx AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'x') || md5(text || 'y') AS h
+      |  FROM documents),
+      |px AS (
+      |  -- kept source pixels in raster order: (y,x) ∈ {0,1}² → src index
+      |  -- (2y)·4 + 2x ∈ {0, 2, 8, 10} → hex char offset 6·idx
+      |  SELECT doc_id, h, [0, 12, 48, 60] AS offs
+      |  FROM hx),
+      |r AS (
+      |  SELECT doc_id,
+      |         list_aggregate([h[o+1:o+6] FOR o IN offs], 'string_agg', '') AS resized_hex,
+      |         list_sum([('0x' || h[o+1:o+2])::INT FOR o IN offs]) AS sum_r,
+      |         list_sum([('0x' || h[o+3:o+4])::INT FOR o IN offs]) AS sum_g,
+      |         list_sum([('0x' || h[o+5:o+6])::INT FOR o IN offs]) AS sum_b
+      |  FROM px)
+      |SELECT doc_id, 2 AS out_w, 2 AS out_h, resized_hex,
+      |       round(CAST(sum_r AS BIGINT) / 4, 4) AS mean_r,
+      |       round(CAST(sum_g AS BIGINT) / 4, 4) AS mean_g,
+      |       round(CAST(sum_b AS BIGINT) / 4, 4) AS mean_b
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal_wav_windows: frame-level audio features ---------------
+
+  /** Windowed audio features: per 4-sample window, the DC-free energy
+    * statistics a VAD / silence-trim / loudness-normalize stage keys on.
+    */
+  case class WavWindow(
+      doc_id: Long, win_idx: Int, sum_amp: Long, energy: Long, peak: Int)
+
+  /** Frame-level FEATURE EXTRACTION over decoded audio — the stage after
+    * [[decodeWav]] in a real pipeline (VAD, silence trimming, loudness
+    * bucketing all consume windowed energies, not whole-clip sums): the
+    * 32 samples split into 8 contiguous 4-sample windows; per window the
+    * amplitude sum, energy (sum of squares — all integer, max 4·255² per
+    * window, nowhere near overflow) and peak. One row per (doc, window),
+    * fan-out 8 — the frame-sample shape of [[multimodalFrames]] with
+    * real decoded bytes underneath.
+    */
+  def wavWindows(media: DataFrame): Dataset[WavWindow] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, b) =>
+          // the same RIFF chunk walk as decodeWav: find the data chunk
+          // wherever it sits, skipping unknown chunks by declared length
+          def u8(i: Int): Int = b(i) & 0xff
+          def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+          def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+          require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+            s"doc $id: not a RIFF/WAVE container")
+          var dataOff = -1; var dataLen = -1
+          var p = 12
+          while (p + 8 <= b.length) {
+            val t = tag(p); val len = le32(p + 4)
+            if (t == "data") { dataOff = p + 8; dataLen = len }
+            p += 8 + len + (len & 1)
+          }
+          require(dataOff >= 0, s"doc $id: missing data chunk")
+          (0 until dataLen / 4).map { wdx =>
+            var s = 0L; var e = 0L; var pk = 0
+            var i = dataOff + wdx * 4
+            while (i < dataOff + wdx * 4 + 4) {
+              val v = b(i) & 0xff
+              s += v; e += v.toLong * v; if (v > pk) pk = v
+              i += 1
+            }
+            WavWindow(id, wdx, s, e, pk)
+          }
+        }
+      }
+  }
+
+  /** [[wavWindows]] over [[wavTable]], oracle-checked: DuckDB re-derives
+    * each window's bytes from the same md5 hex. All integer.
+    */
+  def multimodalWavWindows(spark: SparkSession, dir: String): DataFrame =
+    wavWindows(wavTable(spark, dir)).toDF()
+      .orderBy("doc_id", "win_idx")
+
+  val multimodalWavWindowsSql: String =
+    """WITH hx AS (
+      |  SELECT doc_id, md5(text) || md5(text || 'a') AS h
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(wdx AS INT) AS win_idx,
+      |         [('0x' || h[2*(4*wdx+i)+1:2*(4*wdx+i)+2])::BIGINT FOR i IN RANGE(0, 4)] AS sm
+      |  FROM hx, RANGE(0, 8) AS t(wdx))
+      |SELECT doc_id, win_idx,
+      |       CAST(list_sum(sm) AS BIGINT) AS sum_amp,
+      |       CAST(list_sum([v * v FOR v IN sm]) AS BIGINT) AS energy,
+      |       CAST(list_max(sm) AS INTEGER) AS peak
+      |FROM w ORDER BY doc_id, win_idx""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "multimodal_meta"   -> (multimodalMeta _, multimodalMetaSql),
     "multimodal_frames" -> (multimodalFrames _, multimodalFramesSql),
     "multimodal_ppm"    -> (multimodalPpm _, multimodalPpmSql),
     "multimodal_wav"    -> (multimodalWav _, multimodalWavSql),
+    "multimodal_resize" -> (multimodalResize _, multimodalResizeSql),
+    "multimodal_wav_windows" -> (multimodalWavWindows _, multimodalWavWindowsSql),
   )
 }

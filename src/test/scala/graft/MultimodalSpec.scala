@@ -135,4 +135,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodePpm(truncated).collect()
     }
   }
+
+  test("resize keeps exactly the nearest-neighbor source pixels, any even-sided P6") {
+    import spark.implicits._
+    // 4x2 raster: pixel (y,x) has R=10y+x so the mapping is readable;
+    // G/B mark the lane. The 2x downsample keeps in(0,0) and in(0,2).
+    val raster = Array[Int](
+      0, 1, 2,  1, 1, 2,  2, 1, 2,  3, 1, 2,
+      10, 1, 2, 11, 1, 2, 12, 1, 2, 13, 1, 2).map(_.toByte)
+    val blob = "P6\n4 2\n255\n".getBytes("US-ASCII") ++ raster
+    val r = Multimodal.resizePpm(Seq((5L, blob)).toDF("doc_id", "content")).collect()(0)
+    assert(r.out_w == 2 && r.out_h == 1)
+    assert(r.resized_hex == "000102" + "020102")  // pixels (0,0) and (0,2)
+    assert(r.sum_r == 0 + 2 && r.sum_g == 2 && r.sum_b == 4)
+  }
+
+  test("resize of the ppm table re-encodes exactly the picked source bytes") {
+    import org.apache.spark.sql.functions._
+    val t = Multimodal.ppmTable(spark, "/root/testdata/sf0.001")
+    val out = Multimodal.resizePpm(t).toDF()
+    val ref = t.select(col("doc_id"), expr("lower(hex(content))").as("full_hex"))
+    val joined = out.join(ref, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      val hx = row.getAs[String]("resized_hex")
+      // strip the 11-byte "P6\n4 4\n255\n" header = 22 hex chars
+      val raster = row.getAs[String]("full_hex").drop(22)
+      val picks = Seq(0, 12, 48, 60).map(o => raster.substring(o, o + 6)).mkString
+      assert(hx == picks, s"doc ${row.getAs[Long]("doc_id")}: resize bytes drifted")
+    }
+  }
+
+  test("wav windows: chunk walk finds data anywhere; windows partition the clip exactly") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmt  = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val junk = "LIST".getBytes("US-ASCII") ++ le32(3) ++ Array[Byte](9, 9, 9, 0)
+    val samples = Array[Byte](1, 2, 3, 4, 10, 20, 30, 40)
+    val data = "data".getBytes("US-ASCII") ++ le32(8) ++ samples
+    val blob = "RIFF".getBytes("US-ASCII") ++ le32(4 + junk.length + fmt.length + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ junk ++ fmt ++ data
+    val w = Multimodal.wavWindows(Seq((3L, blob)).toDF("doc_id", "content"))
+      .collect().sortBy(_.win_idx)
+    assert(w.length == 2)
+    assert(w(0).sum_amp == 10 && w(0).energy == 1 + 4 + 9 + 16 && w(0).peak == 4)
+    assert(w(1).sum_amp == 100 && w(1).energy == 100 + 400 + 900 + 1600 && w(1).peak == 40)
+    // partition law on the real table: window sums reassemble the clip sum
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val tbl = Multimodal.wavTable(spark, "/root/testdata/sf0.001")
+    val whole = Multimodal.decodeWav(tbl).toDF().select("doc_id", "amp_sum")
+    val parts = Multimodal.wavWindows(tbl).toDF()
+      .groupBy("doc_id").agg(sum("sum_amp").as("s"), count(lit(1)).as("nw"))
+    val j = whole.join(parts, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getAs[Long]("amp_sum") == r.getAs[Long]("s"),
+        s"doc ${r.getAs[Long]("doc_id")} window sums drift")
+      assert(r.getAs[Long]("nw") == 8L)
+    }
+  }
 }
