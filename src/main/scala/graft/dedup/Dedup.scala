@@ -814,6 +814,62 @@ object Dedup {
        |JOIN s s2 ON p.doc_id_2 = s2.doc_id
        |WHERE s1.split <> s2.split""".stripMargin
 
+  // ---- split_assign: component-aware leakage-free split -----------------
+
+  /** The FIXER paired with [[splitLeakage]]'s auditor: assign train/val
+    * by hashing the near-dup COMPONENT representative instead of the
+    * doc_id, so both endpoints of every verified near-dup pair share a
+    * group and therefore a split — leakage-free BY CONSTRUCTION, not by
+    * audit-and-patch. Docs without a near-dup edge are their own group
+    * (coalesce to doc_id), so the assignment covers the whole corpus and
+    * degenerates to the identity split exactly where clustering found
+    * nothing. Same [[TrainPct]] hash rule as the audit; the expected
+    * train share is preserved because group representatives hash
+    * uniformly like doc ids do.
+    *
+    * Scale: components come from [[componentsOn]] over the banded
+    * MinHash pair graph (pair-graph-sized, ≪ corpus); the assignment
+    * itself is one doc-keyed LEFT join of that small label frame into
+    * the corpus plus a per-row hash — the labels broadcast at any
+    * realistic dup density.
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOn(Tables.documents(spark, dir))
+
+  private[graft] def splitAssignOn(docs: DataFrame): DataFrame = {
+    val comp = componentsOn(dedupMinhashOn(shingleSets(docs)))
+      .select(col("doc_id"), col("component_id"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(hash60(col("group_id").cast("string")), lit(100)) < TrainPct,
+          lit("train")).otherwise(lit("val")))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val splitAssignSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+       |  UNION
+       |  SELECT doc_id_2, doc_id_1 FROM pairs),
+       |reach(v, u) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a),
+       |comp AS (
+       |  SELECT v AS doc_id, least(v, min(u)) AS component_id
+       |  FROM reach GROUP BY v)
+       |SELECT d.doc_id,
+       |       coalesce(c.component_id, d.doc_id) AS group_id,
+       |       CASE WHEN ${graft.functions.TextFeatures.hash60Sql("coalesce(c.component_id, d.doc_id)::VARCHAR")} % 100 < $TrainPct
+       |            THEN 'train' ELSE 'val' END AS split
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- source_overlap: cross-source duplication matrix ------------------
 
   /** Which sources duplicate each other — the governance matrix a corpus
@@ -887,6 +943,7 @@ object Dedup {
     "dedup_exact"   -> (dedupExact _, dedupExactSql),
     "source_overlap" -> (sourceOverlap _, sourceOverlapSql),
     "split_leakage" -> (splitLeakage _, splitLeakageSql),
+    "split_assign"  -> (splitAssign _, splitAssignSql),
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
     "dedup_containment" -> (dedupContainment _, containmentOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),

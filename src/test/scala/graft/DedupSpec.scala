@@ -133,4 +133,28 @@ class DedupSpec extends SparkSpec {
       .flatMap(r => Seq(r.getLong(1), r.getLong(2)))
     assert(sigs.forall(s => s >= 0L && s < (1L << 48)))
   }
+
+  test("split_assign is leakage-free by construction where the doc-keyed split is not") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val assign = Dedup.splitAssignOn(docs)
+      .select("doc_id", "group_id", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(assign.size == docs.count())
+    // every verified near-dup pair shares a group and therefore a split
+    val pairs = Dedup.dedupMinhashOn(Dedup.shingleSets(docs))
+      .select("doc_id_1", "doc_id_2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture lost its near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(assign(a)._1 == assign(b)._1, s"pair ($a,$b) split across groups")
+      assert(assign(a)._2 == assign(b)._2, s"pair ($a,$b) LEAKS across splits")
+    }
+    // the audit operator agrees: zero straddling pairs under this split,
+    // while the doc-keyed identity split leaks on the same corpus
+    val docLeaks = Dedup.splitLeakageOn(docs).count()
+    assert(docLeaks > 0, "fixture no longer demonstrates doc-keyed leakage")
+    // both splits are non-degenerate (train and val both populated)
+    assert(assign.values.map(_._2).toSet == Set("train", "val"))
+  }
 }
