@@ -472,6 +472,42 @@ object ScaleProbe {
         // at copies=1 only — say so instead of dropping the row
         println(s"SCALEPROBE scale=$copies op=mmr_pool SKIPPED " +
           "(pool-axis probe runs at copies=1 only; see scaladoc)")
+      // k-center is the same reranker shape as MMR: pool axis, not
+      // corpus — widen the pool rule at copies=1 (|C|² pair table is
+      // the quadratic term; the k argmax passes are pool-sized each)
+      if (wanted("kcenter_pool") && copies == 1)
+        Seq(10L, 5L, 2L).foreach { m =>
+          time(spark, copies, s"kcenter_pool_mod$m")(
+            graft.similarity.LabelEval.kcenterSelectOn(
+              Tables.embeddings(spark, sfDir), poolMod = m))
+        }
+      else if (wanted("kcenter_pool") && opSel.contains("kcenter_pool"))
+        println(s"SCALEPROBE scale=$copies op=kcenter_pool SKIPPED " +
+          "(pool-axis probe runs at copies=1 only; see scaladoc)")
+      // label tier over the replicated corpus: the parquet replicas
+      // carry no label column (labels would be meaningless post noise-
+      // mix anyway), so the probe hashes a balanced 10-class label on —
+      // timing sees the same 90%-selectivity inequality joins and
+      // 10-cell aggregates as the real table. Anchors/eval sets PIN to
+      // the base id range (the knn_pq quadratic-query lesson).
+      def embWithLabel = spark.read.parquet(embPath)
+        .withColumn("label", pmod(xxhash64(col("vec_id")), lit(10)).cast("int"))
+      if (wanted("hard_negatives"))
+        time(spark, copies, "hard_negatives")(
+          graft.similarity.LabelEval.hardNegativesOn(
+            graft.similarity.LabelEval.withNormsL(embWithLabel),
+            anchorPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L))
+      if (wanted("knn_label_acc"))
+        time(spark, copies, "knn_label_acc")(
+          graft.similarity.LabelEval.knnLabelAccOn(
+            graft.similarity.LabelEval.withNormsL(embWithLabel),
+            evalPred = col("vec_id") % 20 === 0 && col("vec_id") < 10000000L))
+      // mislabel detection is corpus-linear: one groupBy(label, dim)
+      // over exploded components + a 10-row centroid broadcast back
+      // over N + one global top-20 — no pin needed, no pair axis
+      if (wanted("label_error_margin"))
+        time(spark, copies, "label_error_margin")(
+          graft.similarity.LabelEval.labelErrorMarginOn(embWithLabel))
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

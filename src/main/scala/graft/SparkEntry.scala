@@ -4,7 +4,7 @@ import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, Star
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.Layout
-import graft.similarity.{KMeansExact, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
+import graft.similarity.{KMeansExact, LabelEval, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
 import graft.streaming.TrendingTokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,7 +24,7 @@ object SparkEntry {
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
       Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry,
       Layout.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry,
-      TrendingTokens.registry)
+      TrendingTokens.registry, LabelEval.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
     * pipeline exercises the whole stack: tick view → bar aggregation →

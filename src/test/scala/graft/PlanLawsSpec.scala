@@ -47,7 +47,12 @@ class PlanLawsSpec extends SparkSpec {
     "kmeans_fit",
     // 1-row query anchor + bounded candidate-pool pair join (|C|², C
     // fixed by the retrieval stage, never corpus-sized)
-    "mmr_select")
+    "mmr_select",
+    // label tier: kcenter's pool-bounded pair join + per-step selected-
+    // set anchors (≤ K rows); the Q·N broadcast anchor/eval scans of
+    // hard_negatives / knn_label_acc (the knn_brute shape); the L-row
+    // (10-class) centroid fan-out of label_error_margin
+    "kcenter_select", "hard_negatives", "knn_label_acc", "label_error_margin")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
