@@ -103,7 +103,7 @@ object Quantize {
     * row — naming it via withColumn would let CollapseProject re-inline
     * the whole fold into the per-element lambda (64× re-evaluation).
     */
-  private def int8On(raw: DataFrame): DataFrame = {
+  private[graft] def int8On(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     graft.GraftExtensions.register(spark)
     raw

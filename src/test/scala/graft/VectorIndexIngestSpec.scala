@@ -1,0 +1,147 @@
+package graft
+
+import graft.streaming.VectorIndexIngest
+import graft.streaming.VectorIndexIngest.Stores
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming ANN-index maintenance laws: assignment parity with the
+  * batch router, replay idempotence, health accounting, partition-pruned
+  * search, block hygiene, and the MemoryStream path.
+  */
+class VectorIndexIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshStores(): Stores = {
+    val tmp = java.nio.file.Files.createTempDirectory("vec_index").toString
+    Stores(s"$tmp/centroids", s"$tmp/buckets", s"$tmp/health")
+  }
+
+  /** The modular centroid rule of `knn_ivf` as the offline trainer. */
+  private def trainCentroids(s: Stores): Unit =
+    VectorIndexIngest.writeCentroids(
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding")), s)
+
+  private def ingestInTwoBatches(s: Stores): Unit = {
+    val all = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    VectorIndexIngest.processBatch(all.filter(col("vec_id") % 2 === 0), 0L, s)
+    VectorIndexIngest.processBatch(all.filter(col("vec_id") % 2 === 1), 1L, s)
+  }
+
+  test("streamed buckets agree with the batch router; replay is idempotent") {
+    val s = freshStores()
+    trainCentroids(s)
+    ingestInTwoBatches(s)
+    val stored = spark.read.parquet(s.bucketsPath)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored.size == 500, s"index rows ${stored.size}")
+    // assignment parity: the stored routing equals a direct batch argmax
+    GraftExtensions.register(spark)
+    val cents = spark.read.parquet(s.centroidsPath)
+      .select(col("centroid_id"), col("embedding").as("cv"),
+        expr("vec_dot(embedding, embedding)").as("cn2"))
+    val direct = VectorIndexIngest.assign(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"), cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored == direct, "streamed assignment diverges from the batch router")
+    // crash-replay of batch 0 rewrites its own partition — no dupes
+    VectorIndexIngest.processBatch(
+      Tables.embeddings(spark, dir).select("vec_id", "embedding")
+        .filter(col("vec_id") % 2 === 0), 0L, s)
+    assert(spark.read.parquet(s.bucketsPath).count() == 500)
+  }
+
+  test("index health: per-centroid counts conserve and n_low matches the coverage rule") {
+    val s = freshStores()
+    trainCentroids(s)
+    ingestInTwoBatches(s)
+    val health = VectorIndexIngest.indexHealth(spark, s)
+      .select(col("centroid_id").cast("long"), col("n"), col("n_low"))
+      .as[(Long, Long, Long)].collect()
+    assert(health.map(_._2).sum == 500, "health rows lost vectors")
+    health.foreach { case (c, n, low) =>
+      assert(low >= 0 && low <= n, s"centroid $c: $low/$n")
+    }
+    // n_low agrees with a direct recount off the stored best_cos
+    val directLow = spark.read.parquet(s.bucketsPath)
+      .filter(col("best_cos") < 0.45).count()
+    assert(health.map(_._3).sum == directLow, "coverage accounting diverged")
+  }
+
+  test("search probes only nprobe buckets (partition-pruned files) and finds the ingested query at rank 1") {
+    val s = freshStores()
+    trainCentroids(s)
+    ingestInTwoBatches(s)
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val res = VectorIndexIngest.search(spark, s, qv, nprobe = 3, topK = 10)
+    // the probe set the router must have chosen: top-3 centroids by
+    // cosine for this query (ties to the smaller id), computed directly
+    GraftExtensions.register(spark)
+    val expectedProbes = spark.read.parquet(s.centroidsPath)
+      .withColumn("qv", typedLit(qv))
+      .withColumn("cosine", expr("vec_dot(qv, embedding)")
+        / (sqrt(expr("vec_dot(qv, qv)")) * sqrt(expr("vec_dot(embedding, embedding)"))))
+      .orderBy(col("cosine").desc, col("centroid_id"))
+      .limit(3).select("centroid_id").as[Long].collect().toSet
+    assert(expectedProbes.size == 3)
+    // the bucket scan is STATICALLY partition-pruned on centroid_id —
+    // the collected probe ids appear as a PartitionFilters IN-list, so
+    // only 3 of the 10 bucket directories are ever listed
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      s"bucket scan lost its partition filter:\n${plan.take(2000)}")
+    val rows = res.select("neighbor_id", "rank", "ascore")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(rows.length == 10)
+    // the query vector itself was ingested → it is its own best match
+    assert(rows.head._1 == 0L && rows.head._3 == 1.0d,
+      s"rank 1 is ${rows.head} — expected the ingested query at cosine 1.0")
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // every hit came from a probed bucket
+    val bucketOf = spark.read.parquet(s.bucketsPath)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, r, _) =>
+      assert(expectedProbes.contains(bucketOf(id)), s"rank $r hit $id outside the probed buckets")
+    }
+  }
+
+  test("per-batch checkpoint blocks are released — no growth across batches") {
+    val s = freshStores()
+    trainCentroids(s)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    ingestInTwoBatches(s)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
+  }
+
+  test("streaming end-to-end: MemoryStream → index gate → bucket + health stores") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s   = freshStores()
+    trainCentroids(s)
+    val tmp = java.nio.file.Files.createTempDirectory("vec_index_ck").toString
+    val base = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = VectorIndexIngest.run(
+      input.toDS().toDF("vec_id", "embedding"), s, tmp,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      input.addData(base.take(100).toSeq)
+      query.processAllAvailable()
+      input.addData(base.drop(100).take(50).toSeq)
+      query.processAllAvailable()
+      assert(spark.read.parquet(s.bucketsPath).count() == 150)
+      assert(VectorIndexIngest.indexHealth(spark, s)
+        .agg(sum("n")).as[Long].head() == 150)
+    } finally query.stop()
+  }
+}
