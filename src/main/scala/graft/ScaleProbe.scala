@@ -228,6 +228,13 @@ object ScaleProbe {
         time(spark, copies, "line_dedup")(
           graft.analytics.TextAnalytics.lineDedupOn(docs)
             .filter(length(col("clean_text")) >= 0))
+      // repetition_trim: strictly per-doc — one (doc_id, g) hash
+      // aggregate, no pair axis, no broadcast; the embarrassingly-
+      // parallel end of the dedup spectrum. Same re-stitch guard.
+      if (wanted("repetition_trim"))
+        time(spark, copies, "repetition_trim")(
+          graft.analytics.TextAnalytics.repetitionTrimOn(docs)
+            .filter(length(col("clean_text")) >= 0))
       // token_budget_sample: same prefix-sum shape as training_order;
       // output is budget-bounded (S sources × ≤400 tokens) so rows stay
       // CONSTANT while the scanned corpus grows — the wall prices the

@@ -1554,6 +1554,68 @@ object TextAnalytics {
        |FROM docs d LEFT JOIN ks USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- repetition_trim: intra-doc keep-first segment dedup --------------
+  /** The FIXER paired with `text_repetition`'s auditor (the split_assign
+    * pattern): WITHIN each document, later copies of a repeated 5-token
+    * segment are removed and the first occurrence kept — the Gopher-rule
+    * remedy for looping/boilerplate-stuffed pages that repeat the same
+    * paragraph dozens of times. Completes the segment-family quadrant:
+    * span_removal excises ALL copies cross-corpus, passage_dedup keeps
+    * the first copy CROSS-doc, line_dedup drops frequent lines
+    * everywhere — this keeps the first copy WITHIN-doc and touches no
+    * other document.
+    *
+    * Scale (100 TB): strictly per-document semantics, so the only wide
+    * operation is one (doc_id, g) hash aggregate — partial-aggregable
+    * min, co-partitionable with any doc-keyed upstream, no pair axis,
+    * no corpus-sized broadcast. The embarrassingly-parallel end of the
+    * dedup spectrum.
+    */
+  def repetitionTrim(spark: SparkSession, dir: String): DataFrame =
+    repetitionTrimOn(Tables.documents(spark, dir))
+
+  private[graft] def repetitionTrimOn(docs: DataFrame): DataFrame = {
+    val L = LineLen
+    val segs = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t) + ${L - 1}) div $L - 1), i -> xxhash64(concat_ws(' ', slice(t, i * $L + 1, $L))))")))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("g"))
+    val kept = segs
+      .groupBy(col("doc_id"), col("g")).agg(min(col("seg_idx")).as("seg_idx"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("seg_idx"))).as("ks"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(expr(
+          s"concat_ws(' ', flatten(transform(ks, i -> slice(split(text, ' '), i * $L + 1, $L))))"),
+          lit("")).as("clean_text"),
+        coalesce(size(col("ks")), lit(0)).cast("int").as("kept_segs"),
+        expr(s"cast((size(split(text, ' ')) + ${L - 1}) div $L as int)").as("total_segs"))
+      .withColumn("dup_segs", (col("total_segs") - col("kept_segs")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionTrimSql: String =
+    s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |segs AS (
+       |  SELECT doc_id,
+       |         unnest([{'i': i, 'g': array_to_string(t[(i-1)*$LineLen+1:(i-1)*$LineLen+$LineLen], ' ')}
+       |                 for i in generate_series(1, (len(t) + ${LineLen - 1}) // $LineLen)],
+       |                recursive := true)
+       |  FROM docs),
+       |keep AS (SELECT doc_id, min(i) AS i FROM segs GROUP BY doc_id, g),
+       |ks AS (SELECT doc_id, list_sort(list(i)) AS ks FROM keep GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(array_to_string(
+       |         flatten([d.t[(i-1)*$LineLen+1:(i-1)*$LineLen+$LineLen] for i in ks.ks]), ' '),
+       |         '') AS clean_text,
+       |       CAST(coalesce(len(ks.ks), 0) AS INTEGER) AS kept_segs,
+       |       CAST((len(d.t) + ${LineLen - 1}) // $LineLen AS INTEGER) AS total_segs,
+       |       CAST((len(d.t) + ${LineLen - 1}) // $LineLen - coalesce(len(ks.ks), 0) AS INTEGER) AS dup_segs
+       |FROM docs d LEFT JOIN ks USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- stratified_sample: exact-k per-stratum uniform sample ------------
 
   private val StratKeep = 30
@@ -1616,6 +1678,7 @@ object TextAnalytics {
     "span_removal_clean" -> (spanRemovalClean _, spanRemovalCleanSql),
     "passage_dedup"   -> (passageDedup _, passageDedupSql),
     "line_dedup"      -> (lineDedup _, lineDedupSql),
+    "repetition_trim" -> (repetitionTrim _, repetitionTrimSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),

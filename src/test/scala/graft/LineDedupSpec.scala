@@ -78,4 +78,21 @@ class LineDedupSpec extends SparkSpec {
     assert(out.filter(col("kept_segs") > col("total_segs")).count() == 0)
     assert(out.count() == docs.count())            // every doc is represented
   }
+
+  test("repetition_trim: later intra-doc copies drop, first kept in place; other docs untouched") {
+    // doc 10 repeats segment r* three times around a unique middle; the
+    // SAME segment also appears in doc 11 — cross-doc copies must
+    // survive (within-doc semantics only). doc 12 has no repeats.
+    val rep = "r1 r2 r3 r4 r5"
+    val docs = mk(Seq(
+      10L -> (rep + " m1 m2 m3 m4 m5 " + rep + " " + rep),
+      11L -> (rep + " k1 k2 k3 k4 k5"),
+      12L -> "n1 n2 n3 n4 n5 n6 n7"))
+    val got = TextAnalytics.repetitionTrimOn(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (10L, rep + " m1 m2 m3 m4 m5", 2, 4, 2),  // first copy kept IN ORDER, 2 later copies dropped
+      (11L, rep + " k1 k2 k3 k4 k5", 2, 2, 0),  // cross-doc copy untouched
+      (12L, "n1 n2 n3 n4 n5 n6 n7", 2, 2, 0)))  // trailing short segment survives
+  }
 }
