@@ -235,6 +235,21 @@ object ScaleProbe {
         time(spark, copies, "repetition_trim")(
           graft.analytics.TextAnalytics.repetitionTrimOn(docs)
             .filter(length(col("clean_text")) >= 0))
+      // gram_novelty: gram stream shuffles once on the 8-byte hash for
+      // the df count, df joins back on the same key (exchange reuse),
+      // one doc rollup — two partial-aggregable aggregates, linear
+      if (wanted("gram_novelty"))
+        time(spark, copies, "gram_novelty")(
+          // reference the aggregated column so count() can't eliminate
+          // the doc-rollup left join (unique-keyed right side)
+          graft.analytics.TextAnalytics.gramNoveltyOn(docs)
+            .filter(coalesce(col("novelty_pm"), lit(0L)) >= 0))
+      // vocab_coverage: the replica token decoration multiplies the
+      // DISTINCT-token axis too (vocab agg input), the aggregate that
+      // actually grows; the top-20 broadcast stays constant
+      if (wanted("vocab_coverage"))
+        time(spark, copies, "vocab_coverage")(
+          graft.analytics.TextAnalytics.vocabCoverageOn(docs))
       // token_budget_sample: same prefix-sum shape as training_order;
       // output is budget-bounded (S sources × ≤400 tokens) so rows stay
       // CONSTANT while the scanned corpus grows — the wall prices the
@@ -504,6 +519,14 @@ object ScaleProbe {
           graft.similarity.LabelEval.hardNegativesOn(
             graft.similarity.LabelEval.withNormsL(embWithLabel),
             anchorPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L))
+      // decontam_semantic: eval suite PINNED to the base id range (its
+      // production shape — eval size is independent of corpus size), so
+      // the probe prices the O(Q·N) broadcast scan's linear corpus term
+      if (wanted("decontam_semantic"))
+        time(spark, copies, "decontam_semantic")(
+          Similarity.decontamSemanticSplit(
+            emb.filter(col("vec_id") % 10 =!= 0),
+            emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 10000000L)))
       if (wanted("knn_label_acc"))
         time(spark, copies, "knn_label_acc")(
           graft.similarity.LabelEval.knnLabelAccOn(

@@ -1616,6 +1616,121 @@ object TextAnalytics {
        |FROM docs d LEFT JOIN ks USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- gram_novelty: per-doc corpus-unique n-gram fraction --------------
+  /** Uniqueness/diversity signal for curation: for each document, how
+    * many of its distinct word 8-grams appear NOWHERE else in the corpus
+    * (`n_unique`, df = 1) out of its total distinct grams (`n_grams`),
+    * plus the exact integer permille `novelty_pm = n_unique·1000 div
+    * n_grams` (NULL for sub-8-token docs). Low novelty = the doc is
+    * assembled from recycled text (templates, quote farms, near-dup
+    * survivors below the dedup threshold); high novelty = genuinely new
+    * content — the per-doc complement of the pair-producing dedup family
+    * and the ranking signal a curation pass can sort or threshold on.
+    * Gram spelling is [[docGrams]]' (the decontam contract).
+    *
+    * Scale (100 TB): two partial-aggregable hash aggregates — the gram
+    * stream shuffles once on the 8-byte gram hash for the df count, the
+    * df table joins back on the SAME key (exchange reuse, no second
+    * gram-stream shuffle), then one doc-keyed rollup. No pair axis; the
+    * df table is gram-distinct-sized but never collected or broadcast.
+    */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame =
+    gramNoveltyOn(Tables.documents(spark, dir))
+
+  private[graft] def gramNoveltyOn(docs: DataFrame): DataFrame = {
+    val g = docGrams(docs)
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .repartition(col("gh"))
+    val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val per = g.join(df, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("novelty_pm",
+        when(col("n_grams") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_unique * 1000) div n_grams")))
+      .orderBy("doc_id")
+  }
+
+  val gramNoveltySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $DecontamGram
+       |    THEN list_distinct(list_transform(
+       |           generate_series(1, len(toks) - ${DecontamGram - 1}),
+       |           i -> array_to_string(list_slice(toks, i, i + ${DecontamGram - 1}), ' ')))
+       |    ELSE [] END) AS gram
+       |  FROM t),
+       |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+       |per AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM g JOIN df USING (gram) GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(per.n_grams, 0) AS n_grams,
+       |       coalesce(per.n_unique, 0) AS n_unique,
+       |       CASE WHEN coalesce(per.n_grams, 0) = 0 THEN NULL
+       |            ELSE CAST((per.n_unique * 1000) // per.n_grams AS BIGINT) END AS novelty_pm
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- vocab_coverage: per-doc OOV rate vs the corpus top-V vocabulary --
+  private val VocabSize = 20
+
+  /** Tokenizer-health signal: build the corpus top-[[VocabSize]] token
+    * vocabulary (count desc, token asc — deterministic at the cut), then
+    * score every document by how much of it the vocabulary covers:
+    * `n_tokens` total occurrences, `n_oov` occurrences outside the
+    * vocabulary, and the exact integer permille `oov_pm`. Rising OOV on
+    * fresh data is the canonical "retrain the tokenizer / the
+    * distribution moved" alarm, and per-doc OOV is a curation filter
+    * (docs that are mostly out-of-vocabulary are boilerplate, code, or a
+    * language the tokenizer never saw).
+    *
+    * Scale (100 TB): the vocabulary aggregate is partial-aggregable
+    * (token partial counts cross the shuffle, not occurrences) and its
+    * top-V cut is one TakeOrdered over ~|vocab| rows; the V-row
+    * vocabulary then BROADCASTS into a map-side left join over the token
+    * stream, and the per-doc rollup is the only other shuffle. No
+    * corpus-sized join key, no pair axis.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOn(Tables.documents(spark, dir))
+
+  private[graft] def vocabCoverageOn(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(VocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pm", expr("(n_oov * 1000) div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val vocabCoverageSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |v AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS n FROM tok GROUP BY 1
+       |    ORDER BY n DESC, token ASC LIMIT $VocabSize))
+       |SELECT tok.doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       CAST((sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000)
+       |            // count(*) AS BIGINT) AS oov_pm
+       |FROM tok LEFT JOIN v ON tok.token = v.token
+       |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
+
   // ---- stratified_sample: exact-k per-stratum uniform sample ------------
 
   private val StratKeep = 30
@@ -1679,6 +1794,8 @@ object TextAnalytics {
     "passage_dedup"   -> (passageDedup _, passageDedupSql),
     "line_dedup"      -> (lineDedup _, lineDedupSql),
     "repetition_trim" -> (repetitionTrim _, repetitionTrimSql),
+    "gram_novelty"    -> (gramNovelty _, gramNoveltySql),
+    "vocab_coverage"  -> (vocabCoverage _, vocabCoverageSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),

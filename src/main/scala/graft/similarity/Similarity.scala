@@ -435,6 +435,67 @@ object Similarity {
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${cosSql("a.v", "b.v", "a.n2", "b.n2")} >= $NearDupCosine""".stripMargin
 
+  // ---- decontam_semantic: embedding-cosine eval-set contamination ------
+  /** Semantic decontamination — the embedding-space complement of the
+    * gram-based `decontam` (TextAnalytics): flag every training vector
+    * whose cosine to ANY held-out eval vector reaches [[SemContCosine]],
+    * reporting how many eval vectors it collides with and the worst
+    * (highest) similarity. Catches PARAPHRASED eval leakage that exact
+    * 8-gram matching structurally misses — the reason modern pipelines
+    * (e.g. the SemDeDup/D4 line of work) run both screens. The driver
+    * testdata has no separate eval table, so `vec_id % `[[EvalMod]]` == 0`
+    * stands in (the same convention as `decontam`'s BenchMod).
+    *
+    * Scale (100 TB): an eval suite is bounded (≤ 10⁵ vectors) and
+    * independent of corpus size, so the eval side BROADCASTS and the scan
+    * is one map-side Q·N cosine pass over the corpus — the knn_brute
+    * shape with a threshold instead of top-k, aggregating to ≤ one row
+    * per contaminated vector (count + max are both partial-aggregable,
+    * so at most one partial row per (vector, map task) crosses the
+    * shuffle). No corpus-sized shuffle, no pair materialization beyond
+    * the streamed scored rows.
+    */
+  private val EvalMod       = 10
+  private val SemContCosine = 0.40
+
+  def decontamSemantic(spark: SparkSession, dir: String): DataFrame =
+    decontamSemanticOn(emb(spark, dir))
+
+  def decontamSemanticOn(e: DataFrame): DataFrame =
+    decontamSemanticSplit(
+      e.filter(col("vec_id") % EvalMod =!= 0),
+      e.filter(col("vec_id") % EvalMod === 0))
+
+  /** Explicit train/eval split ((vec_id, v, n2) frames both sides) — the
+    * probe entry pins the eval side to the base id range so the scale
+    * axis is the CORPUS with the eval suite bounded, its real
+    * production shape (the knn_pq quadratic-query lesson).
+    */
+  private[graft] def decontamSemanticSplit(train: DataFrame, eval0: DataFrame): DataFrame = {
+    val ev = eval0
+      .select(col("vec_id").as("eval_id"), col("v").as("va"), col("n2").as("an2"))
+    train
+      .withColumnRenamed("v", "vb")
+      .crossJoin(broadcast(ev))
+      .withColumn("cosine", expr(dotExpr) / (sqrt(col("an2")) * sqrt(col("n2"))))
+      .filter(col("cosine") >= SemContCosine)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cosine")).as("max_cosine"))
+      .orderBy("vec_id")
+  }
+
+  val decontamSemanticSql: String =
+    s"""$EmbCte,
+       |ev AS (SELECT vec_id AS eval_id, v, n2 FROM e WHERE vec_id % $EvalMod = 0),
+       |tr AS (SELECT vec_id, v, n2 FROM e WHERE vec_id % $EvalMod <> 0),
+       |c AS (
+       |  SELECT tr.vec_id, ${cosSql("ev.v", "tr.v", "ev.n2", "tr.n2")} AS cosine
+       |  FROM ev CROSS JOIN tr)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |       max(cosine) AS max_cosine
+       |FROM c WHERE cosine >= $SemContCosine
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ---- knn_lsh: random-hyperplane LSH bucketed ANN ---------------------
   /** Sign-sketch LSH: 6 fixed random hyperplanes (md5-seeded, generated
     * once here and embedded as literals in BOTH the Spark plan and the
@@ -1075,6 +1136,7 @@ object Similarity {
     "dedup_embedding" -> (dedupEmbedding _, dedupEmbeddingSql),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _, dedupEmbeddingLshSql),
     "dedup_semantic"  -> (dedupSemantic _, dedupSemanticSql),
+    "decontam_semantic" -> (decontamSemantic _, decontamSemanticSql),
     "doc_pagerank"    -> (docPagerank _, docPagerankSql),
     "dup_triangles"   -> (dupTriangles _, dupTrianglesSql),
     "knn_join"        -> (knnJoin _, knnJoinSql),

@@ -52,7 +52,10 @@ class PlanLawsSpec extends SparkSpec {
     // set anchors (≤ K rows); the Q·N broadcast anchor/eval scans of
     // hard_negatives / knn_label_acc (the knn_brute shape); the L-row
     // (10-class) centroid fan-out of label_error_margin
-    "kcenter_select", "hard_negatives", "knn_label_acc", "label_error_margin")
+    "kcenter_select", "hard_negatives", "knn_label_acc", "label_error_margin",
+    // bounded eval-suite broadcast (corpus-size-independent) driving the
+    // Q·N threshold scan — the knn_brute shape with a filter, not top-k
+    "decontam_semantic")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
