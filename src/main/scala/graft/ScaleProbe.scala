@@ -250,6 +250,14 @@ object ScaleProbe {
       if (wanted("vocab_coverage"))
         time(spark, copies, "vocab_coverage")(
           graft.analytics.TextAnalytics.vocabCoverageOn(docs))
+      // quality_gate: output rows CONSTANT (one per source) while the
+      // corpus grows — the (source, qi) histogram cell space is bounded
+      // by sources × 10001 at ANY corpus size; replica docs get a
+      // synthetic source key since bigDocs carries (doc_id, text) only
+      if (wanted("quality_gate"))
+        time(spark, copies, "quality_gate")(
+          graft.analytics.TextAnalytics.qualityGateOn(
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(10))))))
       // token_budget_sample: same prefix-sum shape as training_order;
       // output is budget-bounded (S sources × ≤400 tokens) so rows stay
       // CONSTANT while the scanned corpus grows — the wall prices the

@@ -1731,6 +1731,89 @@ object TextAnalytics {
        |FROM tok LEFT JOIN v ON tok.token = v.token
        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin
 
+  // ---- quality_gate: per-source exact-histogram percentile cutoff -------
+  /** Adaptive quality gating: per ingestion source, the EXACT 10th-
+    * percentile cutoff of the integer quality score (the same
+    * ten-thousandths `qi` as `source_profile`), and how many documents an
+    * "drop each source's bottom decile" policy would remove. Per-source
+    * adaptive cutoffs are the curation policy that survives heterogeneous
+    * sources — a fixed global threshold would gut a low-register source
+    * and pass everything from a high-register one.
+    *
+    * This is the third quantile tier on the board, the one that is exact
+    * AND scales: `percentile` buffers every value per group (the
+    * `price_quantiles` small-group path), `approx_percentile` sketches
+    * (rank error), while here the bounded integer domain (qi ∈ [0,
+    * 10000]) makes the EXACT quantile a histogram problem — one
+    * partial-aggregable (source, qi) count whose cell space is ≤
+    * sources × 10001 REGARDLESS of corpus size, a running-sum window
+    * over those bounded cells (cutoff = min qi with 10·cum ≥ n, i.e.
+    * cum ≥ ⌈n/10⌉ — percentile_disc semantics in pure integers), and a
+    * broadcast join back over the histogram, never the corpus. One
+    * corpus-sized pass total (the qi projection, in codegen).
+    */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGateOn(Tables.documents(spark, dir))
+
+  private[graft] def qualityGateOn(docs: DataFrame): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    // qi spelling pinned to source_profile's (same doubles, same rounding)
+    val perDoc = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").as("n_stop"))
+      .withColumn("qi",
+        round((least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4
+          + (col("n_distinct") / col("n_tokens")) * 0.4
+          + (lit(1.0) - col("n_stop") / col("n_tokens")) * 0.2) * 10000, 0)
+          .cast("long"))
+    val hist = perDoc.groupBy(col("source"), col("qi")).agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
+    val cut = hist.join(broadcast(totals), "source")
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("source").orderBy("qi")))
+      .filter(col("cum") * 10 >= col("n_docs"))
+      .groupBy(col("source"), col("n_docs"))
+      .agg(min(col("qi")).as("p10_cut"))
+    val dropped = hist
+      .join(broadcast(cut.select(col("source"), col("p10_cut"))), "source")
+      .filter(col("qi") < col("p10_cut"))
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n_dropped"))
+    cut.join(dropped, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("p10_cut"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .orderBy("source")
+  }
+
+  val qualityGateSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |         CAST(round((least(len(toks) / 100.0, 1.0) * 0.4
+       |           + (len(list_distinct(toks)) / len(toks)) * 0.4
+       |           + (1.0 - len(list_filter(toks, t -> list_contains($stopList, t))) / len(toks)) * 0.2) * 10000, 0) AS BIGINT) AS qi
+       |  FROM t),
+       |h AS (SELECT source, qi, count(*) AS cnt FROM f GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+       |c AS (
+       |  SELECT h.source, qi, cnt, n_docs,
+       |         sum(cnt) OVER (PARTITION BY h.source ORDER BY qi) AS cum
+       |  FROM h JOIN tot USING (source)),
+       |cut AS (
+       |  SELECT source, n_docs, min(qi) AS p10_cut
+       |  FROM c WHERE cum * 10 >= n_docs GROUP BY 1, 2),
+       |drp AS (
+       |  SELECT h.source, CAST(sum(cnt) AS BIGINT) AS n_dropped
+       |  FROM h JOIN cut USING (source) WHERE h.qi < cut.p10_cut GROUP BY 1)
+       |SELECT source, n_docs, p10_cut, coalesce(n_dropped, 0) AS n_dropped
+       |FROM cut LEFT JOIN drp USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ---- stratified_sample: exact-k per-stratum uniform sample ------------
 
   private val StratKeep = 30
@@ -1796,6 +1879,7 @@ object TextAnalytics {
     "repetition_trim" -> (repetitionTrim _, repetitionTrimSql),
     "gram_novelty"    -> (gramNovelty _, gramNoveltySql),
     "vocab_coverage"  -> (vocabCoverage _, vocabCoverageSql),
+    "quality_gate"    -> (qualityGate _, qualityGateSql),
     "text_repetition" -> (textRepetition _, textRepetitionSql),
     "doc_chunks"      -> (docChunks _, docChunksSql),
     "corpus_pack"     -> (corpusPack _, corpusPackSql),

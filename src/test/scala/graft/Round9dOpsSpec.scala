@@ -27,6 +27,24 @@ class Round9dOpsSpec extends SparkSpec {
     assert(byId(100L) == ((100L, 20L, 0L, 0L)))  // filler: fully covered
   }
 
+  test("quality_gate: exact disc-percentile cutoff per source; strictly-below docs dropped") {
+    // All-distinct no-stopword docs make qi hand-computable:
+    // qi = round((min(n/100,1)·0.4 + 0.4 + 0.2)·10000) → n=10: 6400,
+    // n=20: 6800, n≥100: 10000.
+    def doc(id: Long, src: String, n: Int) =
+      (id, src, (1 to n).map(i => s"w${id}_$i").mkString(" "))
+    val s = doc(1L, "s", 10) +: (2L to 10L).map(doc(_, "s", 100))
+    // source t: one doc at 6400, one at 6800, 18 at 10000 → n=20,
+    // ceil(20/10)=2 ⇒ cum reaches 2 at qi=6800 ⇒ cut 6800, drop the 6400 doc
+    val t = Seq(doc(100L, "t", 10), doc(101L, "t", 20)) ++ (102L to 119L).map(doc(_, "t", 100))
+    val docs = (s ++ t).toDF("doc_id", "source", "text")
+    val got = TextAnalytics.qualityGateOn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // source s: n=10, ceil(10/10)=1 ⇒ cut = lowest qi cell (6400), nothing
+    // strictly below it ⇒ dropped 0 — the cut doc itself is KEPT
+    assert(got.toSeq == Seq(("s", 10L, 6400L, 0L), ("t", 20L, 6800L, 1L)))
+  }
+
   test("decontam_semantic: identical train vec flags, orthogonal does not, hits count eval vecs") {
     // 64-dim basis vectors; eval ids are % 10 == 0.
     def basis(i: Int): Array[Float] = Array.tabulate(64)(d => if (d == i) 1f else 0f)
