@@ -132,6 +132,14 @@ object ScaleProbe {
         time(spark, copies, "dedup_jaccard")(Dedup.dedupJaccardOn(Dedup.shingleSets(docs)))
       if (wanted("dedup_jaccard_char"))
         time(spark, copies, "dedup_jaccard_char")(Dedup.dedupJaccardOn(Dedup.charShingleSets(docs)))
+      // dedup_cosine: the weighted lexical join — replica token
+      // decoration perturbs the tf PROFILE, so cross-replica cosine
+      // falls below 9/10 and the candidate axis prices the L2 prefix
+      // filter against the growing posting lists
+      if (wanted("dedup_cosine"))
+        time(spark, copies, "dedup_cosine")(Dedup.dedupCosineOn(docs))
+      if (wanted("cosine_candidates"))
+        time(spark, copies, "cosine_candidates")(Dedup.cosineCandidatesOn(docs))
       if (wanted("char_candidates"))
         time(spark, copies, "char_candidates")(Dedup.prefixCandidatesOn(Dedup.charShingleSets(docs)))
       if (wanted("word_candidates"))

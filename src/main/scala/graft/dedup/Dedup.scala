@@ -3,6 +3,7 @@ package graft.dedup
 import graft.Tables
 import graft.functions.TextFeatures._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication — exact, MinHash-LSH, and SimHash — over the
@@ -257,6 +258,131 @@ object Dedup {
   // ---- dedup_jaccard_char: the char-n-gram flavor, same machinery ------
   def dedupJaccardChar(spark: SparkSession, dir: String): DataFrame =
     dedupJaccardOn(charShingleSets(spark, dir))
+
+  // ---- dedup_cosine: exact weighted-cosine near-dup pairs ---------------
+  /** Exact all-pairs WEIGHTED cosine over shingle-frequency count
+    * vectors: every pair with cos(A,B) = Σ aᵢbᵢ / (‖A‖‖B‖) ≥
+    * [[CosNum]]/[[CosDen]], where aᵢ counts occurrences of word 3-gram i
+    * (the SAME shingle space as `dedup_jaccard`, WITHOUT the distinct).
+    * The weighted member of the lexical family — Jaccard and containment
+    * see only the shingle SET, so a page that repeats one passage 50×
+    * and a page containing it once look identical to them; count-
+    * weighted cosine distinguishes emphasis/repetition while staying
+    * invariant to self-concatenation (which scales every count equally).
+    * Unigram tf vectors would be the textbook formulation, but unigram
+    * vocabulary SATURATES (every doc shares the stop terms, posting
+    * lists go linear in N and candidates all-pairs — measured: 111 s at
+    * the 1× probe before this was reworked); the shingle space is the
+    * same fix Jaccard uses — df stays small, the index stays selective.
+    *
+    * Candidate generation is the L2 suffix-mass prefix filter (the bound
+    * behind Bayardo-Ma-Srikant's all-pairs similarity search, WWW'07):
+    * under any canonical global shingle order, if B first shares a
+    * shingle with A at A's position j, then by Cauchy-Schwarz cos(A,B) ≤
+    * √(Σ_{i≥j} aᵢ²)/‖A‖ — so positions whose tail squared mass falls
+    * below t²·‖A‖² can never originate a qualifying pair and are not
+    * indexed. At t = 9/10 the indexed prefix carries only the first 19%
+    * of each document's squared mass. The filter runs entirely in
+    * integer arithmetic (suffix_sq·den² ≥ na2·num² — doubles could
+    * undershoot the boundary and silently lose recall, the
+    * [[ThreshNum]] lesson); recall is EXACT, so the naive-quadratic
+    * oracle needs no knowledge of the filter. Verification is the
+    * standard SSJoin shape: candidate pairs re-join the posting lists
+    * and the dot product partial-aggregates on the pair key.
+    *
+    * Scale (100 TB): one (doc, shingle) count aggregate; the df/order
+    * table joins once; prefix windows are PER-DOC (bounded by document
+    * length); candidates join prefix postings × full postings on the
+    * 8-byte shingle hash — never all pairs; the verify stream is
+    * candidate × shared-shingle sized with a partial-aggregable integer
+    * sum. The residual hazard is boilerplate shingles (the candidate
+    * join's skew axis) — the same trade the Jaccard AllPairs documents.
+    */
+  private val CosNum = 9
+  private val CosDen = 10
+
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame =
+    dedupCosineOn(Tables.documents(spark, dir))
+
+  /** (doc_id, th, c) shingle-count postings off a documents frame. */
+  private def cosinePostings(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), xxhash64(col("term")).as("th"), col("c"))
+      .repartition(col("doc_id"))
+
+  /** Prefix-filtered candidate pairs (probe/diagnostic entry — prices
+    * the L2 suffix-mass filter's pruning against the all-pairs count).
+    */
+  private[graft] def cosineCandidatesOn(docs: DataFrame): DataFrame = {
+    val tc = cosinePostings(docs)
+    cosineCandidates(tc, tc.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("na2")))
+  }
+
+  private def cosineCandidates(tc: DataFrame, n2: DataFrame): DataFrame = {
+    val dfT = tc.groupBy(col("th")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("th").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefix = tc.join(dfT, "th")
+      .join(n2, "doc_id")
+      .withColumn("suffix_sq", sum(col("c") * col("c")).over(w))
+      .filter(col("suffix_sq") * lit(CosDen * CosDen) >= col("na2") * lit(CosNum * CosNum))
+      .select(col("doc_id").as("id1"), col("th"))
+    prefix
+      .join(tc.select(col("doc_id").as("id2"), col("th")), "th")
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  private[graft] def dedupCosineOn(docs: DataFrame): DataFrame = {
+    val tc  = cosinePostings(docs)
+    val n2  = tc.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("na2"))
+    val cand = cosineCandidates(tc, n2)
+    val dot = cand
+      .join(tc.select(col("doc_id").as("id1"), col("th"), col("c").as("ca")), Seq("id1"))
+      .join(tc.select(col("doc_id").as("id2"), col("th"), col("c").as("cb")), Seq("id2", "th"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+    dot
+      .join(n2.select(col("doc_id").as("id1"), col("na2")), "id1")
+      .join(n2.select(col("doc_id").as("id2"), col("na2").as("nb2")), "id2")
+      .filter(col("dot") * col("dot") * lit(CosDen * CosDen)
+        >= col("na2") * col("nb2") * lit(CosNum * CosNum))
+      .select(col("id1").as("doc_id_1"), col("id2").as("doc_id_2"),
+        (col("dot") / sqrt((col("na2") * col("nb2")).cast("double"))).as("cosine"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  val dedupCosineSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+       |  FROM t),
+       |tc AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+       |n2 AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM tc GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       |  FROM tc a JOIN tc b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_id_1, doc_id_2,
+       |       dot / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cosine
+       |FROM p JOIN n2 x ON doc_id_1 = x.doc_id JOIN n2 y ON doc_id_2 = y.doc_id
+       |WHERE dot * dot * ${CosDen * CosDen} >= ${CosNum * CosNum} * x.n2 * y.n2
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
 
   // ---- dedup_containment: asymmetric shingle containment ---------------
   /** Sub-document duplication: pairs where the SMALLER document's shingle
@@ -947,6 +1073,7 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _, jaccardOracleSql),
     "dedup_containment" -> (dedupContainment _, containmentOracleSql),
     "dedup_jaccard_char" -> (dedupJaccardChar _, jaccardCharOracleSql),
+    "dedup_cosine"  -> (dedupCosine _, dedupCosineSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
     "dedup_components" -> (dedupComponents _, dedupComponentsSql),
     "dedup_components_altstar" -> (dedupComponentsAltstar _, dedupComponentsSql),
