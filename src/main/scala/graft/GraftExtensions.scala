@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, PqArgminCode, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
+import graft.functions.{DotSorted, FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, PqArgminCode, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -81,6 +81,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "overlap_sorted takes exactly 2 arguments")
         OverlapSorted(children.head, children(1))
+      }),
+    (FunctionIdentifier("dot_sorted"),
+      new ExpressionInfo(classOf[DotSorted].getName, "dot_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "dot_sorted takes (keysA, countsA, keysB, countsB)")
+        DotSorted(children.head, children(1), children(2), children(3))
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

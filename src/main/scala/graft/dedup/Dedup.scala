@@ -344,17 +344,26 @@ object Dedup {
   }
 
   private[graft] def dedupCosineOn(docs: DataFrame): DataFrame = {
-    val tc  = cosinePostings(docs)
-    val n2  = tc.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("na2"))
-    val cand = cosineCandidates(tc, n2)
-    val dot = cand
-      .join(tc.select(col("doc_id").as("id1"), col("th"), col("c").as("ca")), Seq("id1"))
-      .join(tc.select(col("doc_id").as("id2"), col("th"), col("c").as("cb")), Seq("id2", "th"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(sum(col("ca") * col("cb")).as("dot"))
-    dot
-      .join(n2.select(col("doc_id").as("id1"), col("na2")), "id1")
-      .join(n2.select(col("doc_id").as("id2"), col("na2").as("nb2")), "id2")
+    graft.GraftExtensions.register(docs.sparkSession)
+    val tc = cosinePostings(docs)
+    // per-doc packed postings: sorted parallel (keys, counts) arrays +
+    // squared norm, built once per DOCUMENT so the per-PAIR verify is a
+    // single native two-pointer loop (`dot_sorted`) instead of a posting
+    // re-join + pair-keyed aggregate shuffle — the same amortization
+    // verifyJaccard gets from jaccard_sorted
+    val packed = tc.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("th"), col("c")))).as("p"))
+      .select(col("doc_id"),
+        expr("transform(p, x -> x.th)").as("ks"),
+        expr("transform(p, x -> x.c)").as("cs"),
+        expr("aggregate(p, cast(0 as bigint), (s, x) -> s + x.c * x.c)").as("na2"))
+    val cand = cosineCandidates(tc, packed.select(col("doc_id"), col("na2")))
+    cand
+      .join(packed.select(col("doc_id").as("id1"), col("ks").as("ks1"),
+        col("cs").as("cs1"), col("na2")), "id1")
+      .join(packed.select(col("doc_id").as("id2"), col("ks").as("ks2"),
+        col("cs").as("cs2"), col("na2").as("nb2")), "id2")
+      .withColumn("dot", expr("dot_sorted(ks1, cs1, ks2, cs2)"))
       .filter(col("dot") * col("dot") * lit(CosDen * CosDen)
         >= col("na2") * col("nb2") * lit(CosNum * CosNum))
       .select(col("id1").as("doc_id_1"), col("id2").as("doc_id_2"),
