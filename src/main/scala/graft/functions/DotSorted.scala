@@ -25,6 +25,8 @@ case class DotSorted(first: Expression, second: Expression,
 
   override def dataType: DataType = LongType
 
+  override def prettyName: String = "dot_sorted"
+
   override def checkInputDataTypes(): TypeCheckResult =
     children.map(_.dataType) match {
       case Seq(ArrayType(LongType, _), ArrayType(LongType, _),
