@@ -1629,18 +1629,25 @@ object TextAnalytics {
     * Gram spelling is [[docGrams]]' (the decontam contract).
     *
     * Scale (100 TB): two partial-aggregable hash aggregates — the gram
-    * stream shuffles once on the 8-byte gram hash for the df count, the
-    * df table joins back on the SAME key (exchange reuse, no second
-    * gram-stream shuffle), then one doc-keyed rollup. No pair axis; the
-    * df table is gram-distinct-sized but never collected or broadcast.
+    * stream is extracted ONCE (localCheckpoint; the plan's two consumers
+    * would otherwise each re-run the corpus scan + gram explode —
+    * measured, see gramNoveltyOn), shuffles once on the 8-byte gram
+    * hash, the df table joins back on the same key, then one doc-keyed
+    * rollup. No pair axis; the df table is gram-distinct-sized but never
+    * collected or broadcast.
     */
   def gramNovelty(spark: SparkSession, dir: String): DataFrame =
     gramNoveltyOn(Tables.documents(spark, dir))
 
   private[graft] def gramNoveltyOn(docs: DataFrame): DataFrame = {
+    // localCheckpoint: the gram stream feeds BOTH the df aggregate and
+    // the join probe side — without truncation each branch re-extracts
+    // every gram from the scan (measured: zero ReusedExchange, the
+    // repartition alone does not get shared once the df side broadcasts)
     val g = docGrams(docs)
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .repartition(col("gh"))
+      .localCheckpoint(eager = false)
     val df = g.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val per = g.join(df, "gh")
       .groupBy(col("doc_id"))
