@@ -304,7 +304,12 @@ object Dedup {
   def dedupCosine(spark: SparkSession, dir: String): DataFrame =
     dedupCosineOn(Tables.documents(spark, dir))
 
-  /** (doc_id, th, c) shingle-count postings off a documents frame. */
+  /** (doc_id, th, c) shingle-count postings off a documents frame.
+    * localCheckpointed: the posting frame has up to six consumers across
+    * candidate generation and verify (df table, prefix window, probe
+    * side, pack) — without truncation each re-runs the corpus scan +
+    * shingle explode + count (explain audit: scans=6, reused=0).
+    */
   private def cosinePostings(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -318,6 +323,7 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), xxhash64(col("term")).as("th"), col("c"))
       .repartition(col("doc_id"))
+      .localCheckpoint(eager = false)
 
   /** Prefix-filtered candidate pairs (probe/diagnostic entry — prices
     * the L2 suffix-mass filter's pruning against the all-pairs count).
@@ -357,6 +363,7 @@ object Dedup {
         expr("transform(p, x -> x.th)").as("ks"),
         expr("transform(p, x -> x.c)").as("cs"),
         expr("aggregate(p, cast(0 as bigint), (s, x) -> s + x.c * x.c)").as("na2"))
+      .localCheckpoint(eager = false) // three consumers: n2 + both verify sides
     val cand = cosineCandidates(tc, packed.select(col("doc_id"), col("na2")))
     cand
       .join(packed.select(col("doc_id").as("id1"), col("ks").as("ks1"),
