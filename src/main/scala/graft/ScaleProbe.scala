@@ -262,6 +262,12 @@ object ScaleProbe {
       // corpus grows — the (source, qi) histogram cell space is bounded
       // by sources × 10001 at ANY corpus size; replica docs get a
       // synthetic source key since bigDocs carries (doc_id, text) only
+      // source_rebalance: constant 10-row output (synthetic source key,
+      // like quality_gate) while the corpus token sum grows 100×
+      if (wanted("source_rebalance"))
+        time(spark, copies, "source_rebalance")(
+          graft.analytics.TextAnalytics.sourceRebalanceOn(
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(10))))))
       if (wanted("quality_gate"))
         time(spark, copies, "quality_gate")(
           graft.analytics.TextAnalytics.qualityGateOn(

@@ -837,6 +837,53 @@ object TextAnalytics {
     * is 5 rows). Languages outside the rate table default to rate 0
     * (drop) — an explicit mixture is a whitelist.
     */
+  // ---- source_rebalance: α-temperature mixture weights -----------------
+  /** Temperature-sampled mixture design (the multilingual/multi-source
+    * rebalancing rule: sample source s with probability ∝ n_s^α,
+    * α = 1/2): per source, its token count, the integer weight
+    * `floor(√n_tokens)`, and the exact permille share `weight·1000 div
+    * Σweight` the α-tempered mixture assigns it. Flattens the head and
+    * lifts the tail relative to natural proportions — the knob between
+    * α=1 (natural, head-dominated) and α=0 (uniform, tail-noise-
+    * dominated); `corpus_mix` consumes rates like these as its
+    * whitelist, `token_budget_sample` enforces the resulting budgets.
+    * √n via IEEE double sqrt (correctly rounded, identical in Spark and
+    * DuckDB) then floor — deterministic cross-engine; share math all
+    * integer.
+    *
+    * Scale (100 TB): one corpus scan into a partial-aggregable
+    * per-source token sum (≤ sources rows cross the shuffle), a 1-row
+    * total broadcast back over the source rows — output is
+    * sources-sized regardless of corpus size.
+    */
+  def sourceRebalance(spark: SparkSession, dir: String): DataFrame =
+    sourceRebalanceOn(Tables.documents(spark, dir))
+
+  private[graft] def sourceRebalanceOn(docs: DataFrame): DataFrame = {
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("weight")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        expr("(weight * 1000) div tw").as("share_pm"))
+      .orderBy("source")
+  }
+
+  val sourceRebalanceSql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM per),
+      |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
+      |SELECT source, n_tokens, weight, (weight * 1000) // tw AS share_pm
+      |FROM w CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   def corpusMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rates = MixRates.toDF("lang", "rate_pct")
@@ -1908,6 +1955,7 @@ object TextAnalytics {
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),
     "decontam"        -> (decontam _, decontamSql),
     "corpus_mix"      -> (corpusMix _, corpusMixSql),
+    "source_rebalance" -> (sourceRebalance _, sourceRebalanceSql),
     "tfidf_topk"      -> (tfidfTopk _, tfidfTopkSql),
     "tfidf_topk_log"  -> (tfidfTopkLog _, tfidfTopkLogSql),
     "source_profile"  -> (sourceProfile _, sourceProfileSql),

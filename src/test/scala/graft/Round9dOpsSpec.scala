@@ -45,6 +45,21 @@ class Round9dOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("s", 10L, 6400L, 0L), ("t", 20L, 6800L, 1L)))
   }
 
+  test("source_rebalance: sqrt temperature flattens the head and lifts the tail") {
+    // sources with 16 / 4 / 1 tokens → weights 4 / 2 / 1, tw = 7
+    val docs = Seq(
+      (1L, "a", (1 to 16).map(i => s"x$i").mkString(" ")),
+      (2L, "b", (1 to 4).map(i => s"y$i").mkString(" ")),
+      (3L, "c", "z1"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalytics.sourceRebalanceOn(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("a", 16L, 4L, 571L), ("b", 4L, 2L, 285L), ("c", 1L, 1L, 142L)))
+    // temperature law: head share below natural proportion, tail above
+    assert(571 < 16 * 1000 / 21 && 142 > 1 * 1000 / 21)
+  }
+
   test("decontam_semantic: identical train vec flags, orthogonal does not, hits count eval vecs") {
     // 64-dim basis vectors; eval ids are % 10 == 0.
     def basis(i: Int): Array[Float] = Array.tabulate(64)(d => if (d == i) 1f else 0f)
