@@ -55,7 +55,9 @@ class PlanLawsSpec extends SparkSpec {
     "kcenter_select", "hard_negatives", "knn_label_acc", "label_error_margin",
     // bounded eval-suite broadcast (corpus-size-independent) driving the
     // Q·N threshold scan — the knn_brute shape with a filter, not top-k
-    "decontam_semantic")
+    "decontam_semantic",
+    // 1-row total-weight anchor cross-joined over the sources-sized frame
+    "source_rebalance")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
