@@ -369,13 +369,19 @@ object StarAnalytics {
     val ev     = Tables.events(spark, dir)
     val anchor = ev.agg(max(col("ts")).as("now"))
     val withNow = ev.crossJoin(broadcast(anchor))
+    // localCheckpoint: each user set is consumed TWICE by the set ops —
+    // without truncation the event scan + distinct shuffle re-ran once
+    // per use (explain audit: scans=12); the checkpointed frames are
+    // user-distinct-sized, far below the event stream
     val recent = withNow
       .filter(col("ts") >= col("now") - expr("INTERVAL 30 DAYS"))
       .select("user_id").distinct()
+      .localCheckpoint(eager = false)
     val prior = withNow
       .filter(col("ts") < col("now") - expr("INTERVAL 30 DAYS")
         && col("ts") >= col("now") - expr("INTERVAL 60 DAYS"))
       .select("user_id").distinct()
+      .localCheckpoint(eager = false)
     prior.except(recent).withColumn("status", lit("churned"))
       .unionByName(recent.except(prior).withColumn("status", lit("new")))
       .unionByName(recent.intersect(prior).withColumn("status", lit("retained")))
