@@ -865,9 +865,12 @@ object TextAnalytics {
       .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
       .withColumn("weight", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val tot = per.agg(sum(col("weight")).as("tw"))
+    // nullif guard: with every source empty (tw = 0) Spark's div would
+    // return NULL but DuckDB's // raises division-by-zero — nullif on
+    // both engines makes the degenerate corpus yield NULL shares there too
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("weight"),
-        expr("(weight * 1000) div tw").as("share_pm"))
+        expr("(weight * 1000) div nullif(tw, 0)").as("share_pm"))
       .orderBy("source")
   }
 
@@ -880,7 +883,7 @@ object TextAnalytics {
       |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
       |  FROM per),
       |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w)
-      |SELECT source, n_tokens, weight, (weight * 1000) // tw AS share_pm
+      |SELECT source, n_tokens, weight, (weight * 1000) // nullif(tw, 0) AS share_pm
       |FROM w CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
@@ -1682,6 +1685,13 @@ object TextAnalytics {
     * hash, the df table joins back on the same key, then one doc-keyed
     * rollup. No pair axis; the df table is gram-distinct-sized but never
     * collected or broadcast.
+    *
+    * Hash caveat (the line_dedup convention): df groups `xxhash64(gram)`
+    * while the oracle groups the raw gram string, so a 64-bit collision
+    * (~n²/2⁶⁵ expected pairs) would merge two distinct grams on the
+    * Spark side only — exactness holds modulo that negligible event,
+    * not unconditionally. Same asymmetry in repetitionTrim's segment
+    * grouping.
     */
   def gramNovelty(spark: SparkSession, dir: String): DataFrame =
     gramNoveltyOn(Tables.documents(spark, dir))

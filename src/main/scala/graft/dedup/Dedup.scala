@@ -314,11 +314,16 @@ object Dedup {
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // sub-3-token guard (the docGrams pattern): Spark's sequence(1, -1)
+      // DESCENDS through 0 and element_at(toks, 0) throws, while DuckDB's
+      // generate_series(1, -1) is simply empty — the IF makes both
+      // engines emit zero terms for docs too short to shingle
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ',
-          |              element_at(toks, i + 1), ' ',
-          |              element_at(toks, i + 2)))""".stripMargin)).as("term"))
+        """IF(size(toks) < 3, array(),
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> concat(element_at(toks, i), ' ',
+          |                element_at(toks, i + 1), ' ',
+          |                element_at(toks, i + 2))))""".stripMargin)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("c"))
       .select(col("doc_id"), xxhash64(col("term")).as("th"), col("c"))
@@ -371,6 +376,13 @@ object Dedup {
       .join(packed.select(col("doc_id").as("id2"), col("ks").as("ks2"),
         col("cs").as("cs2"), col("na2").as("nb2")), "id2")
       .withColumn("dot", expr("dot_sorted(ks1, cs1, ks2, cs2)"))
+      // Exactness bound: the integer predicate needs dot²·CosDen² and
+      // na2·nb2·CosNum² < 2⁶³, i.e. per-doc squared norms na2 = Σc² up
+      // to ~3.3e8 (a doc repeating one 3-gram ~18k times). Past that,
+      // Spark wraps silently while DuckDB raises on BIGINT overflow —
+      // production guards pathological repeaters upstream (repetition
+      // trim) or swaps the predicate to decimal(38,0) at ~2× verify
+      // cost; the corpus here is ~5 orders of magnitude below the bound.
       .filter(col("dot") * col("dot") * lit(CosDen * CosDen)
         >= col("na2") * col("nb2") * lit(CosNum * CosNum))
       .select(col("id1").as("doc_id_1"), col("id2").as("doc_id_2"),

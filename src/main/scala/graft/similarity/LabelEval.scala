@@ -231,6 +231,12 @@ object LabelEval {
     * is the exact nonnegative-remainder-corrected multiple of n, so the
     * quotient is floor(s/n) under either truncating or flooring `div`,
     * identically in Spark and DuckDB.
+    *
+    * Precondition: the corpus must carry ≥ 2 distinct labels. With a
+    * single label the rival aggregate is empty and the inner join
+    * returns ZERO rows rather than margins — "no rival centroid exists"
+    * has no meaningful margin, and the SQL oracle degenerates
+    * identically, so parity holds even on that edge.
     */
   def labelErrorMargin(spark: SparkSession, dir: String): DataFrame =
     labelErrorMarginOn(Tables.embeddings(spark, dir))
