@@ -4,7 +4,7 @@ import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, Star
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.operators.Layout
-import graft.similarity.{KMeansExact, LabelEval, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
+import graft.similarity.{IvfTrained, KMeansExact, LabelEval, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
 import graft.streaming.TrendingTokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -22,7 +22,8 @@ object SparkEntry {
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
-      Quantize.registry, PcaPower.registry, KMeansExact.registry, Multimodal.registry,
+      Quantize.registry, PcaPower.registry, KMeansExact.registry, IvfTrained.registry,
+      Multimodal.registry,
       Layout.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry,
       TrendingTokens.registry, LabelEval.registry)
 

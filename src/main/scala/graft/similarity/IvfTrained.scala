@@ -1,0 +1,136 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF routing over TRAINED coarse centroids — the production-recall
+  * answer to the round-9 finding that the √N modular rule pays honest
+  * routing recall 0.28/0.18 on near-isotropic geometry: route against
+  * [[KMeansExact]]'s Lloyd-refined centroids instead of a raw id-rule
+  * subsample. Because that fit is EXACT-INTEGER (fixed-point centroid
+  * means, no IEEE division), the trained routing is fully
+  * ORACLE-CHECKABLE — unlike the float `vec_sum` refinement
+  * ([[Similarity.knnIvfTrainedOn]], deliberately spec-only) — so this
+  * tier closes the gap between "trained centroids exist as a component"
+  * and "the composed, oracle-gated ANN path routes through them".
+  *
+  * Assignment metric is exact integer L2 on the quantized vectors (the
+  * FAISS IVF convention); the corpus embeddings are unit-norm (measured:
+  * ‖x‖ = 1 ± 4e-8 at every SF), so L2 and cosine induce the same
+  * neighbor order and the L2-routed buckets are exactly the cosine
+  * Voronoi cells the scorer wants.
+  *
+  * Scale (100 TB): routing is one broadcast of the K-row centroid table
+  * against the quantized corpus — N·K codegen'd [[graft.functions.SqDistI64]]
+  * distances, argmin as a partial-aggregable min_by (one row per vector
+  * crosses the shuffle). K here is the fit's constant 20 (the
+  * oracle-gate contract); production composes the SAME routing with a
+  * √N-sized seed rule so bucket size and assignment cost balance — the
+  * mechanism is seed-count-agnostic.
+  *
+  * Reference has no vector operators; this is the LLM-pipeline
+  * extension tier (builder brief), composed from kmeans_fit +
+  * knn_ivf machinery.
+  */
+object IvfTrained {
+
+  private val TopK     = 10
+  private val QueryMod = 100
+  private val CScale   = KMeansExact.CScale
+
+  /** Probed buckets per query. K = 20 trained cells, so 5 probes scan
+    * ~25% of the corpus per query — chosen from the measured
+    * nprobe-recall curve (PLANS.md round-10 table: the knee where
+    * composed recall@10 clears 0.9 at 1× and 0.7 at the 10× probe while
+    * the scan fraction stays ≤ nprobe/K).
+    */
+  private[graft] val NProbe = 5
+
+  /** Trained-routing member pairs (query_id, vec_id): every vector of
+    * the nprobe trained buckets closest to each query, query itself
+    * excluded — the composition point [[Similarity.scoreMembers]] (exact
+    * cosine) and [[PqAnn]]'s ADC scan plug into.
+    */
+  private[graft] def trainedMembersOn(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    // quantized corpus pre-scaled to the centroid fixed point, so every
+    // distance is one codegen'd integer loop against the K-row broadcast
+    val q = KMeansExact.quantized(emb)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .select(col("vec_id"), expr(s"transform(qv, x -> ${CScale}L * x)").as("sqv"))
+      .localCheckpoint(eager = false) // two consumers: assignment + probe side
+    val c = KMeansExact.centroidsPacked(emb)
+    val assign = q.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("sq_dist_i64(sqv, cv)").as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"), struct(col("d2"), col("centroid_id")))
+        .as("centroid_id"))
+    // probes: top-nprobe trained cells per query — the window ranks K
+    // rows per query (K constant), never a corpus-sized partition
+    val wp = Window.partitionBy("query_id").orderBy(col("d2").asc, col("centroid_id").asc)
+    val probes = q.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("sqv"))
+      .crossJoin(broadcast(c))
+      .select(col("query_id"), col("centroid_id"),
+        expr("sq_dist_i64(sqv, cv)").as("d2"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    probes.join(assign, "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  // ---- knn_ivf_trained: trained routing + exact cosine rerank ----------
+  /** The `knn_ivf` contract (query_id, neighbor_id, rank, cosine) with
+    * the modular centroid subsample replaced by the Lloyd-trained cells:
+    * exact cosine over the routed members only.
+    */
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    Similarity.scoreMembers(Similarity.withNorms(raw), trainedMembersOn(raw))
+  }
+
+  /** Routing CTE chain (WITH-less): the kmeans fit chain + one more
+    * assignment pass against its final centroids (`kasg`), the per-query
+    * probe ranking (`kprobes`), and the routed `members` — shared
+    * verbatim by the exact-cosine and ADC-rerank oracles so both route
+    * identically by construction.
+    */
+  private[graft] val trainedMembersSqlChain: String =
+    s"""${KMeansExact.kmeansChainSql},
+       |kasg AS MATERIALIZED (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT vec_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+       |    FROM (SELECT ke0.vec_id, c.centroid_id,
+       |                 CAST(sum(($CScale * ke0.q - c.ci) * ($CScale * ke0.q - c.ci)) AS BIGINT) AS d2
+       |          FROM ke0 JOIN ${KMeansExact.finalCentroidCte} c USING (i)
+       |          GROUP BY 1, 2)) WHERE rn = 1),
+       |kprobes AS MATERIALIZED (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT vec_id AS query_id, centroid_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+       |    FROM (SELECT ke0.vec_id, c.centroid_id,
+       |                 CAST(sum(($CScale * ke0.q - c.ci) * ($CScale * ke0.q - c.ci)) AS BIGINT) AS d2
+       |          FROM ke0 JOIN ${KMeansExact.finalCentroidCte} c USING (i)
+       |          WHERE ke0.vec_id % $QueryMod = 0
+       |          GROUP BY 1, 2)) WHERE rn <= $NProbe),
+       |members AS MATERIALIZED (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM kprobes p JOIN kasg a USING (centroid_id)
+       |  WHERE p.query_id <> a.vec_id)""".stripMargin
+
+  val knnIvfTrainedSql: String =
+    s"""WITH $trainedMembersSqlChain,
+       |${Similarity.EmbCteBody},
+       |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % $QueryMod = 0),
+       |${Similarity.ivfScoredSql}""".stripMargin
+
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "knn_ivf_trained" -> (knnIvfTrained _, knnIvfTrainedSql),
+  )
+}

@@ -38,10 +38,10 @@ object KMeansExact {
   private val Dims = 64
 
   /** Component quantization: floor(e · 1000). */
-  private val QScale = 1000.0
+  private[graft] val QScale = 1000.0
 
   /** Centroid fixed-point scale (six fraction bits). */
-  private val CScale = 64L
+  private[graft] val CScale = 64L
 
   /** Fixed Lloyd rounds. */
   private val Rounds = 3
@@ -53,11 +53,21 @@ object KMeansExact {
   def kmeansFit(spark: SparkSession, dir: String): DataFrame =
     kmeansFitOn(Tables.embeddings(spark, dir), Rounds)
 
-  private[graft] def kmeansFitOn(emb: DataFrame, rounds: Int): DataFrame = {
-    val e = emb.select(col("vec_id"),
-        expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
-          .as("qv"))
-      .localCheckpoint(eager = false)
+  /** Quantized integer frame (vec_id, qv) with qv[i] = floor(eᵢ·QScale)
+    * — the shared input of the fit and of [[IvfTrained]]'s routing.
+    */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+        .as("qv"))
+
+  /** The trained centroid table in PACKED form (centroid_id,
+    * cv: array<bigint> at the CScale fixed point) — what
+    * [[IvfTrained]] routes against; [[kmeansFitOn]] explodes it into
+    * the oracle-checked (centroid_id, dim, c) rows.
+    */
+  private[graft] def centroidsPacked(emb: DataFrame, rounds: Int = Rounds): DataFrame = {
+    val e = quantized(emb).localCheckpoint(eager = false)
     // seeds: n = 1 members ⇒ the fixed-point mean is exactly CScale·q
     var c = e.filter(col("vec_id") % SeedMod === 0 && col("vec_id") < SeedMax)
       .select(col("vec_id").as("centroid_id"),
@@ -86,44 +96,57 @@ object KMeansExact {
         .agg(expr("transform(sort_array(collect_list(struct(p, ci))), s -> s.ci)").as("cv"))
         .localCheckpoint(eager = false)
     }
-    c.select(col("centroid_id"), posexplode(col("cv")).as(Seq("p", "ci")))
-      .select(col("centroid_id"), (col("p") + 1).cast("int").as("dim"), col("ci").as("c"))
-      .orderBy("centroid_id", "dim")
+    c
   }
 
+  private[graft] def kmeansFitOn(emb: DataFrame, rounds: Int): DataFrame =
+    centroidsPacked(emb, rounds)
+      .select(col("centroid_id"), posexplode(col("cv")).as(Seq("p", "ci")))
+      .select(col("centroid_id"), (col("p") + 1).cast("int").as("dim"), col("ci").as("c"))
+      .orderBy("centroid_id", "dim")
+
   /** The same [[Rounds]] Lloyd rounds unrolled into DuckDB CTEs over the
-    * exploded integer frame: round r derives pair distances `d_r`, the
-    * row-number argmin `a_r`, and the fixed-point centroid table `c_r`.
+    * exploded integer frame: round r derives pair distances `kd_r`, the
+    * row-number argmin `ka_r`, and the fixed-point centroid table `kc_r`.
+    * All CTE names carry a `k` prefix so the chain composes side-by-side
+    * with the PQ chain ([[PqAnn]]'s `e0`/`c0`/… names) in the
+    * trained-routing oracles ([[IvfTrained]]).
     */
-  val kmeansFitSql: String = {
+  private[graft] val kmeansChainSql: String = {
     val rounds = (1 to Rounds).map { r =>
-      s"""d$r AS MATERIALIZED (
-         |  SELECT e0.vec_id, c.centroid_id,
-         |         CAST(sum(($CScale * e0.q - c.ci) * ($CScale * e0.q - c.ci)) AS BIGINT) AS d2
-         |  FROM e0 JOIN c${r - 1} c USING (i) GROUP BY 1, 2),
-         |a$r AS MATERIALIZED (
+      s"""kd$r AS MATERIALIZED (
+         |  SELECT ke0.vec_id, c.centroid_id,
+         |         CAST(sum(($CScale * ke0.q - c.ci) * ($CScale * ke0.q - c.ci)) AS BIGINT) AS d2
+         |  FROM ke0 JOIN kc${r - 1} c USING (i) GROUP BY 1, 2),
+         |ka$r AS MATERIALIZED (
          |  SELECT vec_id, centroid_id FROM (
          |    SELECT vec_id, centroid_id,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
-         |    FROM d$r) WHERE rn = 1),
-         |c$r AS MATERIALIZED (
+         |    FROM kd$r) WHERE rn = 1),
+         |kc$r AS MATERIALIZED (
          |  SELECT centroid_id, i,
          |         ($CScale * s - (($CScale * s % n + n) % n)) // n AS ci
-         |  FROM (SELECT a.centroid_id, e0.i, CAST(sum(e0.q) AS BIGINT) AS s,
+         |  FROM (SELECT a.centroid_id, ke0.i, CAST(sum(ke0.q) AS BIGINT) AS s,
          |               CAST(count(*) AS BIGINT) AS n
-         |        FROM a$r a JOIN e0 USING (vec_id) GROUP BY 1, 2))""".stripMargin
+         |        FROM ka$r a JOIN ke0 USING (vec_id) GROUP BY 1, 2))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
+    s"""ke0 AS MATERIALIZED (
        |  SELECT vec_id, i,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
        |  FROM embeddings, generate_series(1, $Dims) AS g(i)),
-       |c0 AS MATERIALIZED (
-       |  SELECT vec_id AS centroid_id, i, $CScale * q AS ci FROM e0
+       |kc0 AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, i, $CScale * q AS ci FROM ke0
        |  WHERE vec_id % $SeedMod = 0 AND vec_id < $SeedMax),
-       |$rounds
-       |SELECT centroid_id, CAST(i AS INTEGER) AS dim, ci AS c
-       |FROM c$Rounds ORDER BY centroid_id, dim""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  /** Name of the chain's final centroid CTE (centroid_id, i, ci). */
+  private[graft] val finalCentroidCte: String = s"kc$Rounds"
+
+  val kmeansFitSql: String =
+    s"""WITH $kmeansChainSql
+       |SELECT centroid_id, CAST(i AS INTEGER) AS dim, ci AS c
+       |FROM $finalCentroidCte ORDER BY centroid_id, dim""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "kmeans_fit" -> (kmeansFit _, kmeansFitSql),

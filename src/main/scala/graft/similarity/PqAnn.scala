@@ -226,6 +226,59 @@ object PqAnn {
       .orderBy("query_id", "rank")
   }
 
+  // ---- knn_ivf_pq_rerank: trained routing × ADC shortlist × exact rerank
+  /** The full production composition the round-9 verdict named: TRAINED
+    * coarse routing ([[IvfTrained.trainedMembersOn]] — Lloyd-refined
+    * exact-integer centroids, oracle-checked), ADC scan restricted to
+    * the routed members, over-fetch of `tier.fetch` candidates per
+    * query, then EXACT integer-L2 rerank on the full quantized vectors.
+    * Each stage buys its own property: routing cuts the scan to
+    * nprobe buckets, PQ codes make the in-bucket scan table-lookup
+    * cheap, the rerank makes the final ordering exact over whatever the
+    * shortlist surfaced — so composed recall = routing recall ×
+    * shortlist recall, each measured separately by
+    * [[graft.tools.RecallProbe]].
+    *
+    * Scale: the routed ADC stream is |queries|·nprobe·(N/K) code rows
+    * (vs N per query unrouted); the rerank touches fetch·|queries| full
+    * vectors — per-query constant. With the fit's constant K the bucket
+    * fraction is fixed; production swaps in a √N-sized seed rule for
+    * the same machinery (see [[IvfTrained]] scaladoc).
+    */
+  def knnIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqRerankOn(Tables.embeddings(spark, dir))
+
+  private[graft] def knnIvfPqRerankOn(emb: DataFrame,
+      queryPred: Column = col("vec_id") % QueryMod === 0,
+      tier: Tier = K256,
+      membersOf: DataFrame => DataFrame = IvfTrained.trainedMembersOn(_)): DataFrame = {
+    val (enc, dtab) = pqEncode(emb, queryPred, tier)
+    val members = membersOf(emb)
+    val shortlist = enc.join(broadcast(members), "vec_id")
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, ${tier.fetch})").as("top"))
+      .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    val qv = emb.select(col("vec_id"),
+      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+        .as("qv"))
+      .localCheckpoint(eager = false)
+    shortlist
+      .join(qv, "vec_id")
+      .join(broadcast(qv.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))), "query_id")
+      .withColumn("d2", expr("sq_dist_i64(qv, qq)"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("d2"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- knn_pq_rerank: the production pairing ---------------------------
   /** PQ shortlist → EXACT rerank: the compressed scan over-fetches
     * `tier.fetch` candidates per query by ADC distance, then only those
@@ -382,6 +435,37 @@ object PqAnn {
   val knnIvfPqSql: String = knnIvfPqSqlWith(Similarity.ivfMembersSqlPrefix)
   val knnIvfPqSqrtSql: String = knnIvfPqSqlWith(Similarity.ivfMembersSqrtSqlPrefix)
 
+  /** Trained routing CTEs + PQ CTEs + member-restricted ADC shortlist +
+    * exact rerank — [[knnPqRerankSqlFor]]'s suffix over
+    * [[IvfTrained.trainedMembersSqlChain]]'s members.
+    */
+  val knnIvfPqRerankSql: String =
+    s"""WITH ${IvfTrained.trainedMembersSqlChain},
+       |${pqCoreSql(K256)},
+       |scored AS MATERIALIZED (
+       |  SELECT m.query_id, m.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
+       |  FROM members m
+       |  JOIN aenc a ON a.vec_id = m.vec_id
+       |  JOIN dtab t ON t.query_id = m.query_id AND t.sub = a.sub AND t.code = a.code
+       |  GROUP BY 1, 2),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |    FROM scored) WHERE rn <= ${K256.fetch}),
+       |exact AS MATERIALIZED (
+       |  SELECT s.query_id, s.vec_id,
+       |         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2
+       |  FROM short s
+       |  JOIN e0 a ON a.vec_id = s.vec_id
+       |  JOIN e0 b ON b.vec_id = s.query_id AND b.sub = a.sub AND b.j = a.j
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
+       |  SELECT query_id, vec_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |  FROM exact) WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   val knnPqSql: String          = knnPqSqlFor(K16)
   val knnPqRerankSql: String    = knnPqRerankSqlFor(K16)
   val knnPq256Sql: String       = knnPqSqlFor(K256)
@@ -393,5 +477,6 @@ object PqAnn {
     "knn_pq256" -> (knnPq256 _, knnPq256Sql),
     "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql),
     "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql),
-    "knn_ivf_pq_sqrt" -> (knnIvfPqSqrt _, knnIvfPqSqrtSql))
+    "knn_ivf_pq_sqrt" -> (knnIvfPqSqrt _, knnIvfPqSqrtSql),
+    "knn_ivf_pq_rerank" -> (knnIvfPqRerank _, knnIvfPqRerankSql))
 }

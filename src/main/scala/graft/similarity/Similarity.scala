@@ -85,14 +85,20 @@ object Similarity {
         col("col.score").as("cosine"))
   }
 
-  /** Shared oracle CTE: vec_id, double vector, squared norm. */
-  private val EmbCte =
-    """WITH e AS (
+  /** Shared oracle CTE body: vec_id, double vector, squared norm —
+    * exposed WITH-less so composed oracles ([[IvfTrained]]) can splice
+    * it into their own chains bit-identically.
+    */
+  private[graft] val EmbCteBody =
+    """e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
       |  FROM embeddings)""".stripMargin
 
-  private def cosSql(va: String, vb: String, n2a: String, n2b: String): String =
+  /** Shared oracle CTE: vec_id, double vector, squared norm. */
+  private val EmbCte = s"WITH $EmbCteBody"
+
+  private[graft] def cosSql(va: String, vb: String, n2a: String, n2b: String): String =
     s"list_reduce(list_transform(list_zip($va, $vb), p -> p[1] * p[2]), (a, b) -> a + b)" +
       s" / (sqrt($n2a) * sqrt($n2b))"
 
@@ -248,10 +254,18 @@ object Similarity {
     ivfMembers(e, sqrtCentroids(e))
   }
 
-  def knnIvfWith(e: DataFrame, c: DataFrame, nprobe: Int = NProbe): DataFrame = {
+  def knnIvfWith(e: DataFrame, c: DataFrame, nprobe: Int = NProbe): DataFrame =
+    scoreMembers(e, ivfMembers(e, c, nprobe))
+
+  /** Exact-cosine scoring + rank over a routed (query_id, vec_id) member
+    * stream — the suffix every IVF variant (modular, √N, trained) puts
+    * after its own routing stage. Queries re-derive from `e` by the
+    * QueryMod rule and broadcast; the member stream carries ids only, so
+    * wide vectors ride the bucket-side equi-join once.
+    */
+  private[graft] def scoreMembers(e: DataFrame, members: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
-    val members = ivfMembers(e, c, nprobe)
     val scored = members
       .join(e.select(col("vec_id"), col("v").as("vb"), col("n2").as("bn2")), "vec_id")
       .join(broadcast(q.select(col("query_id"), col("va"), col("qn2"))), "query_id")
@@ -304,10 +318,11 @@ object Similarity {
        |  FROM probes p JOIN assign a USING (centroid_id)
        |  WHERE p.query_id <> a.vec_id)""".stripMargin
 
-  /** Exact-cosine scoring + rank over a `members` CTE — the suffix both
-    * IVF oracles share.
+  /** Exact-cosine scoring + rank over a `members` CTE — the suffix all
+    * IVF oracles (modular, √N, trained) share; requires `e` and `q`
+    * CTEs in scope.
     */
-  private val ivfScoredSql: String =
+  private[graft] val ivfScoredSql: String =
     s"""scored AS (
        |  SELECT m.query_id, m.vec_id AS neighbor_id,
        |         ${cosSql("q.qv", "e.v", "q.qn2", "e.n2")} AS cosine
