@@ -40,20 +40,31 @@ object IvfTrained {
   private val QueryMod = 100
   private val CScale   = KMeansExact.CScale
 
-  /** Probed buckets per query. K = 20 trained cells, so 5 probes scan
-    * ~25% of the corpus per query — chosen from the measured
-    * nprobe-recall curve (PLANS.md round-10 table: the knee where
-    * composed recall@10 clears 0.9 at 1× and 0.7 at the 10× probe while
-    * the scan fraction stays ≤ nprobe/K).
+  /** Probed buckets per query, chosen from the measured nprobe-recall
+    * sweep (PLANS.md round-10 table, seed-DISJOINT queries): K = 20
+    * trained cells, routing recall@10 rises ~linearly from 0.21 (np=1)
+    * to 0.78/0.73 at np=8 (1×/10× probe) — np=8 is the smallest probe
+    * width that clears the 0.7 composed-recall bar at the 10× scale.
+    * The ~40% scan fraction is what honest recall costs on this
+    * NEAR-ISOTROPIC corpus (routing's adversarial case — cf. the
+    * IvfArtifactProbe finding); on clustered real-world embeddings the
+    * same machinery reaches the bar at far smaller fractions, and the
+    * published sweep is the tuning surface production would use.
     */
-  private[graft] val NProbe = 5
+  private[graft] val NProbe = 8
 
   /** Trained-routing member pairs (query_id, vec_id): every vector of
     * the nprobe trained buckets closest to each query, query itself
     * excluded — the composition point [[Similarity.scoreMembers]] (exact
     * cosine) and [[PqAnn]]'s ADC scan plug into.
+    *
+    * @param queryPred picks the query side (registry default: the
+    *   modulo rule; [[graft.tools.RecallProbe]] passes a SEED-DISJOINT
+    *   predicate per the IvfArtifactProbe measurement law, and pins
+    *   queries to the base id range at replica scales)
     */
-  private[graft] def trainedMembersOn(emb: DataFrame, nprobe: Int = NProbe): DataFrame = {
+  private[graft] def trainedMembersOn(emb: DataFrame, nprobe: Int = NProbe,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
     // quantized corpus pre-scaled to the centroid fixed point, so every
     // distance is one codegen'd integer loop against the K-row broadcast
@@ -71,7 +82,7 @@ object IvfTrained {
     // probes: top-nprobe trained cells per query — the window ranks K
     // rows per query (K constant), never a corpus-sized partition
     val wp = Window.partitionBy("query_id").orderBy(col("d2").asc, col("centroid_id").asc)
-    val probes = q.filter(col("vec_id") % QueryMod === 0)
+    val probes = q.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("sqv"))
       .crossJoin(broadcast(c))
       .select(col("query_id"), col("centroid_id"),

@@ -245,21 +245,34 @@ object PqAnn {
     * fraction is fixed; production swaps in a √N-sized seed rule for
     * the same machinery (see [[IvfTrained]] scaladoc).
     */
+  /** Composed-tier over-fetch: deeper than K256's standalone 64 because
+    * the routed candidate pool is a biased subset — the measured sweep
+    * (PLANS.md round-10) shows fetch=128 recovering the full routing
+    * ceiling (0.730 vs 0.705 at fetch=64, 10× probe) for one more
+    * constant-per-query rerank batch.
+    */
+  private[graft] val IvfRerankFetch = 128
+
   def knnIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
-    knnIvfPqRerankOn(Tables.embeddings(spark, dir))
+    knnIvfPqRerankOn(Tables.embeddings(spark, dir), fetch = IvfRerankFetch)
 
   private[graft] def knnIvfPqRerankOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
       tier: Tier = K256,
-      membersOf: DataFrame => DataFrame = IvfTrained.trainedMembersOn(_)): DataFrame = {
+      membersOf: DataFrame => DataFrame = null,
+      fetch: Int = 0): DataFrame = {
+    val mkMembers: DataFrame => DataFrame =
+      if (membersOf != null) membersOf
+      else IvfTrained.trainedMembersOn(_, queryPred = queryPred)
+    val f = if (fetch > 0) fetch else tier.fetch
     val (enc, dtab) = pqEncode(emb, queryPred, tier)
-    val members = membersOf(emb)
+    val members = mkMembers(emb)
     val shortlist = enc.join(broadcast(members), "vec_id")
       .join(broadcast(dtab), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dt")).as("d2"))
       .groupBy(col("query_id"))
-      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, ${tier.fetch})").as("top"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $f)").as("top"))
       .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
     val qv = emb.select(col("vec_id"),
       expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
@@ -452,7 +465,7 @@ object PqAnn {
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
-       |    FROM scored) WHERE rn <= ${K256.fetch}),
+       |    FROM scored) WHERE rn <= $IvfRerankFetch),
        |exact AS MATERIALIZED (
        |  SELECT s.query_id, s.vec_id,
        |         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.{GraftExtensions, ScaleProbe, Tables}
-import graft.similarity.PqAnn
+import graft.similarity.{IvfTrained, PqAnn}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,23 +68,62 @@ object RecallProbe {
           (spark.read.parquet(embPath),
             col("vec_id") % 100 === 0 && col("vec_id") < 10000000L)
         }
+      // SEED-DISJOINT query set (the IvfArtifactProbe measurement law):
+      // id ≡ 10 (mod 100) never satisfies the kmeans seed rule
+      // (id % 25 == 0), so no query contributed to centroid seeding —
+      // the honest routing-recall view for the trained tier. Pinned to
+      // the base id range at replica scales like the modular set.
+      val disjointPred =
+        if (copies == 1) col("vec_id") % 100 === 10
+        else col("vec_id") % 100 === 10 && col("vec_id") < 10000000L
+      def measure(truth: DataFrame, denom: Long, tag: String,
+          variants: Seq[(String, () => DataFrame)]): Unit =
+        variants.foreach { case (name, mk) =>
+          val hits = mk().select(col("query_id"), col("vec_id"))
+            .join(truth, Seq("query_id", "vec_id"), "left_semi").count()
+          println(f"RECALL scale=$copies%d op=$name%s$tag%s recall=${hits.toDouble / denom}%.3f hits=$hits%d of=$denom%d")
+          graft.Maintenance.releaseCachedBlocks(spark, blocking = true)
+        }
+      val sweep = sys.env.get("RECALL_SWEEP").contains("1")
       val truth = truthFor(emb, queryPred).cache()
       val denom = truth.count()
-      val variants: Seq[(String, () => DataFrame)] = Seq(
+      if (!sweep) measure(truth, denom, "", Seq(
         "knn_pq" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K16)),
         "knn_pq_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K16)),
         "knn_pq256" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K256)),
         "knn_pq256_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K256)),
         "knn_ivf_pq" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256)),
         "knn_ivf_pq_sqrt" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256,
-          membersOf = graft.similarity.Similarity.ivfMembersSqrtOn)))
-      variants.foreach { case (name, mk) =>
-        val hits = mk().select(col("query_id"), col("vec_id"))
-          .join(truth, Seq("query_id", "vec_id"), "left_semi").count()
-        println(f"RECALL scale=$copies%d op=$name%s recall=${hits.toDouble / denom}%.3f hits=$hits%d of=$denom%d")
-        graft.Maintenance.releaseCachedBlocks(spark, blocking = true)
-      }
+          membersOf = graft.similarity.Similarity.ivfMembersSqrtOn)),
+        "trained_members" -> (() => IvfTrained.trainedMembersOn(emb, queryPred = queryPred)),
+        "knn_ivf_pq_rerank" -> (() =>
+          PqAnn.knnIvfPqRerankOn(emb, queryPred, fetch = PqAnn.IvfRerankFetch))))
       truth.unpersist(blocking = true)
+      val truthD = truthFor(emb, disjointPred).cache()
+      val denomD = truthD.count()
+      if (!sweep) measure(truthD, denomD, "(disjoint)", Seq(
+        "trained_members" -> (() =>
+          IvfTrained.trainedMembersOn(emb, queryPred = disjointPred)),
+        "knn_ivf_pq_rerank" -> (() =>
+          PqAnn.knnIvfPqRerankOn(emb, disjointPred, fetch = PqAnn.IvfRerankFetch))))
+      // nprobe × fetch tuning surface for the composed trained tier —
+      // the table production would tune on (RECALL_SWEEP=1); routing
+      // ceilings per nprobe, then composed recall on the grid. All on
+      // the disjoint query set.
+      if (sweep) {
+        Seq(1, 2, 3, 4, 5, 6, 8).foreach { np =>
+          measure(truthD, denomD, f"(np=$np%d)", Seq(
+            "trained_members" -> (() =>
+              IvfTrained.trainedMembersOn(emb, nprobe = np, queryPred = disjointPred))))
+          Seq(32, 64, 128).foreach { f =>
+            measure(truthD, denomD, f"(np=$np%d,fetch=$f%d)", Seq(
+              "knn_ivf_pq_rerank" -> (() => PqAnn.knnIvfPqRerankOn(emb, disjointPred,
+                membersOf = IvfTrained.trainedMembersOn(_, nprobe = np, queryPred = disjointPred),
+                fetch = f))))
+          }
+        }
+      }
+      truthD.unpersist(blocking = true)
     }
     spark.stop()
   }
