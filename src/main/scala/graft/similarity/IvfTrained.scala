@@ -135,6 +135,25 @@ object IvfTrained {
        |  FROM kprobes p JOIN kasg a USING (centroid_id)
        |  WHERE p.query_id <> a.vec_id)""".stripMargin
 
+  /** Offline-trainer materialization for the streaming index
+    * ([[graft.streaming.VectorIndexIngest.writeCentroids]]): the trained
+    * fixed-point centroids decoded back to float
+    * (cv / (CScale·QScale)) in the (centroid_id, embedding) layout the
+    * static routing store persists — the step that makes the streaming
+    * tier's "centroids train offline, rarely" story concrete: run the
+    * exact-integer fit on a corpus sample, decode, write, and every
+    * subsequent micro-batch routes against cells that TRACK the data
+    * (the retrain trigger watches out-of-coverage drift against them).
+    * Decode cost is one K-row projection; the ~1e-5 decode rounding is
+    * irrelevant to routing (cell boundaries move by less than vector
+    * spacing).
+    */
+  def trainedCentroidFrame(emb: DataFrame): DataFrame =
+    KMeansExact.centroidsPacked(emb)
+      .select(col("centroid_id"),
+        expr(s"transform(cv, x -> cast(x / ${CScale * KMeansExact.QScale} as float))")
+          .as("embedding"))
+
   val knnIvfTrainedSql: String =
     s"""WITH $trainedMembersSqlChain,
        |${Similarity.EmbCteBody},

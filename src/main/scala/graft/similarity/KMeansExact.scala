@@ -67,19 +67,24 @@ object KMeansExact {
     * the oracle-checked (centroid_id, dim, c) rows.
     */
   private[graft] def centroidsPacked(emb: DataFrame, rounds: Int = Rounds): DataFrame = {
-    val e = quantized(emb).localCheckpoint(eager = false)
+    graft.GraftExtensions.register(emb.sparkSession)
+    // the pre-scaled copy rides along so every round's assignment scores
+    // with the codegen'd SqDistI64 native loop (Σ(CScale·q − c)² ==
+    // sq_dist_i64(CScale·qv, cv)) instead of an interpreted
+    // zip_with/aggregate lambda pair per (vector, centroid) — same exact
+    // integers, measured 2.2 → 1.2 s on kmeans_fit at sf0.1
+    val e = quantized(emb)
+      .withColumn("sqv", expr(s"transform(qv, x -> $CScale * x)"))
+      .localCheckpoint(eager = false)
     // seeds: n = 1 members ⇒ the fixed-point mean is exactly CScale·q
     var c = e.filter(col("vec_id") % SeedMod === 0 && col("vec_id") < SeedMax)
-      .select(col("vec_id").as("centroid_id"),
-        expr(s"transform(qv, x -> $CScale * x)").as("cv"))
+      .select(col("vec_id").as("centroid_id"), col("sqv").as("cv"))
     for (_ <- 1 to rounds) {
       // assignment: exact squared distance at the common CScale scale;
       // ties break to the smaller centroid id in both engines
       val assign = e.crossJoin(broadcast(c))
         .select(col("vec_id"), col("qv"), col("centroid_id"),
-          expr(s"""aggregate(
-                  |  zip_with(qv, cv, (x, y) -> ($CScale * x - y) * ($CScale * x - y)),
-                  |  0L, (a, b) -> a + b)""".stripMargin).as("d2"))
+          expr("sq_dist_i64(sqv, cv)").as("d2"))
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("centroid_id"), col("qv")),
           struct(col("d2"), col("centroid_id"))).as("m"))

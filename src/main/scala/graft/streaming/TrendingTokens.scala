@@ -145,6 +145,96 @@ object TrendingTokens {
       .orderBy(col("bucket"), col("cnt").desc, col("token"))
   }
 
+  // ---- the always-on dashboard path: streamed two-pass ------------------
+
+  /** Persisted stores for the streaming dashboard: the raw token archive
+    * and the per-batch sketch partials, both `batch_id=N` partitioned.
+    */
+  final case class TrendStores(tokensPath: String, summariesPath: String)
+
+  /** One micro-batch through the trending gate — tokenize ONCE, then:
+    *  1. ARCHIVE: the batch's (bucket, token) rows land under
+    *     `batch_id=N` with per-batch overwrite (the CorpusIngest
+    *     idempotence contract — a replayed batch rewrites its own
+    *     partition, exactly-once without coordination);
+    *  2. SKETCH: the batch's per-bucket Misra-Gries candidate arrays +
+    *     bucket arrival counts (B rows) land under the same `batch_id=N`
+    *     rule in the summary store.
+    * Pass 1 is therefore INCREMENTAL across the stream — no trigger ever
+    * rescans old data — and the summary store stays B rows per batch.
+    */
+  def processMergeBatch(batch: DataFrame, id: Long, stores: TrendStores,
+      k: Int = MergeK, buckets: Int = MergeBuckets): Unit = {
+    val spark = batch.sparkSession
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      // eagerly checkpointed: the token frame feeds both the archive
+      // write and the sketch aggregate
+      val toks = batch.select(explode(tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .withColumn("bucket", pmod(hash60(col("token")), lit(buckets)).cast("int"))
+        .localCheckpoint()
+      toks.write.mode("overwrite").parquet(s"${stores.tokensPath}/batch_id=$id")
+      toks.groupBy(col("bucket"))
+        .agg(MisraGries.mg(k)(col("token")).as("cands"),
+          count(lit(1)).as("n_bucket"))
+        .write.mode("overwrite").parquet(s"${stores.summariesPath}/batch_id=$id")
+    } finally batch.sparkSession.sparkContext.getPersistentRDDs
+      .filterNot { case (rddId, _) => persistedBefore.contains(rddId) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The streaming wiring: document stream → per-batch archive + sketch. */
+  def run(docs: DataFrame, stores: TrendStores, checkpoint: String,
+      k: Int = MergeK, buckets: Int = MergeBuckets,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("30 seconds"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processMergeBatch(batch, id, stores, k, buckets)
+        ()
+      }
+      .start()
+
+  /** The dashboard refresh over the streamed stores — the EXACT pass-2
+    * recount of [[trendingMergeOn]] served from the live archive:
+    * candidates are the UNION of the per-batch sketch summaries,
+    * bucket totals the sum of per-batch arrivals, and the exact recount
+    * one candidate-semi-probed pass over the token archive.
+    *
+    * Why the per-batch candidate union is SOUND (no heavy hitter
+    * missed): if a token's total count across the stream exceeds
+    * N_bucket/k, then in at least one batch b its count exceeded
+    * N_b/k (counts and thresholds are both additive over batches, so if
+    * it cleared no per-batch threshold it cannot clear their sum) — and
+    * Misra-Gries guarantees presence above the per-batch threshold.
+    * The recount is exact, so extra candidates only cost probe width:
+    * the output is IDENTICAL to the batch operator on the same corpus
+    * (`TrendingTokensSpec` asserts frame equality).
+    *
+    * Cost per refresh: summary store is B·batches rows (tiny), the
+    * archive pass is the one corpus-sized scan — refresh cadence, not
+    * ingest cadence, pays it; nothing here rescans at ingest time.
+    */
+  def mergeDashboard(spark: SparkSession, stores: TrendStores,
+      k: Int = MergeK): DataFrame = {
+    val summ = spark.read.parquet(stores.summariesPath)
+    val nb = summ.groupBy(col("bucket")).agg(sum(col("n_bucket")).as("n_bucket"))
+    val cands = summ.select(col("bucket"), explode(col("cands")).as("token")).distinct()
+    spark.read.parquet(stores.tokensPath)
+      .join(broadcast(cands), Seq("bucket", "token"))
+      .groupBy(col("bucket"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(nb), "bucket")
+      .filter(col("cnt") * k > col("n_bucket"))
+      .select(col("bucket"), col("token"), col("cnt"), col("n_bucket"))
+      .orderBy(col("bucket"), col("cnt").desc, col("token"))
+  }
+
   val trendingMergeSql: String =
     s"""WITH tok AS (
        |  SELECT t.token, CAST(${hash60Sql("t.token")} % $MergeBuckets AS INT) AS bucket

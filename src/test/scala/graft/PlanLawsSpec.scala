@@ -45,6 +45,10 @@ class PlanLawsSpec extends SparkSpec {
     "important_parts",
     // K-row (constant 20) centroid broadcast per Lloyd round
     "kmeans_fit",
+    // the trained tier composes the same K-row centroid broadcasts
+    // (kmeans rounds + routing assignment/probe cross-scores) — every
+    // build side is the constant-20 trained cell table
+    "knn_ivf_trained", "knn_ivf_pq_rerank",
     // 1-row query anchor + bounded candidate-pool pair join (|C|², C
     // fixed by the retrieval stage, never corpus-sized)
     "mmr_select",

@@ -147,4 +147,50 @@ class TrendingTokensSpec extends SparkSpec {
       assert(candTokens.contains("surge"))
     } finally query.stop()
   }
+
+  test("streamed dashboard path: per-batch archive+sketch, refresh equals the batch operator exactly; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir  = "/root/testdata/sf0.001"
+    val tmp  = java.nio.file.Files.createTempDirectory("trend_stream").toString
+    val st   = TrendingTokens.TrendStores(s"$tmp/tokens", s"$tmp/summaries")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    // drive the gate batch-by-batch (the foreachBatch body is a pure
+    // function of (batch, id, stores) — same pattern as VectorIndexIngest)
+    TrendingTokens.processMergeBatch(docs.filter(col("doc_id") % 2 === 0), 0L, st)
+    TrendingTokens.processMergeBatch(docs.filter(col("doc_id") % 2 === 1), 1L, st)
+    val streamed = TrendingTokens.mergeDashboard(spark, st)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = TrendingTokens.trendingMergeOn(Tables.documents(spark, dir))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "empty dashboard")
+    assert(streamed == batch,
+      s"streamed dashboard diverges from the batch recount: only-streamed=${streamed -- batch} only-batch=${batch -- streamed}")
+    // crash-replay of batch 0 rewrites its own partitions — refresh unchanged
+    TrendingTokens.processMergeBatch(docs.filter(col("doc_id") % 2 === 0), 0L, st)
+    val replayed = TrendingTokens.mergeDashboard(spark, st)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(replayed == streamed, "replay changed the dashboard")
+  }
+
+  test("streamed dashboard end-to-end: MemoryStream → foreachBatch gate → stores") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("trend_stream_e2e").toString
+    val st  = TrendingTokens.TrendStores(s"$tmp/tokens", s"$tmp/summaries")
+    val in  = MemoryStream[String]
+    val query = TrendingTokens.run(in.toDF().toDF("text"), st, s"$tmp/ck",
+      k = 4, buckets = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      in.addData(Seq.fill(12)("surge").mkString(" ") + " y1 y2 y3")
+      query.processAllAvailable()
+      in.addData(Seq.fill(9)("surge").mkString(" ") + " y4 y5 y6")
+      query.processAllAvailable()
+      val dash = TrendingTokens.mergeDashboard(spark, st, k = 4).collect()
+      assert(dash.exists(_.getString(1) == "surge"), s"dominant token missing: ${dash.mkString(",")}")
+      // exact counts from the archive: surge arrived 21 times
+      assert(dash.find(_.getString(1) == "surge").get.getLong(2) == 21L)
+    } finally query.stop()
+  }
 }

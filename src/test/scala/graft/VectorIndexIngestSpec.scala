@@ -123,6 +123,42 @@ class VectorIndexIngestSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persistent RDDs: $leaked")
   }
 
+  test("trained centroid store: ingest, health, and pruned search laws hold over the kmeans-trained cells") {
+    val s = freshStores()
+    // the offline trainer is the exact-integer kmeans fit, decoded to the
+    // float (centroid_id, embedding) store layout — K = 20 trained cells
+    VectorIndexIngest.writeCentroids(
+      graft.similarity.IvfTrained.trainedCentroidFrame(Tables.embeddings(spark, dir)), s)
+    ingestInTwoBatches(s)
+    val stored = spark.read.parquet(s.bucketsPath)
+      .select(col("vec_id"), col("centroid_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored.size == 500)
+    assert(stored.values.toSet.size > 1, "all vectors routed to one trained cell")
+    // assignment parity with the batch router over the SAME trained store
+    GraftExtensions.register(spark)
+    val cents = spark.read.parquet(s.centroidsPath)
+      .select(col("centroid_id"), col("embedding").as("cv"),
+        expr("vec_dot(embedding, embedding)").as("cn2"))
+    val direct = VectorIndexIngest.assign(
+        Tables.embeddings(spark, dir).select("vec_id", "embedding"), cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored == direct, "streamed assignment diverges from the batch router on trained cells")
+    // health conserves and the search stays partition-pruned
+    assert(VectorIndexIngest.indexHealth(spark, s)
+      .agg(sum("n")).as[Long].head() == 500)
+    val qv = Tables.embeddings(spark, dir).filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val res = VectorIndexIngest.search(spark, s, qv, nprobe = 3, topK = 10)
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      s"trained-store bucket scan lost its partition filter:\n${plan.take(2000)}")
+    val rows = res.select("neighbor_id", "rank", "ascore")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(rows.length == 10 && rows.head._1 == 0L && rows.head._3 == 1.0d)
+  }
+
   test("streaming end-to-end: MemoryStream → index gate → bucket + health stores") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val s   = freshStores()
