@@ -484,6 +484,29 @@ object ScaleProbe {
       if (wanted("kmeans_fit"))
         time(spark, copies, "kmeans_fit")(
           KMeansExact.kmeansFitOn(spark.read.parquet(embPath), rounds = 3))
+      // trained IVF routing: the kmeans fit (N·K assignment per round, K
+      // constant by the seed rule) + one more assignment pass + the
+      // K-row probe ranking — expected LINEAR in N. Queries pin to the
+      // base range (fixed eval-suite model). The constant-K caveat is
+      // the documented trade: members per query are nprobe·N/K rows, so
+      // the sqrt-seeded production variant is what holds the per-query
+      // scan at √N (ScaleProbe's knn_ivf_pq_sqrt arm prices that rule).
+      if (wanted("knn_ivf_trained"))
+        time(spark, copies, "knn_ivf_trained") {
+          val raw = spark.read.parquet(embPath)
+          Similarity.scoreMembers(Similarity.withNorms(raw),
+            graft.similarity.IvfTrained.trainedMembersOn(raw,
+              queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L))
+        }
+      // the full composed production tier: coarse fit + routing + PQ
+      // train/encode + member-restricted ADC + exact rerank — the sum of
+      // the measured-linear parts; rerank adds fetch·|queries| constant
+      // work per query
+      if (wanted("knn_ivf_pq_rerank"))
+        time(spark, copies, "knn_ivf_pq_rerank")(
+          graft.similarity.PqAnn.knnIvfPqRerankOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
+            fetch = graft.similarity.PqAnn.IvfRerankFetch))
       // training-order shuffle: two-level rank over the hash-prefix
       // groups — one keyed shuffle + a 64-row broadcast; output rows = N
       // exactly, wall time should track N and nothing else. The filter
