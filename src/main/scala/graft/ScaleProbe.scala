@@ -507,6 +507,17 @@ object ScaleProbe {
           graft.similarity.PqAnn.knnIvfPqRerankOn(spark.read.parquet(embPath),
             queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L,
             fetch = graft.similarity.PqAnn.IvfRerankFetch))
+      // the √N-SEEDED trained composition — every stage scale-correct:
+      // C≈√N trained cells (N^1.5 fit), √N-member buckets, ADC + rerank
+      if (wanted("knn_ivf_pq_rerank_sqrt"))
+        time(spark, copies, "knn_ivf_pq_rerank_sqrt") {
+          val pinned = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L
+          graft.similarity.PqAnn.knnIvfPqRerankOn(spark.read.parquet(embPath),
+            queryPred = pinned,
+            membersOf = graft.similarity.IvfTrained
+              .trainedMembersSqrtOn(_, queryPred = pinned),
+            fetch = graft.similarity.PqAnn.IvfRerankFetch)
+        }
       // training-order shuffle: two-level rank over the hash-prefix
       // groups — one keyed shuffle + a 64-row broadcast; output rows = N
       // exactly, wall time should track N and nothing else. The filter

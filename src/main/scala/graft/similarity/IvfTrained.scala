@@ -64,7 +64,8 @@ object IvfTrained {
     *   queries to the base id range at replica scales)
     */
   private[graft] def trainedMembersOn(emb: DataFrame, nprobe: Int = NProbe,
-      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame = {
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0,
+      centroidsOf: DataFrame => DataFrame = KMeansExact.centroidsPacked(_)): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
     // quantized corpus pre-scaled to the centroid fixed point, so every
     // distance is one codegen'd integer loop against the K-row broadcast
@@ -72,7 +73,7 @@ object IvfTrained {
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
       .select(col("vec_id"), expr(s"transform(qv, x -> ${CScale}L * x)").as("sqv"))
       .localCheckpoint(eager = false) // two consumers: assignment + probe side
-    val c = KMeansExact.centroidsPacked(emb)
+    val c = centroidsOf(emb)
     val assign = q.crossJoin(broadcast(c))
       .select(col("vec_id"), col("centroid_id"),
         expr("sq_dist_i64(sqv, cv)").as("d2"))
@@ -105,14 +106,35 @@ object IvfTrained {
     Similarity.scoreMembers(Similarity.withNorms(raw), trainedMembersOn(raw))
   }
 
+  /** √N-seeded trained routing ([[KMeansExact.centroidsPackedSqrt]]) —
+    * the member stream of the SCALE-CORRECT trained tier: C ≈ √N
+    * Lloyd-refined cells, so bucket size (N/C ≈ √N members scanned per
+    * probe) and training cost (N·C = N^1.5 per round) balance at any
+    * corpus size, while the cells still TRACK the data (vs the raw
+    * √N modular subsample whose honest recall collapsed to 0.18 —
+    * PLANS.md). This closes the constant-K caveat on [[trainedMembersOn]].
+    */
+  private[graft] def trainedMembersSqrtOn(emb: DataFrame, nprobe: Int = NProbe,
+      queryPred: org.apache.spark.sql.Column = col("vec_id") % QueryMod === 0): DataFrame =
+    trainedMembersOn(emb, nprobe, queryPred, KMeansExact.centroidsPackedSqrt(_))
+
+  // ---- knn_ivf_trained_sqrt: the scale-correct trained routing ---------
+  /** [[knnIvfTrained]] over the √N-seeded trained cells — identical
+    * scoring contract, C grows as √N instead of the fit's constant 20.
+    */
+  def knnIvfTrainedSqrt(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    Similarity.scoreMembers(Similarity.withNorms(raw), trainedMembersSqrtOn(raw))
+  }
+
   /** Routing CTE chain (WITH-less): the kmeans fit chain + one more
     * assignment pass against its final centroids (`kasg`), the per-query
     * probe ranking (`kprobes`), and the routed `members` — shared
     * verbatim by the exact-cosine and ADC-rerank oracles so both route
     * identically by construction.
     */
-  private[graft] val trainedMembersSqlChain: String =
-    s"""${KMeansExact.kmeansChainSql},
+  private def trainedMembersSqlChainWith(kmeansChain: String): String =
+    s"""$kmeansChain,
        |kasg AS MATERIALIZED (
        |  SELECT vec_id, centroid_id FROM (
        |    SELECT vec_id, centroid_id,
@@ -154,13 +176,23 @@ object IvfTrained {
         expr(s"transform(cv, x -> cast(x / ${CScale * KMeansExact.QScale} as float))")
           .as("embedding"))
 
-  val knnIvfTrainedSql: String =
-    s"""WITH $trainedMembersSqlChain,
+  private[graft] val trainedMembersSqlChain: String =
+    trainedMembersSqlChainWith(KMeansExact.kmeansChainSql)
+
+  private[graft] val trainedMembersSqrtSqlChain: String =
+    trainedMembersSqlChainWith(KMeansExact.kmeansChainSqrtSql)
+
+  private def scoredSqlOver(chain: String): String =
+    s"""WITH $chain,
        |${Similarity.EmbCteBody},
        |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % $QueryMod = 0),
        |${Similarity.ivfScoredSql}""".stripMargin
 
+  val knnIvfTrainedSql: String = scoredSqlOver(trainedMembersSqlChain)
+  val knnIvfTrainedSqrtSql: String = scoredSqlOver(trainedMembersSqrtSqlChain)
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_ivf_trained" -> (knnIvfTrained _, knnIvfTrainedSql),
+    "knn_ivf_trained_sqrt" -> (knnIvfTrainedSqrt _, knnIvfTrainedSqrtSql),
   )
 }

@@ -66,7 +66,29 @@ object KMeansExact {
     * [[IvfTrained]] routes against; [[kmeansFitOn]] explodes it into
     * the oracle-checked (centroid_id, dim, c) rows.
     */
-  private[graft] def centroidsPacked(emb: DataFrame, rounds: Int = Rounds): DataFrame = {
+  private[graft] def centroidsPacked(emb: DataFrame, rounds: Int = Rounds): DataFrame =
+    centroidsPackedWith(emb, rounds,
+      e => e.filter(col("vec_id") % SeedMod === 0 && col("vec_id") < SeedMax))
+
+  /** [[centroidsPacked]] with the √N seed rule of
+    * [[Similarity.sqrtCentroids]] (modulus m = smallest power of two
+    * with m² ≥ N, derived IN-PLAN): C ≈ √N Lloyd-refined exact-integer
+    * centroids — the seeding that keeps the trained tier's bucket size
+    * AND assignment cost balanced at any corpus size, with the same
+    * bit-exact oracle contract as the fixed-K fit (the modulus is pure
+    * integer arithmetic the oracle re-derives from its own count).
+    */
+  private[graft] def centroidsPackedSqrt(emb: DataFrame, rounds: Int = Rounds): DataFrame =
+    centroidsPackedWith(emb, rounds, { e =>
+      val md = e.agg(count(lit(1)).as("n"))
+        .select(expr(
+          "filter(transform(sequence(0, 31), i -> shiftleft(CAST(1 AS BIGINT), i)), m -> m * m >= n)[0]")
+          .as("m"))
+      e.crossJoin(broadcast(md)).filter(col("vec_id") % col("m") === 0)
+    })
+
+  private def centroidsPackedWith(emb: DataFrame, rounds: Int,
+      seedRule: DataFrame => DataFrame): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
     // the pre-scaled copy rides along so every round's assignment scores
     // with the codegen'd SqDistI64 native loop (Σ(CScale·q − c)² ==
@@ -77,7 +99,7 @@ object KMeansExact {
       .withColumn("sqv", expr(s"transform(qv, x -> $CScale * x)"))
       .localCheckpoint(eager = false)
     // seeds: n = 1 members ⇒ the fixed-point mean is exactly CScale·q
-    var c = e.filter(col("vec_id") % SeedMod === 0 && col("vec_id") < SeedMax)
+    var c = seedRule(e)
       .select(col("vec_id").as("centroid_id"), col("sqv").as("cv"))
     for (_ <- 1 to rounds) {
       // assignment: exact squared distance at the common CScale scale;
@@ -117,7 +139,7 @@ object KMeansExact {
     * with the PQ chain ([[PqAnn]]'s `e0`/`c0`/… names) in the
     * trained-routing oracles ([[IvfTrained]]).
     */
-  private[graft] val kmeansChainSql: String = {
+  private def kmeansChainSqlWith(seedCte: String): String = {
     val rounds = (1 to Rounds).map { r =>
       s"""kd$r AS MATERIALIZED (
          |  SELECT ke0.vec_id, c.centroid_id,
@@ -139,11 +161,28 @@ object KMeansExact {
        |  SELECT vec_id, i,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
        |  FROM embeddings, generate_series(1, $Dims) AS g(i)),
-       |kc0 AS MATERIALIZED (
-       |  SELECT vec_id AS centroid_id, i, $CScale * q AS ci FROM ke0
-       |  WHERE vec_id % $SeedMod = 0 AND vec_id < $SeedMax),
+       |$seedCte,
        |$rounds""".stripMargin
   }
+
+  private[graft] val kmeansChainSql: String = kmeansChainSqlWith(
+    s"""kc0 AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, i, $CScale * q AS ci FROM ke0
+       |  WHERE vec_id % $SeedMod = 0 AND vec_id < $SeedMax)""".stripMargin)
+
+  /** The chain over the in-plan √N seed rule: the modulus CTE mirrors
+    * [[Similarity.ivfMembersSqrtSqlPrefix]]'s integer spelling against
+    * the embeddings count, so Spark and DuckDB derive the same m from
+    * their own count(*).
+    */
+  private[graft] val kmeansChainSqrtSql: String = kmeansChainSqlWith(
+    s"""knv AS (SELECT count(*) AS n FROM embeddings),
+       |kmd AS (SELECT min(CAST(1 AS BIGINT) << i) AS m
+       |        FROM generate_series(0, 31) AS t(i), knv
+       |        WHERE (CAST(1 AS BIGINT) << i) * (CAST(1 AS BIGINT) << i) >= knv.n),
+       |kc0 AS MATERIALIZED (
+       |  SELECT vec_id AS centroid_id, i, $CScale * q AS ci FROM ke0, kmd
+       |  WHERE vec_id % kmd.m = 0)""".stripMargin)
 
   /** Name of the chain's final centroid CTE (centroid_id, i, ci). */
   private[graft] val finalCentroidCte: String = s"kc$Rounds"

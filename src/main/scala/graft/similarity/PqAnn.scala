@@ -256,6 +256,20 @@ object PqAnn {
   def knnIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqRerankOn(Tables.embeddings(spark, dir), fetch = IvfRerankFetch)
 
+  /** The composed tier over the √N-SEEDED trained routing
+    * ([[IvfTrained.trainedMembersSqrtOn]]) — the variant whose every
+    * stage is scale-correct: C ≈ √N trained cells (assignment N^1.5,
+    * bucket scan nprobe·√N members per query) + ADC codes + exact
+    * rerank, all still bit-for-bit oracle-checked. This is the entry a
+    * 10⁹-vector deployment actually runs; the constant-K
+    * [[knnIvfPqRerank]] is its oracle-gate twin with the fit's fixed
+    * seed contract.
+    */
+  def knnIvfPqRerankSqrt(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqRerankOn(Tables.embeddings(spark, dir),
+      membersOf = IvfTrained.trainedMembersSqrtOn(_),
+      fetch = IvfRerankFetch)
+
   private[graft] def knnIvfPqRerankOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
       tier: Tier = K256,
@@ -452,8 +466,8 @@ object PqAnn {
     * exact rerank — [[knnPqRerankSqlFor]]'s suffix over
     * [[IvfTrained.trainedMembersSqlChain]]'s members.
     */
-  val knnIvfPqRerankSql: String =
-    s"""WITH ${IvfTrained.trainedMembersSqlChain},
+  private def knnIvfPqRerankSqlOver(routingChain: String): String =
+    s"""WITH $routingChain,
        |${pqCoreSql(K256)},
        |scored AS MATERIALIZED (
        |  SELECT m.query_id, m.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
@@ -479,6 +493,11 @@ object PqAnn {
        |  FROM exact) WHERE rn <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  val knnIvfPqRerankSql: String =
+    knnIvfPqRerankSqlOver(IvfTrained.trainedMembersSqlChain)
+  val knnIvfPqRerankSqrtSql: String =
+    knnIvfPqRerankSqlOver(IvfTrained.trainedMembersSqrtSqlChain)
+
   val knnPqSql: String          = knnPqSqlFor(K16)
   val knnPqRerankSql: String    = knnPqRerankSqlFor(K16)
   val knnPq256Sql: String       = knnPqSqlFor(K256)
@@ -491,5 +510,6 @@ object PqAnn {
     "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql),
     "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql),
     "knn_ivf_pq_sqrt" -> (knnIvfPqSqrt _, knnIvfPqSqrtSql),
-    "knn_ivf_pq_rerank" -> (knnIvfPqRerank _, knnIvfPqRerankSql))
+    "knn_ivf_pq_rerank" -> (knnIvfPqRerank _, knnIvfPqRerankSql),
+    "knn_ivf_pq_rerank_sqrt" -> (knnIvfPqRerankSqrt _, knnIvfPqRerankSqrtSql))
 }

@@ -105,7 +105,13 @@ object RecallProbe {
         "trained_members" -> (() =>
           IvfTrained.trainedMembersOn(emb, queryPred = disjointPred)),
         "knn_ivf_pq_rerank" -> (() =>
-          PqAnn.knnIvfPqRerankOn(emb, disjointPred, fetch = PqAnn.IvfRerankFetch))))
+          PqAnn.knnIvfPqRerankOn(emb, disjointPred, fetch = PqAnn.IvfRerankFetch)),
+        "trained_sqrt_members" -> (() =>
+          IvfTrained.trainedMembersSqrtOn(emb, queryPred = disjointPred)),
+        "knn_ivf_pq_rerank_sqrt" -> (() =>
+          PqAnn.knnIvfPqRerankOn(emb, disjointPred,
+            membersOf = IvfTrained.trainedMembersSqrtOn(_, queryPred = disjointPred),
+            fetch = PqAnn.IvfRerankFetch))))
       // nprobe × fetch tuning surface for the composed trained tier —
       // the table production would tune on (RECALL_SWEEP=1); routing
       // ceilings per nprobe, then composed recall on the grid. All on

@@ -91,6 +91,31 @@ class IvfTrainedSpec extends SparkSpec {
     }
   }
 
+  test("sqrt-trained tier: neighbors stay inside the sqrt-routed members; cell count follows the seed rule") {
+    val members = IvfTrained.trainedMembersSqrtOn(emb)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rows = IvfTrained.knnIvfTrainedSqrt(spark, dir)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, r) =>
+      assert(members.contains((q, n)), s"query $q rank $r neighbor $n outside sqrt-routed members")
+    }
+    // seed rule at N=500: m = 32 (smallest power of two with m² >= N) ⇒
+    // seeds = ids % 32 == 0 below 500 = 16 cells; Lloyd can only empty
+    // cells, never add them
+    val cells = KMeansExact.centroidsPackedSqrt(emb)
+      .select("centroid_id").as[Long].collect()
+    assert(cells.length <= 16 && cells.length > 1, s"C=${cells.length}")
+    assert(cells.forall(_ % 32 == 0), "sqrt seeds not on the modulus grid")
+    // composed sqrt rerank routes inside the same members
+    val rr = graft.similarity.PqAnn.knnIvfPqRerankSqrt(spark, dir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(rr.nonEmpty)
+    rr.foreach { case (q, id) =>
+      assert(members.contains((q, id)), s"composed sqrt pair ($q,$id) outside routed members")
+    }
+  }
+
   test("nprobe monotonicity: wider probing only adds members") {
     val m3 = IvfTrained.trainedMembersOn(emb, nprobe = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

@@ -47,8 +47,10 @@ class PlanLawsSpec extends SparkSpec {
     "kmeans_fit",
     // the trained tier composes the same K-row centroid broadcasts
     // (kmeans rounds + routing assignment/probe cross-scores) — every
-    // build side is the constant-20 trained cell table
+    // build side is the constant-20 trained cell table; the sqrt
+    // variants swap in the C≈√N cell table plus the 1-row modulus anchor
     "knn_ivf_trained", "knn_ivf_pq_rerank",
+    "knn_ivf_trained_sqrt", "knn_ivf_pq_rerank_sqrt",
     // 1-row query anchor + bounded candidate-pool pair join (|C|², C
     // fixed by the retrieval stage, never corpus-sized)
     "mmr_select",
