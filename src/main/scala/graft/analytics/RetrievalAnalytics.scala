@@ -152,8 +152,168 @@ object RetrievalAnalytics {
        |         ',') AS postings
        |FROM tc GROUP BY 1, 2 ORDER BY term, block""".stripMargin
 
+  // ---- hybrid_rrf: lexical × vector retrieval fusion --------------------
+  /** Hybrid retrieval with Reciprocal Rank Fusion (Cormack/Clarke/
+    * Büttcher, SIGIR'09) — the shape modern RAG/search stacks actually
+    * serve: a LEXICAL leg (BM25 over the query document's top-[[QTerms]]
+    * characteristic terms — query construction reuses `bm25_topk`'s
+    * scoring frames verbatim) and a VECTOR leg (exact cosine over the
+    * embeddings table), each cut to its top-[[LegK]], fused per (query,
+    * doc) by `rrf = Σ_legs 1/(RrfK + rank_leg)` with a missing leg
+    * contributing 0, final top-[[FuseK]] by (rrf desc, doc asc).
+    *
+    * Partial index coverage is a FEATURE of the fusion: at sf0.1 only
+    * docs 0–1999 carry embeddings, so queries ≥ 2000 rank on the
+    * lexical leg alone — exactly how production behaves while a vector
+    * index backfills. Ranks are integers; the two 1/(60+r) terms add in
+    * the same order on both engines (each division is a single exact
+    * IEEE op on integer-valued operands), so the fusion is
+    * bit-reproducible.
+    *
+    * Scale (100 TB): query terms are ≤ Q·QTerms rows (broadcast); the
+    * lexical candidate stream is the probed posting lists of ≤ QTerms
+    * rare-ish terms per query (characteristic terms have LOW df by
+    * construction — the BM25 idf picked them — so the probe is
+    * selective, the production WAND-style bound); the vector leg is the
+    * knn_brute broadcast scan, swappable for the IVF/PQ tier
+    * ([[graft.similarity.PqAnn]]) with the fusion unchanged. Both legs
+    * end in per-query bounded windows; fusion joins two ≤ Q·LegK
+    * frames.
+    */
+  private val QTerms = 8
+  private val LegK   = 20
+  private val RrfK   = 60
+  private val FuseK  = 10
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  private[graft] def hybridRrfOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      .localCheckpoint(eager = false) // consumers: dl, df, term scores
+    val dl = tf.groupBy("doc_id").agg(sum(col("tc")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val idf = log(
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0))
+    val tfn = (col("tc").cast("double") * lit(K1 + 1)) /
+      (col("tc") + lit(K1) * (lit(1.0) - lit(B)
+        + lit(B) * col("dl").cast("double") / (col("total_dl").cast("double") / col("n_docs"))))
+    val scored = tf.join(dl, "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * tfn)
+      .select(col("doc_id"), col("term"), col("score"))
+      .localCheckpoint(eager = false) // consumers: query-term pick + probe side
+    // query construction: each query doc's top-QTerms characteristic terms
+    val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    val qterms = scored.filter(col("doc_id") % 100 === 0)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= QTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    // lexical leg: Σ of matched-term BM25 over the probed postings
+    val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id").asc)
+    val lexRank = scored.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score")).as("lex"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= LegK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // vector leg: exact cosine, the knn_brute shape at LegK depth
+    val e = graft.similarity.Similarity.withNorms(emb)
+    val vq = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id").asc)
+    val vecRank = e.withColumnRenamed("v", "vb")
+      .join(broadcast(vq), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        expr("vec_dot(va, vb)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cosine"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= LegK)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    // fusion: missing leg contributes 0; ties break doc asc
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        when(col("lex_rank").isNotNull, lit(1.0) / (lit(RrfK).cast("double") + col("lex_rank")))
+          .otherwise(lit(0.0))
+          + when(col("vec_rank").isNotNull, lit(1.0) / (lit(RrfK).cast("double") + col("vec_rank")))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= FuseK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"),
+        col("lex_rank").cast("int").as("lex_rank"),
+        col("vec_rank").cast("int").as("vec_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS dl FROM tc GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+       |scored AS MATERIALIZED (
+       |  SELECT tc.doc_id, tc.term,
+       |         ln((st.n_docs::DOUBLE - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)
+       |            + 1.0::DOUBLE)
+       |         * ((tc.tc::DOUBLE * ${K1 + 1}::DOUBLE)
+       |            / (tc.tc + $K1::DOUBLE * (1.0::DOUBLE - $B::DOUBLE
+       |               + $B::DOUBLE * dl.dl::DOUBLE
+       |                 / (st.total_dl::DOUBLE / st.n_docs)))) AS score
+       |  FROM tc JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN st),
+       |qterms AS (
+       |  SELECT doc_id AS query_id, term FROM (
+       |    SELECT doc_id, term,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+       |    FROM scored WHERE doc_id % 100 = 0) WHERE rn <= $QTerms),
+       |lexr AS (
+       |  SELECT query_id, doc_id, lex_rank FROM (
+       |    SELECT q.query_id, s.doc_id, sum(s.score) AS lex,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY sum(s.score) DESC, s.doc_id ASC) AS lex_rank
+       |    FROM scored s JOIN qterms q USING (term)
+       |    WHERE s.doc_id <> q.query_id
+       |    GROUP BY 1, 2) WHERE lex_rank <= $LegK),
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |vecr AS (
+       |  SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_reduce(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]), (a, b) -> a + b)
+       |               / (sqrt(q.n2) * sqrt(e.n2)) DESC, e.vec_id ASC) AS vec_rank
+       |    FROM e q JOIN e ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE vec_rank <= $LegK),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         l.lex_rank, v.vec_rank,
+       |         (CASE WHEN l.lex_rank IS NOT NULL
+       |               THEN 1.0::DOUBLE / ($RrfK::DOUBLE + l.lex_rank) ELSE 0.0::DOUBLE END)
+       |         + (CASE WHEN v.vec_rank IS NOT NULL
+       |                 THEN 1.0::DOUBLE / ($RrfK::DOUBLE + v.vec_rank) ELSE 0.0::DOUBLE END) AS rrf
+       |  FROM lexr l FULL OUTER JOIN vecr v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+       |SELECT query_id, CAST(rn AS INT) AS rank, doc_id, round(rrf, 6) AS rrf,
+       |       CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rn
+       |      FROM fused)
+       |WHERE rn <= $FuseK
+       |ORDER BY query_id, rank""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "bm25_topk"      -> (bm25Topk _, bm25TopkSql),
     "inverted_index" -> (invertedIndex _, invertedIndexSql),
+    "hybrid_rrf"     -> (hybridRrf _, hybridRrfSql),
   )
 }

@@ -278,6 +278,85 @@ object TextAnalytics {
        |GROUP BY token, tot.n HAVING count(*) * $HhK > tot.n
        |ORDER BY cnt DESC, token ASC""".stripMargin
 
+  // ---- cms_sketch: Count-Min point-query sketch with exact error audit --
+  /** Count-Min sketch (Cormode/Muthukrishnan '05) over the token stream
+    * — the POINT-QUERY complement of the Misra-Gries top-k family
+    * (`heavy_hitters` / `trending_merge`): d=[[CmsD]] hash rows ×
+    * w=[[CmsW]] counters answer "how often did THIS token occur" with
+    * estimate ≥ truth and overestimate ≤ ε·N (ε = e/w) with probability
+    * 1 − e^−d, from CONSTANT d·w state no matter the vocabulary or
+    * corpus size. The entry audits the sketch against truth: for the
+    * true top-[[CmsQ]] tokens it reports exact count, CMS estimate and
+    * the realized overestimate — the error surface a production user
+    * sizes (d, w) against.
+    *
+    * Hashes are the cross-engine [[graft.functions.TextFeatures.hash60]]
+    * seeded per row (`j:token`), so the oracle rebuilds the identical
+    * counter matrix; everything is integer arithmetic.
+    *
+    * Scale (100 TB): the counter matrix is d·w bounded cells — the
+    * grouped count is partial-aggregable, so ≤ d·w partial rows cross
+    * the shuffle per map task regardless of stream length, and the
+    * matrix broadcasts for estimates. The d-way explode is the honest
+    * d× scan-width price of the textbook spelling; the sketch is
+    * trivially MERGEABLE (counters add), which is what makes it the
+    * standard distributed/streaming point-count structure
+    * (`CmsSketchSpec` pins the merge law).
+    */
+  private val CmsD = 4
+  private val CmsW = 512
+  private val CmsQ = 20
+
+  def cmsSketch(spark: SparkSession, dir: String): DataFrame =
+    cmsSketchOn(Tables.documents(spark, dir))
+
+  private def cmsHash: org.apache.spark.sql.Column =
+    pmod(hash60(concat(col("j").cast("string"), lit(":"), col("token"))), lit(CmsW))
+
+  private[graft] def cmsSketchOn(docs: DataFrame): DataFrame = {
+    // Materialized once (lazily): the token stream feeds the counter
+    // build and the exact recount (house pattern, see heavyHitters).
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      .localCheckpoint(eager = false)
+    val cells = cmsCells(toks)
+    val topTok = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token").asc).limit(CmsQ)
+    topTok
+      .withColumn("j", explode(expr(s"sequence(0, ${CmsD - 1})")))
+      .withColumn("h", cmsHash)
+      .join(broadcast(cells), Seq("j", "h"))
+      .groupBy(col("token"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("token"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("token").asc)
+  }
+
+  /** The d×w counter matrix off a (token) stream — ≤ d·w rows. */
+  private[graft] def cmsCells(toks: DataFrame): DataFrame =
+    toks.withColumn("j", explode(expr(s"sequence(0, ${CmsD - 1})")))
+      .withColumn("h", cmsHash)
+      .groupBy("j", "h").agg(count(lit(1)).as("c"))
+
+  val cmsSketchSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |cells AS MATERIALIZED (
+       |  SELECT j, ${hash60Sql("j::VARCHAR || ':' || token")} % $CmsW AS h,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM tok, generate_series(0, ${CmsD - 1}) AS g(j) GROUP BY 1, 2),
+       |topt AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt FROM tok
+       |  GROUP BY 1 ORDER BY exact_cnt DESC, token LIMIT $CmsQ)
+       |SELECT t.token, t.exact_cnt, min(c.c) AS cms_est,
+       |       min(c.c) - t.exact_cnt AS overestimate
+       |FROM topt t, generate_series(0, ${CmsD - 1}) AS g(j)
+       |JOIN cells c
+       |  ON c.j = g.j
+       | AND c.h = ${hash60Sql("g.j::VARCHAR || ':' || t.token")} % $CmsW
+       |GROUP BY 1, 2
+       |ORDER BY exact_cnt DESC, token""".stripMargin
+
   // ---- doc_fingerprint: content + bag-of-words fingerprints ------------
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -1961,6 +2040,7 @@ object TextAnalytics {
     "lang_id"         -> (langId _, langIdSql),
     "token_topk"      -> (tokenTopk _, tokenTopkSql),
     "heavy_hitters"   -> (heavyHitters _, heavyHittersSql),
+    "cms_sketch"      -> (cmsSketch _, cmsSketchSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),
     "decontam"        -> (decontam _, decontamSql),
