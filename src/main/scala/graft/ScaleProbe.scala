@@ -307,6 +307,20 @@ object ScaleProbe {
       if (wanted("heavy_hitters"))
         time(spark, copies, "heavy_hitters")(
           graft.analytics.TextAnalytics.heavyHittersOn(docs))
+      // CMS: d·w counter cells are CONSTANT at every scale; the scan is
+      // the d-way exploded token stream — the linear term under test
+      if (wanted("cms_sketch"))
+        time(spark, copies, "cms_sketch")(
+          graft.analytics.TextAnalytics.cmsSketchOn(docs))
+      // hybrid fusion: queries PIN to the base id range (bounded query
+      // batch — the knn_pq lesson); the lexical probe joins only the
+      // ≤ Q·QTerms characteristic-term postings, the vector leg is the
+      // broadcast-anchor scan over the base embeddings
+      if (wanted("hybrid_rrf"))
+        time(spark, copies, "hybrid_rrf")(
+          graft.analytics.RetrievalAnalytics.hybridRrfOn(
+            docs, Tables.embeddings(spark, sfDir),
+            queryIds = id => id % 100 === 0 && id < 10000000L))
       // keep-first passage dedup: replica token-wrapping puts a replica
       // tag inside every 10-token passage, so cross-replica passage dups
       // vanish and the dup set stays the base corpus' own per replica —

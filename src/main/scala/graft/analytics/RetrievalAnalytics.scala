@@ -188,7 +188,14 @@ object RetrievalAnalytics {
   def hybridRrf(spark: SparkSession, dir: String): DataFrame =
     hybridRrfOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  private[graft] def hybridRrfOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+  /** @param queryPred picks the query DOCUMENTS (and, via the same id
+    *   rule, query vectors). Production contract: a BOUNDED query batch
+    *   — the probe pins queries to the base id range at replica scales
+    *   (the knn_pq quadratic-query lesson).
+    */
+  private[graft] def hybridRrfOn(docs: DataFrame, emb: DataFrame,
+      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
@@ -210,7 +217,7 @@ object RetrievalAnalytics {
       .localCheckpoint(eager = false) // consumers: query-term pick + probe side
     // query construction: each query doc's top-QTerms characteristic terms
     val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    val qterms = scored.filter(col("doc_id") % 100 === 0)
+    val qterms = scored.filter(queryIds(col("doc_id")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= QTerms)
       .select(col("doc_id").as("query_id"), col("term"))
@@ -225,7 +232,7 @@ object RetrievalAnalytics {
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
     // vector leg: exact cosine, the knn_brute shape at LegK depth
     val e = graft.similarity.Similarity.withNorms(emb)
-    val vq = e.filter(col("vec_id") % 100 === 0)
+    val vq = e.filter(queryIds(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
     val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id").asc)
     val vecRank = e.withColumnRenamed("v", "vb")
