@@ -1093,7 +1093,85 @@ object Dedup {
        |FROM np JOIN nd USING (source_a, source_b)
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---- dedup_ensemble: the per-doc dedup DECISION table -----------------
+  /** The artifact a curation run actually materializes before training:
+    * one row per document with the verdict of EACH dedup family and the
+    * composed keep decision —
+    *  - `exact_dup`: the doc is a non-survivor of its md5 content group
+    *    (`dedup_exact`'s min-id canonical rule);
+    *  - `lexical_dup`: the doc is the LARGER side of a verified exact-
+    *    Jaccard near-dup pair (`dedup_jaccard`'s AllPairs pipeline —
+    *    min-id-keeps policy);
+    *  - `semantic_dup`: `dedup_semantic`'s SemDeDup within-cluster prune
+    *    said drop — NULL where the doc carries no embedding (at sf0.1
+    *    only docs 0–1999 are embedded: the backfilling-index regime,
+    *    reported honestly rather than defaulted);
+    *  - `keep`: no family objected (a NULL semantic verdict abstains).
+    * The families deliberately OVERLAP (an exact dup is also a lexical
+    * dup at J=1) — the table's point is showing WHICH screen caught
+    * each doc, the audit a pipeline owner reads before tightening or
+    * loosening a threshold.
+    *
+    * Scale: exact is one fp-keyed partial agg + fp join; lexical rides
+    * the prefix-filtered candidate stream (measured linear, PLANS.md);
+    * semantic is the broadcast-centroid prune; the verdict joins are all
+    * doc-keyed. Nothing new shuffles beyond the component screens.
+    */
+  def dedupEnsemble(spark: SparkSession, dir: String): DataFrame =
+    dedupEnsembleOn(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  private[graft] def dedupEnsembleOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .localCheckpoint(eager = false) // consumers: group agg + join-back
+    val exGroups = d.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
+    val exact = d.join(exGroups, "fp")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("survivor"), 1).otherwise(0)
+          .cast("int").as("exact_dup"))
+    val lex = dedupJaccardOn(shingleSets(docs))
+      .select(col("doc_id_2").as("doc_id")).distinct()
+      .withColumn("lx", lit(1))
+    val sem = graft.similarity.Similarity
+      .dedupSemanticOn(graft.similarity.Similarity.withNorms(emb))
+      .select(col("vec_id").as("doc_id"),
+        (lit(1) - col("keep")).cast("int").as("semantic_dup"))
+    exact
+      .join(lex, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("lx"), lit(0)).cast("int").as("lexical_dup"),
+        col("semantic_dup"),
+        when(col("exact_dup") === 0 && col("lx").isNull
+          && coalesce(col("semantic_dup"), lit(0)) === 0, 1).otherwise(0)
+          .cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val dedupEnsembleSql: String =
+    s"""WITH lexp AS (
+       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |sems AS (
+       |  ${graft.similarity.Similarity.dedupSemanticSql.replace("\n", "\n  ")}),
+       |exg AS (SELECT md5(text) AS fp, min(doc_id) AS survivor
+       |        FROM documents GROUP BY 1),
+       |ex AS (SELECT d.doc_id,
+       |              CAST(CASE WHEN d.doc_id <> e.survivor THEN 1 ELSE 0 END AS INTEGER) AS exact_dup
+       |       FROM documents d JOIN exg e ON md5(d.text) = e.fp),
+       |lx AS (SELECT DISTINCT doc_id_2 AS doc_id FROM lexp)
+       |SELECT ex.doc_id, ex.exact_dup,
+       |       CAST(CASE WHEN lx.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS lexical_dup,
+       |       CAST(1 - s.keep AS INTEGER) AS semantic_dup,
+       |       CAST(CASE WHEN ex.exact_dup = 0 AND lx.doc_id IS NULL
+       |                  AND coalesce(1 - s.keep, 0) = 0
+       |            THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM ex
+       |LEFT JOIN lx USING (doc_id)
+       |LEFT JOIN sems s ON s.vec_id = ex.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_ensemble" -> (dedupEnsemble _, dedupEnsembleSql),
     "dedup_exact"   -> (dedupExact _, dedupExactSql),
     "source_overlap" -> (sourceOverlap _, sourceOverlapSql),
     "split_leakage" -> (splitLeakage _, splitLeakageSql),

@@ -56,6 +56,30 @@ class Round10OpsSpec extends SparkSpec {
       s"max overestimate ${rows.map(_._4).max} above the 2eN/w class $bound (N=$n)")
   }
 
+  test("dedup_ensemble: verdicts reconcile with the component screens; keep is exactly no-family-objected") {
+    val rows = graft.dedup.Dedup.dedupEnsemble(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getInt(4)))
+    val docs = Tables.documents(spark, dir)
+    assert(rows.length == docs.count())
+    rows.foreach { case (id, ex, lx, sem, keep) =>
+      val want = if (ex == 0 && lx == 0 && sem.getOrElse(0) == 0) 1 else 0
+      assert(keep == want, s"doc $id keep $keep != composed $want ($ex,$lx,$sem)")
+    }
+    // exact flags reconcile with dedup_exact's survivor groups
+    val survivors = graft.dedup.Dedup.dedupExact(spark, dir)
+      .select("survivor_id").as[Long].collect().toSet
+    rows.foreach { case (id, ex, _, _, _) =>
+      assert((ex == 0) == survivors.contains(id) ||
+        (ex == 0 && survivors.contains(id)),
+        s"doc $id exact_dup=$ex vs survivor=${survivors.contains(id)}")
+    }
+    // at this SF every doc carries an embedding: no semantic abstentions
+    rows.foreach { case (id, _, _, sem, _) =>
+      assert(sem.isDefined, s"doc $id semantic verdict missing despite full embedding coverage")
+    }
+  }
+
   test("cms cells merge: sketch of the union is the cell-wise sum of the parts") {
     val docs = Tables.documents(spark, dir)
     def toks(d: org.apache.spark.sql.DataFrame) =
