@@ -227,7 +227,8 @@ object Dedup {
     * pair drags two full shingle arrays) shrinks by the corpus'
     * length-spread factor.
     */
-  private[graft] def prefixCandidates(sets: DataFrame): DataFrame = {
+  private[graft] def prefixCandidates(sets: DataFrame,
+      num: Int = ThreshNum, den: Int = ThreshDen): DataFrame = {
     val inverted = sets.select(
       col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
     val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -235,7 +236,7 @@ object Dedup {
       .partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
     // ceil(n·t) in integer math: floor((n·num + den − 1) / den)
     val prefixLen =
-      col("n") - floor((col("n") * ThreshNum + (ThreshDen - 1)) / ThreshDen) + 1
+      col("n") - floor((col("n") * num + (den - 1)) / den) + 1
     val prefix = inverted.join(freq, "shingle")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefixLen)
@@ -243,8 +244,8 @@ object Dedup {
     prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-          && col("a.n") * ThreshNum <= col("b.n") * ThreshDen
-          && col("b.n") * ThreshNum <= col("a.n") * ThreshDen)
+          && col("a.n") * num <= col("b.n") * den
+          && col("b.n") * num <= col("a.n") * den)
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
   }
@@ -1093,6 +1094,76 @@ object Dedup {
        |FROM np JOIN nd USING (source_a, source_b)
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---- dedup_threshold_curve: threshold sensitivity table ---------------
+  /** The tuning table a pipeline owner reads before PICKING a dedup
+    * threshold: for each candidate t ∈ [[CurveThresholds]], the number
+    * of exact-Jaccard pairs ≥ t and the number of documents a min-id-
+    * keeps policy would remove at that t. One candidate pass at the
+    * LOOSEST threshold (prefix + size filters exact at t_min, so every
+    * tighter band's pairs are a subset of the candidates), one native
+    * `overlap_sorted` verify per pair, then every threshold compare runs
+    * in EXACT integers (c·den ≥ (n₁+n₂−c)·num — no float boundary can
+    * flip a pair into the wrong band cross-engine).
+    *
+    * Scale: candidate volume is the t_min prefix-filter stream (linear,
+    * measured for t=4/5 in PLANS.md; looser t widens the indexed prefix
+    * — the honest cost of asking about looser bands), the per-threshold
+    * rollup is a 4-row aggregate over pair rows ×|thresholds|.
+    */
+  private val CurveThresholds = Seq((3, 5), (7, 10), (4, 5), (9, 10))
+
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    dedupThresholdCurveOn(shingleSets(Tables.documents(spark, dir)))
+
+  private[graft] def dedupThresholdCurveOn(rawSets: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(rawSets.sparkSession)
+    val (minNum, minDen) = CurveThresholds.minBy { case (n, d) => n.toDouble / d }
+    val sets = hashedSets(rawSets).repartition(col("doc_id"))
+    val s1 = sets.select(col("doc_id").as("doc_id_1"), col("sh").as("sh1"))
+    val s2 = sets.select(col("doc_id").as("doc_id_2"), col("sh").as("sh2"))
+    val scored = prefixCandidates(sets, minNum, minDen)
+      .join(s1, "doc_id_1")
+      .join(s2, "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        expr("overlap_sorted(sh1, sh2)").as("c"),
+        size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
+      .filter(col("c") * minDen >= (col("n1") + col("n2") - col("c")) * minNum)
+    val bands = CurveThresholds
+      .map { case (n, d) => s"named_struct('num', $n, 'den', $d)" }
+      .mkString("array(", ", ", ")")
+    scored
+      .select(col("doc_id_1"), col("doc_id_2"), col("c"), col("n1"), col("n2"),
+        explode(expr(bands)).as("t"))
+      .filter(col("c") * col("t.den") >= (col("n1") + col("n2") - col("c")) * col("t.num"))
+      .groupBy(expr("t.num * 1000 div t.den").cast("long").as("thresh_pm"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id_2")).as("n_docs_removed"))
+      .orderBy("thresh_pm")
+  }
+
+  val dedupThresholdCurveSql: String = {
+    val vals = CurveThresholds.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |t(num, den) AS (VALUES $vals)
+       |SELECT CAST(num * 1000 // den AS BIGINT) AS thresh_pm,
+       |       count(*) AS n_pairs,
+       |       CAST(count(DISTINCT doc_id_2) AS BIGINT) AS n_docs_removed
+       |FROM common
+       |JOIN sizes x ON doc_id_1 = x.doc_id
+       |JOIN sizes y ON doc_id_2 = y.doc_id
+       |CROSS JOIN t
+       |WHERE c * den >= (x.n + y.n - c) * num
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- dedup_ensemble: the per-doc dedup DECISION table -----------------
   /** The artifact a curation run actually materializes before training:
     * one row per document with the verdict of EACH dedup family and the
@@ -1172,6 +1243,7 @@ object Dedup {
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_ensemble" -> (dedupEnsemble _, dedupEnsembleSql),
+    "dedup_threshold_curve" -> (dedupThresholdCurve _, dedupThresholdCurveSql),
     "dedup_exact"   -> (dedupExact _, dedupExactSql),
     "source_overlap" -> (sourceOverlap _, sourceOverlapSql),
     "split_leakage" -> (splitLeakage _, splitLeakageSql),

@@ -80,6 +80,25 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_threshold_curve: bands are monotone and the 800-permille band equals dedup_jaccard") {
+    val curve = graft.dedup.Dedup.dedupThresholdCurve(spark, dir)
+      .select("thresh_pm", "n_pairs", "n_docs_removed")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(curve.nonEmpty)
+    // tightening the threshold can only shrink both counts
+    curve.sliding(2).foreach {
+      case Array((t1, p1, d1), (t2, p2, d2)) =>
+        assert(p1 >= p2 && d1 >= d2, s"band $t1->$t2 not monotone: ($p1,$d1)->($p2,$d2)")
+      case _ => ()
+    }
+    // the 800-permille band is exactly the registry dedup_jaccard pair set
+    val jac = graft.dedup.Dedup.dedupJaccard(spark, dir).count()
+    curve.find(_._1 == 800).foreach { case (_, p, _) =>
+      assert(p == jac, s"800pm band $p != dedup_jaccard $jac")
+    }
+    assert(curve.exists(_._1 == 800), "800pm band missing")
+  }
+
   test("cms cells merge: sketch of the union is the cell-wise sum of the parts") {
     val docs = Tables.documents(spark, dir)
     def toks(d: org.apache.spark.sql.DataFrame) =
