@@ -303,8 +303,8 @@ object TextAnalytics {
     * standard distributed/streaming point-count structure
     * (`CmsSketchSpec` pins the merge law).
     */
-  private val CmsD = 4
-  private val CmsW = 512
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 512
   private val CmsQ = 20
 
   def cmsSketch(spark: SparkSession, dir: String): DataFrame =
