@@ -193,10 +193,13 @@ object RetrievalAnalytics {
     *   — the probe pins queries to the base id range at replica scales
     *   (the knn_pq quadratic-query lesson).
     */
-  private[graft] def hybridRrfOn(docs: DataFrame, emb: DataFrame,
-      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        _ % 100 === 0): DataFrame = {
-    graft.GraftExtensions.register(docs.sparkSession)
+  /** The BM25-scored postings frame (doc_id, term, score) — the
+    * corpus-linear term every lexical index build pays once. Shared by
+    * the per-batch `hybrid_rrf` entry and [[graft.sources.HybridStore]]'s
+    * build phase, so stored and recomputed scores are identical by
+    * construction.
+    */
+  private def bm25ScoredOn(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
       .localCheckpoint(eager = false) // consumers: dl, df, term scores
@@ -209,11 +212,40 @@ object RetrievalAnalytics {
     val tfn = (col("tc").cast("double") * lit(K1 + 1)) /
       (col("tc") + lit(K1) * (lit(1.0) - lit(B)
         + lit(B) * col("dl").cast("double") / (col("total_dl").cast("double") / col("n_docs"))))
-    val scored = tf.join(dl, "doc_id")
+    tf.join(dl, "doc_id")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("score", idf * tfn)
       .select(col("doc_id"), col("term"), col("score"))
+  }
+
+  /** RRF fusion of the two leg rankings — missing leg contributes 0,
+    * final top-[[FuseK]] by (rrf desc, doc asc). Shared verbatim by the
+    * per-batch and the index-served entries: fusion is leg-source-
+    * agnostic by design.
+    */
+  private def fuse(lexRank: DataFrame, vecRank: DataFrame): DataFrame = {
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        when(col("lex_rank").isNotNull, lit(1.0) / (lit(RrfK).cast("double") + col("lex_rank")))
+          .otherwise(lit(0.0))
+          + when(col("vec_rank").isNotNull, lit(1.0) / (lit(RrfK).cast("double") + col("vec_rank")))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= FuseK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"),
+        col("lex_rank").cast("int").as("lex_rank"),
+        col("vec_rank").cast("int").as("vec_rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private[graft] def hybridRrfOn(docs: DataFrame, emb: DataFrame,
+      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val scored = bm25ScoredOn(docs)
       .localCheckpoint(eager = false) // consumers: query-term pick + probe side
     // query construction: each query doc's top-QTerms characteristic terms
     val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
@@ -244,24 +276,15 @@ object RetrievalAnalytics {
       .filter(col("vec_rank") <= LegK)
       .select(col("query_id"), col("doc_id"), col("vec_rank"))
     // fusion: missing leg contributes 0; ties break doc asc
-    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
-    lexRank.join(vecRank, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf",
-        when(col("lex_rank").isNotNull, lit(1.0) / (lit(RrfK).cast("double") + col("lex_rank")))
-          .otherwise(lit(0.0))
-          + when(col("vec_rank").isNotNull, lit(1.0) / (lit(RrfK).cast("double") + col("vec_rank")))
-          .otherwise(lit(0.0)))
-      .withColumn("rank", row_number().over(wf))
-      .filter(col("rank") <= FuseK)
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("rrf"), 6).as("rrf"),
-        col("lex_rank").cast("int").as("lex_rank"),
-        col("vec_rank").cast("int").as("vec_rank"))
-      .orderBy("query_id", "rank")
+    fuse(lexRank, vecRank)
   }
 
-  val hybridRrfSql: String =
-    s"""WITH tok AS (
+  /** The lexical half of the fusion oracles (tok → … → lexr), WITH-less
+    * so both the per-batch and index-served entries splice it verbatim —
+    * the stored postings ARE these scores, so one CTE text serves both.
+    */
+  private val lexCtesSql: String =
+    s"""tok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |tc AS (SELECT doc_id, term, count(*) AS tc FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS dl FROM tc GROUP BY 1),
@@ -288,20 +311,11 @@ object RetrievalAnalytics {
        |             ORDER BY sum(s.score) DESC, s.doc_id ASC) AS lex_rank
        |    FROM scored s JOIN qterms q USING (term)
        |    WHERE s.doc_id <> q.query_id
-       |    GROUP BY 1, 2) WHERE lex_rank <= $LegK),
-       |e AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v,
-       |         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
-       |  FROM embeddings),
-       |vecr AS (
-       |  SELECT query_id, doc_id, vec_rank FROM (
-       |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
-       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |             list_reduce(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]), (a, b) -> a + b)
-       |               / (sqrt(q.n2) * sqrt(e.n2)) DESC, e.vec_id ASC) AS vec_rank
-       |    FROM e q JOIN e ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
-       |  WHERE vec_rank <= $LegK),
-       |fused AS (
+       |    GROUP BY 1, 2) WHERE lex_rank <= $LegK)""".stripMargin
+
+  /** The fusion + final-cut suffix both oracles share (needs lexr/vecr). */
+  private val fuseSql: String =
+    s"""fused AS (
        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
        |         coalesce(l.doc_id, v.doc_id) AS doc_id,
        |         l.lex_rank, v.vec_rank,
@@ -318,9 +332,162 @@ object RetrievalAnalytics {
        |WHERE rn <= $FuseK
        |ORDER BY query_id, rank""".stripMargin
 
+  val hybridRrfSql: String =
+    s"""WITH $lexCtesSql,
+       |e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+       |  FROM embeddings),
+       |vecr AS (
+       |  SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             list_reduce(list_transform(list_zip(q.v, e.v), p -> p[1] * p[2]), (a, b) -> a + b)
+       |               / (sqrt(q.n2) * sqrt(e.n2)) DESC, e.vec_id ASC) AS vec_rank
+       |    FROM e q JOIN e ON q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+       |  WHERE vec_rank <= $LegK),
+       |$fuseSql""".stripMargin
+
+  // ---- hybrid_rrf_served: the index-backed serving shape ---------------
+  /** `hybrid_rrf` as PRODUCTION SERVES it (the r10 review's #1 gap):
+    * both legs probe PERSISTED indexes ([[graft.sources.HybridStore]])
+    * instead of recomputing corpus frames per query batch. The lexical
+    * leg probes the term-bucketed BM25 postings store (scores baked in
+    * at build — an impact-ordered index), the vector leg routes each
+    * query against the broadcast trained-centroid table
+    * ([[graft.similarity.IvfTrained]] cells) and scans ONLY its nprobe
+    * cells via static partition pruning (the bounded probe-id collect is
+    * the `VectorIndexIngest` control-plane pattern). The fusion is
+    * [[fuse]] verbatim — leg-source-agnostic by construction.
+    *
+    * Semantics: the lexical leg is EXACT (stored scores are
+    * [[bm25ScoredOn]]'s, bit-identical); the vector leg carries the
+    * trained tier's measured recall trade (np=8 of K=20 cells — the
+    * published sweep) instead of the per-batch entry's exact scan. The
+    * oracle replicates the routing via the exact-integer kmeans chain,
+    * so the served ranking is oracle-checked end-to-end; the spec closes
+    * the loop the other way — with nprobe ≥ K the served output equals
+    * `hybrid_rrf` exactly (the store/probe plumbing is lossless).
+    *
+    * Scale (100 TB): the build pass is the one corpus-linear term and is
+    * PAID ONCE (Bench's min-of-3 reads the serve-only cost — run 1
+    * builds, runs 2-3 probe); each served batch reads Q·QTerms posting
+    * lists + Q·nprobe cells — index-side exchanges: ZERO (spec-asserted,
+    * the BandStore law).
+    */
+  private val ServedBuckets = 8
+  private val buildLock = new Object
+
+  private def servedStores(spark: SparkSession, dir: String): graft.sources.HybridStore.Stores =
+    buildLock.synchronized {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
+      val s = graft.sources.HybridStore.Stores(
+        s"hybrid_postings_$key", base + "/vectors", base + "/centroids")
+      val built = spark.catalog.tableExists(s.postingsTable) &&
+        new java.io.File(s.vectorsPath).exists() &&
+        new java.io.File(s.centroidsPath).exists()
+      if (!built) {
+        // the catalog is per-JVM but the warehouse directory persists: a
+        // prior process may have left the managed table's LOCATION behind
+        // with no catalog entry, which saveAsTable refuses — drop both
+        spark.sql(s"DROP TABLE IF EXISTS ${s.postingsTable}")
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        val staleLoc = new java.io.File(warehouse, s.postingsTable)
+        if (staleLoc.exists()) rm(staleLoc)
+        val emb = Tables.embeddings(spark, dir)
+        // K-row trained centroid table: consumed by the assignment pass
+        // now and persisted for the query-side router
+        val cents = graft.similarity.KMeansExact.centroidsPacked(emb).localCheckpoint()
+        val vectors = graft.similarity.Similarity.withNorms(emb)
+          .join(graft.similarity.IvfTrained.assignOn(
+            graft.similarity.IvfTrained.scaledQuantized(emb), cents), "vec_id")
+        graft.sources.HybridStore.write(
+          bm25ScoredOn(Tables.documents(spark, dir)), vectors, cents, s, ServedBuckets)
+      }
+      s
+    }
+
+  def hybridRrfServed(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfServedOn(spark, dir, graft.similarity.IvfTrained.NProbe)
+
+  private[graft] def hybridRrfServedOn(spark: SparkSession, dir: String,
+                                       nprobe: Int): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, dir)
+    // lexical leg: query construction + candidate probe, both off the
+    // postings store; the index side of the probe join never exchanges
+    val postings = spark.table(st.postingsTable)
+    val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    val qterms = postings.filter(col("doc_id") % 100 === 0)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= QTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id").asc)
+    val lexRank = postings.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score")).as("lex"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= LegK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // vector leg: route the query batch against the broadcast centroid
+    // table, then scan only the probed cells (static partition pruning)
+    val cents = spark.read.parquet(st.centroidsPath)
+    val rawQ = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+    val probes = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
+      .localCheckpoint(eager = false) // consumers: probe-id collect + member join
+    // ≤ K distinct cell ids — the VectorIndexIngest control-plane read
+    // that turns the cell restriction into a static partition filter
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qv = graft.similarity.Similarity.withNorms(rawQ)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id").asc)
+    val vecRank = spark.read.parquet(st.vectorsPath)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", expr("vec_dot(va, v)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cosine"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= LegK)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    fuse(lexRank, vecRank)
+  }
+
+  /** The served oracle: the lexical CTEs verbatim (stored scores ≡
+    * recomputed scores), the vector leg over the trained-routing member
+    * chain ([[graft.similarity.IvfTrained]]'s kmeans + assignment +
+    * probes — the knn_ivf_trained oracle's routing, reused so store and
+    * oracle route identically), fused by the shared suffix.
+    */
+  val hybridRrfServedSql: String =
+    s"""WITH ${graft.similarity.IvfTrained.trainedMembersSqlChain},
+       |$lexCtesSql,
+       |${graft.similarity.Similarity.EmbCteBody},
+       |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0),
+       |vecr AS (
+       |  SELECT query_id, doc_id, vec_rank FROM (
+       |    SELECT m.query_id, m.vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY m.query_id ORDER BY
+       |             ${graft.similarity.Similarity.cosSql("q.qv", "e.v", "q.qn2", "e.n2")} DESC,
+       |             m.vec_id ASC) AS vec_rank
+       |    FROM members m JOIN e ON m.vec_id = e.vec_id JOIN q ON m.query_id = q.query_id)
+       |  WHERE vec_rank <= $LegK),
+       |$fuseSql""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "bm25_topk"      -> (bm25Topk _, bm25TopkSql),
-    "inverted_index" -> (invertedIndex _, invertedIndexSql),
-    "hybrid_rrf"     -> (hybridRrf _, hybridRrfSql),
+    "bm25_topk"         -> (bm25Topk _, bm25TopkSql),
+    "inverted_index"    -> (invertedIndex _, invertedIndexSql),
+    "hybrid_rrf"        -> (hybridRrf _, hybridRrfSql),
+    "hybrid_rrf_served" -> (hybridRrfServed _, hybridRrfServedSql),
   )
 }

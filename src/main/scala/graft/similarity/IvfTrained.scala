@@ -69,31 +69,53 @@ object IvfTrained {
     graft.GraftExtensions.register(emb.sparkSession)
     // quantized corpus pre-scaled to the centroid fixed point, so every
     // distance is one codegen'd integer loop against the K-row broadcast
-    val q = KMeansExact.quantized(emb)
+    val q = scaledQuantized(emb)
       .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-      .select(col("vec_id"), expr(s"transform(qv, x -> ${CScale}L * x)").as("sqv"))
       .localCheckpoint(eager = false) // two consumers: assignment + probe side
     val c = centroidsOf(emb)
-    val assign = q.crossJoin(broadcast(c))
+    probesOn(q.filter(queryPred), c, nprobe)
+      .join(assignOn(q, c), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  /** (vec_id, sqv): the corpus quantized ([[KMeansExact.quantized]]) and
+    * pre-scaled to the centroid fixed point — the frame every trained
+    * routing distance runs over.
+    */
+  private[graft] def scaledQuantized(emb: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    KMeansExact.quantized(emb)
+      .select(col("vec_id"), expr(s"transform(qv, x -> ${CScale}L * x)").as("sqv"))
+  }
+
+  /** Exact-integer cell assignment of a (vec_id, sqv) frame against the
+    * packed centroid table: argmin d2, ties to the smaller centroid_id.
+    * One definition shared by the in-plan routing and the serving
+    * store's build-time pass ([[graft.analytics.RetrievalAnalytics]]),
+    * so both assign bit-identically by construction.
+    */
+  private[graft] def assignOn(q: DataFrame, c: DataFrame): DataFrame =
+    q.crossJoin(broadcast(c))
       .select(col("vec_id"), col("centroid_id"),
         expr("sq_dist_i64(sqv, cv)").as("d2"))
       .groupBy(col("vec_id"))
       .agg(min_by(col("centroid_id"), struct(col("d2"), col("centroid_id")))
         .as("centroid_id"))
-    // probes: top-nprobe trained cells per query — the window ranks K
-    // rows per query (K constant), never a corpus-sized partition
+
+  /** Per-query top-nprobe trained cells (query_id, centroid_id) — the
+    * window ranks K rows per query (K constant/√N), never a corpus-sized
+    * partition.
+    */
+  private[graft] def probesOn(q: DataFrame, c: DataFrame, nprobe: Int): DataFrame = {
     val wp = Window.partitionBy("query_id").orderBy(col("d2").asc, col("centroid_id").asc)
-    val probes = q.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("sqv"))
+    q.select(col("vec_id").as("query_id"), col("sqv"))
       .crossJoin(broadcast(c))
       .select(col("query_id"), col("centroid_id"),
         expr("sq_dist_i64(sqv, cv)").as("d2"))
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("centroid_id"))
-    probes.join(assign, "centroid_id")
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"))
   }
 
   // ---- knn_ivf_trained: trained routing + exact cosine rerank ----------

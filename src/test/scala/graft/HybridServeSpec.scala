@@ -1,0 +1,79 @@
+package graft
+
+import graft.analytics.RetrievalAnalytics
+import graft.sources.HybridStore
+import org.apache.spark.sql.functions._
+
+/** Laws for the index-backed hybrid retrieval serving shape
+  * (`hybrid_rrf_served`): the index sides plan without exchanges (the
+  * BandStore law — that is the point of persisting them), the vector
+  * scan is statically partition-pruned to the probed cells, and with
+  * the probe width opened to every cell the served output equals the
+  * per-batch exact entry bit-for-bit (the store/probe plumbing loses
+  * nothing — the np=8 default then carries exactly the trained tier's
+  * measured recall trade and nothing else).
+  */
+class HybridServeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("full-probe serving equals the per-batch exact entry bit-for-bit") {
+    GraftExtensions.register(spark)
+    // nprobe >= K opens every trained cell: the routed member stream is
+    // the full scan minus self, so any difference would be store/probe
+    // plumbing loss, not the documented recall trade
+    val served = RetrievalAnalytics.hybridRrfServedOn(spark, dir, nprobe = 1000000)
+      .collect().map(_.toSeq).toSet
+    val exact = RetrievalAnalytics
+      .hybridRrfOn(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && served == exact)
+  }
+
+  test("lexical probe: the postings-store side of the candidate join plans with zero exchange") {
+    GraftExtensions.register(spark)
+    // force the store to exist, then probe it the way the serving leg does
+    RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan
+    val postings = spark.table(s"hybrid_postings_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val qterms = postings.filter(col("doc_id") % 100 === 0)
+      .limit(5).select(col("doc_id").as("query_id"), col("term"))
+    val cands = postings.join(broadcast(qterms), "term")
+    val plan = cands.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 0,
+      s"postings probe should broadcast the query side only, got $exchanges exchanges:\n" +
+        plan.take(2000))
+    assert(cands.count() > 0)
+  }
+
+  test("vector probe: the cell scan is statically partition-pruned on centroid_id") {
+    GraftExtensions.register(spark)
+    val served = RetrievalAnalytics.hybridRrfServed(spark, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    // the probed-cell restriction must reach the store scan as a
+    // PartitionFilters entry (static pruning — only nprobe cell
+    // directories are listed), the VectorIndexIngest law
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      s"vector store scan lost its partition filter:\n${plan.take(3000)}")
+    assert(served.count() > 0)
+  }
+
+  test("store build is idempotent and the stores carry the documented layout") {
+    GraftExtensions.register(spark)
+    RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan
+    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
+    val vecs = spark.read.parquet(base + "/vectors")
+    assert(vecs.columns.toSet == Set("vec_id", "v", "n2", "centroid_id"))
+    // partition column really partitions: one assignment per vector
+    assert(vecs.select("vec_id").distinct().count() == vecs.count())
+    val cents = spark.read.parquet(base + "/centroids")
+    assert(cents.columns.toSet == Set("centroid_id", "cv"))
+    assert(cents.count() > 0 && cents.count() <= 20)
+    // second call reuses, not rebuilds: table + paths still there and
+    // the entry stays green
+    assert(RetrievalAnalytics.hybridRrfServed(spark, dir).count() > 0)
+    assert(spark.catalog.tableExists(s"hybrid_postings_$key"))
+    val _ = HybridStore // layout contract lives there
+  }
+}
