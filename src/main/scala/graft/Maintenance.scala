@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-side block hygiene for long-lived sessions.
   *
@@ -78,9 +78,18 @@ object Maintenance {
     *
     * @param targetBytes approximate output file size; file count =
     *                    ceil(total/targetBytes), min 1.
+    * @param reduce optional row-merging transform applied to the
+    *               combined generations before the temp write — for
+    *               stores whose rows are MERGEABLE partials (the
+    *               [[graft.streaming.StreamingCms]] cell matrices sum
+    *               cell-wise to ≤ d·w rows), compaction can shrink rows,
+    *               not just files, under the identical crash protocol:
+    *               the reduction is deterministic and fully materialized
+    *               in the temp generation before any delete is planned.
     */
   def compactBatchStore(
-      spark: SparkSession, path: String, targetBytes: Long = 512L << 20): Unit = {
+      spark: SparkSession, path: String, targetBytes: Long = 512L << 20,
+      reduce: DataFrame => DataFrame = identity): Unit = {
     val root = new Path(path)
     val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp  = new Path(root, CompactTmp)
@@ -117,7 +126,7 @@ object Maintenance {
     // nothing to merge: zero or one generation (a re-run is a no-op)
     if (batchDirs.count(_ != s"batch_id=$CompactedId") == 0) return
 
-    val combined = spark.read.parquet(path).drop("batch_id")
+    val combined = reduce(spark.read.parquet(path).drop("batch_id"))
     val totalBytes = fs.getContentSummary(root).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     combined.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)

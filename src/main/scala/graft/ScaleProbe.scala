@@ -314,12 +314,13 @@ object ScaleProbe {
           graft.analytics.TextAnalytics.cmsSketchOn(docs))
       // hybrid fusion: queries PIN to the base id range (bounded query
       // batch — the knn_pq lesson); the lexical probe joins only the
-      // ≤ Q·QTerms characteristic-term postings, the vector leg is the
-      // broadcast-anchor scan over the base embeddings
+      // ≤ Q·QTerms characteristic-term postings, and the vector leg
+      // scans the REPLICATED embeddings (embPath, like the knn_* arms)
+      // so the measured growth includes the Q·N vector term honestly
       if (wanted("hybrid_rrf"))
         time(spark, copies, "hybrid_rrf")(
           graft.analytics.RetrievalAnalytics.hybridRrfOn(
-            docs, Tables.embeddings(spark, sfDir),
+            docs, spark.read.parquet(embPath),
             queryIds = id => id % 100 === 0 && id < 10000000L))
       // keep-first passage dedup: replica token-wrapping puts a replica
       // tag inside every 10-token passage, so cross-replica passage dups
@@ -528,8 +529,8 @@ object ScaleProbe {
           val pinned = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L
           graft.similarity.PqAnn.knnIvfPqRerankOn(spark.read.parquet(embPath),
             queryPred = pinned,
-            membersOf = graft.similarity.IvfTrained
-              .trainedMembersSqrtOn(_, queryPred = pinned),
+            membersOf = (e, qp) => graft.similarity.IvfTrained
+              .trainedMembersSqrtOn(e, queryPred = qp),
             fetch = graft.similarity.PqAnn.IvfRerankFetch)
         }
       // training-order shuffle: two-level rank over the hash-prefix

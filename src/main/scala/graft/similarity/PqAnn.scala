@@ -267,16 +267,23 @@ object PqAnn {
     */
   def knnIvfPqRerankSqrt(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqRerankOn(Tables.embeddings(spark, dir),
-      membersOf = IvfTrained.trainedMembersSqrtOn(_),
+      membersOf = (e, qp) => IvfTrained.trainedMembersSqrtOn(e, queryPred = qp),
       fetch = IvfRerankFetch)
 
+  /** @param membersOf routing stage: receives the corpus AND the
+    *   operator's own query predicate, so router and rerank/dtab sides
+    *   apply ONE predicate by construction — a membersOf that routed a
+    *   different query set than `queryPred` would silently drop the
+    *   mismatched queries in the dtab join, so the signature makes that
+    *   unrepresentable.
+    */
   private[graft] def knnIvfPqRerankOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
       tier: Tier = K256,
-      membersOf: DataFrame => DataFrame = null,
+      membersOf: (DataFrame, Column) => DataFrame = null,
       fetch: Int = 0): DataFrame = {
     val mkMembers: DataFrame => DataFrame =
-      if (membersOf != null) membersOf
+      if (membersOf != null) membersOf(_, queryPred)
       else IvfTrained.trainedMembersOn(_, queryPred = queryPred)
     val f = if (fetch > 0) fetch else tier.fetch
     val (enc, dtab) = pqEncode(emb, queryPred, tier)

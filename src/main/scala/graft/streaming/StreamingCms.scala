@@ -35,9 +35,12 @@ object StreamingCms {
     * under `batch_id=N` (idempotent overwrite).
     */
   def processBatch(batch: DataFrame, id: Long, stores: CmsStores): Unit =
+    // tokenization must match the batch cms_sketch EXACTLY (split on
+    // single space, empty tokens counted) — an extra empty-token filter
+    // here would diverge from the oracle-checked cells on any corpus
+    // with consecutive/leading/trailing spaces
     TextAnalytics.cmsCells(
-      batch.select(explode(tokens(col("text"))).as("token"))
-        .filter(length(col("token")) > 0))
+      batch.select(explode(tokens(col("text"))).as("token")))
       .write.mode("overwrite").parquet(s"${stores.cellsPath}/batch_id=$id")
 
   /** The streaming wiring: document stream → per-batch cell append. */
@@ -61,6 +64,21 @@ object StreamingCms {
       .groupBy(col("j"), col("h"))
       .agg(sum(col("c")).as("c"))
 
+  /** Cell-wise store compaction: collapse every batch generation into
+    * ONE `batch_id=-1` generation of ≤ d·w summed cells — the row-count
+    * answer to the store growing d·w rows per batch forever. Because
+    * counters are mergeable partials and every reader goes through the
+    * same cell-wise sum ([[mergedCells]]), estimates after compaction
+    * are bit-identical to before ([[StreamingCmsSpec]] pins it); new
+    * batches keep landing beside the compacted generation and merge the
+    * same way. Crash safety is [[graft.Maintenance.compactBatchStore]]'s
+    * plan/commit protocol, unchanged — the reduction is deterministic
+    * and fully materialized before any delete is planned.
+    */
+  def compact(spark: SparkSession, stores: CmsStores): Unit =
+    graft.Maintenance.compactBatchStore(spark, stores.cellsPath,
+      reduce = _.groupBy(col("j"), col("h")).agg(sum(col("c")).as("c")))
+
   /** Point-query estimates for `queryTokens` against the live store:
     * est(token) = min over hash rows of the merged counter — never an
     * undercount, overestimate bounded by the (d, w) sizing. The query
@@ -73,6 +91,10 @@ object StreamingCms {
     val cells = mergedCells(spark, stores)
     queryTokens.toDF("token")
       .withColumn("j", explode(expr(s"sequence(0, ${TextAnalytics.CmsD - 1})")))
+      // pmod ≡ the oracle's `%` ONLY because hash60 is non-negative by
+      // construction (a 60-bit value) — the house caveat every
+      // hash-keyed op carries; a signed hash here would silently probe
+      // different cells than the batch sketch
       .withColumn("h",
         pmod(hash60(concat(col("j").cast("string"), lit(":"), col("token"))), lit(TextAnalytics.CmsW)))
       .join(cells, Seq("j", "h"), "left")

@@ -85,9 +85,12 @@ object RecallProbe {
           graft.Maintenance.releaseCachedBlocks(spark, blocking = true)
         }
       val sweep = sys.env.get("RECALL_SWEEP").contains("1")
-      val truth = truthFor(emb, queryPred).cache()
-      val denom = truth.count()
-      if (!sweep) measure(truth, denom, "", Seq(
+      // sweep mode consumes only the DISJOINT ground truth — skip the
+      // modular set's full Q·N exact-kNN pass entirely there
+      if (!sweep) {
+        val truth = truthFor(emb, queryPred).cache()
+        val denom = truth.count()
+        measure(truth, denom, "", Seq(
         "knn_pq" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K16)),
         "knn_pq_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K16)),
         "knn_pq256" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K256)),
@@ -98,7 +101,8 @@ object RecallProbe {
         "trained_members" -> (() => IvfTrained.trainedMembersOn(emb, queryPred = queryPred)),
         "knn_ivf_pq_rerank" -> (() =>
           PqAnn.knnIvfPqRerankOn(emb, queryPred, fetch = PqAnn.IvfRerankFetch))))
-      truth.unpersist(blocking = true)
+        truth.unpersist(blocking = true)
+      }
       val truthD = truthFor(emb, disjointPred).cache()
       val denomD = truthD.count()
       if (!sweep) measure(truthD, denomD, "(disjoint)", Seq(
@@ -110,7 +114,7 @@ object RecallProbe {
           IvfTrained.trainedMembersSqrtOn(emb, queryPred = disjointPred)),
         "knn_ivf_pq_rerank_sqrt" -> (() =>
           PqAnn.knnIvfPqRerankOn(emb, disjointPred,
-            membersOf = IvfTrained.trainedMembersSqrtOn(_, queryPred = disjointPred),
+            membersOf = (e, qp) => IvfTrained.trainedMembersSqrtOn(e, queryPred = qp),
             fetch = PqAnn.IvfRerankFetch))))
       // nprobe × fetch tuning surface for the composed trained tier —
       // the table production would tune on (RECALL_SWEEP=1); routing
@@ -124,7 +128,7 @@ object RecallProbe {
           Seq(32, 64, 128).foreach { f =>
             measure(truthD, denomD, f"(np=$np%d,fetch=$f%d)", Seq(
               "knn_ivf_pq_rerank" -> (() => PqAnn.knnIvfPqRerankOn(emb, disjointPred,
-                membersOf = IvfTrained.trainedMembersOn(_, nprobe = np, queryPred = disjointPred),
+                membersOf = (e, qp) => IvfTrained.trainedMembersOn(e, nprobe = np, queryPred = qp),
                 fetch = f))))
           }
         }

@@ -65,4 +65,42 @@ class StreamingCmsSpec extends SparkSpec {
       assert(est >= 21L, s"surge estimated $est < 21 — undercount")
     } finally query.stop()
   }
+
+  test("cell-wise compaction: batch generations collapse to <= d*w rows, estimates bit-identical, later batches still merge") {
+    val st = freshStores()
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    StreamingCms.processBatch(docs.filter(col("doc_id") % 3 === 0), 0L, st)
+    StreamingCms.processBatch(docs.filter(col("doc_id") % 3 === 1), 1L, st)
+    val probe = docs.select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().orderBy(col("count").desc, col("t"))
+      .limit(10).as[(String, Long)].collect().map(_._1).toSeq
+    val before = StreamingCms.pointEstimate(spark, st, probe)
+      .as[(String, Long)].collect().toMap
+    val rowsBefore = spark.read.parquet(st.cellsPath).count()
+    StreamingCms.compact(spark, st)
+    // one consolidated generation, cell-wise summed: <= d*w rows total
+    val cells = spark.read.parquet(st.cellsPath)
+    assert(cells.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L))
+    val rowsAfter = cells.count()
+    assert(rowsAfter <= 4L * 512L && rowsAfter <= rowsBefore,
+      s"compacted store has $rowsAfter rows (before: $rowsBefore)")
+    assert(cells.groupBy("j", "h").count().filter(col("count") > 1).count() == 0,
+      "compaction left duplicate (j,h) cells")
+    val after = StreamingCms.pointEstimate(spark, st, probe)
+      .as[(String, Long)].collect().toMap
+    assert(after == before, "compaction changed the estimates")
+    // re-compaction of a single generation is a no-op
+    StreamingCms.compact(spark, st)
+    assert(spark.read.parquet(st.cellsPath).count() == rowsAfter)
+    // a batch arriving AFTER compaction merges with the -1 generation
+    StreamingCms.processBatch(docs.filter(col("doc_id") % 3 === 2), 2L, st)
+    val full = StreamingCms.pointEstimate(spark, st, probe)
+      .as[(String, Long)].collect().toMap
+    val batchAll = graft.analytics.TextAnalytics.cmsSketch(spark, dir)
+      .select("token", "cms_est").as[(String, Long)].collect().toMap
+    probe.filter(batchAll.contains).foreach { t =>
+      assert(full(t) == batchAll(t),
+        s"post-compaction merge diverges from the batch sketch at '$t'")
+    }
+  }
 }
