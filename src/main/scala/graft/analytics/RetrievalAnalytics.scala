@@ -378,9 +378,9 @@ object RetrievalAnalytics {
   private val ServedBuckets = 8
   private val buildLock = new Object
 
-  private def servedStores(spark: SparkSession, dir: String): graft.sources.HybridStore.Stores =
+  private def servedStores(spark: SparkSession, key: String,
+      docs: => DataFrame, emb: => DataFrame): graft.sources.HybridStore.Stores =
     buildLock.synchronized {
-      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
       val s = graft.sources.HybridStore.Stores(
         s"hybrid_postings_$key", base + "/vectors", base + "/centroids")
@@ -400,15 +400,15 @@ object RetrievalAnalytics {
         }
         val staleLoc = new java.io.File(warehouse, s.postingsTable)
         if (staleLoc.exists()) rm(staleLoc)
-        val emb = Tables.embeddings(spark, dir)
+        val e = emb
         // K-row trained centroid table: consumed by the assignment pass
         // now and persisted for the query-side router
-        val cents = graft.similarity.KMeansExact.centroidsPacked(emb).localCheckpoint()
-        val vectors = graft.similarity.Similarity.withNorms(emb)
+        val cents = graft.similarity.KMeansExact.centroidsPacked(e).localCheckpoint()
+        val vectors = graft.similarity.Similarity.withNorms(e)
           .join(graft.similarity.IvfTrained.assignOn(
-            graft.similarity.IvfTrained.scaledQuantized(emb), cents), "vec_id")
+            graft.similarity.IvfTrained.scaledQuantized(e), cents), "vec_id")
         graft.sources.HybridStore.write(
-          bm25ScoredOn(Tables.documents(spark, dir)), vectors, cents, s, ServedBuckets)
+          bm25ScoredOn(docs), vectors, cents, s, ServedBuckets)
       }
       s
     }
@@ -417,14 +417,26 @@ object RetrievalAnalytics {
     hybridRrfServedOn(spark, dir, graft.similarity.IvfTrained.NProbe)
 
   private[graft] def hybridRrfServedOn(spark: SparkSession, dir: String,
-                                       nprobe: Int): DataFrame = {
+                                       nprobe: Int): DataFrame =
+    hybridRrfServedFrames(spark, dir.replaceAll("[^A-Za-z0-9]", "_"),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir), nprobe)
+
+  /** Frame-based served entry (`ScaleProbe` feeds the replica corpus
+    * here under its own store key; the registry path passes the sf
+    * tables). `queryIds` pins the query batch at replica scales — the
+    * same bounded-batch contract as [[hybridRrfOn]].
+    */
+  private[graft] def hybridRrfServedFrames(spark: SparkSession, key: String,
+      docs: => DataFrame, emb: => DataFrame, nprobe: Int,
+      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val st = servedStores(spark, dir)
+    val st = servedStores(spark, key, docs, emb)
     // lexical leg: query construction + candidate probe, both off the
     // postings store; the index side of the probe join never exchanges
     val postings = spark.table(st.postingsTable)
     val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
-    val qterms = postings.filter(col("doc_id") % 100 === 0)
+    val qterms = postings.filter(queryIds(col("doc_id")))
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= QTerms)
       .select(col("doc_id").as("query_id"), col("term"))
@@ -439,7 +451,7 @@ object RetrievalAnalytics {
     // vector leg: route the query batch against the broadcast centroid
     // table, then scan only the probed cells (static partition pruning)
     val cents = spark.read.parquet(st.centroidsPath)
-    val rawQ = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+    val rawQ = emb.filter(queryIds(col("vec_id")))
     val probes = graft.similarity.IvfTrained
       .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
       .localCheckpoint(eager = false) // consumers: probe-id collect + member join

@@ -253,6 +253,23 @@ object PqAnn {
     */
   private[graft] val IvfRerankFetch = 128
 
+  /** Bucket-width fetch rule (round 11, the published surface's third
+    * axis): the ADC shortlist must DEEPEN as routed bucket width grows —
+    * at the 100× probe (~80k routed members/query) the constant
+    * fetch-128 shortlist loses 0.02 recall to its routing ceiling, and
+    * the measured fetch sweep (RecallProbe, np=8, fetch ∈ {128, 256,
+    * 512, 1024}) shows fetch-256 restoring the ceiling EXACTLY (0.825 =
+    * `trained_members`' 0.825; 512/1024 buy nothing more). Rule: one
+    * shortlist slot per 256 routed members, floored at the oracle-pinned
+    * default — conservative against the measured crossing (80k members →
+    * 313 ≥ the sufficient 256; ≤ 32k members keeps the 128 floor, where
+    * the 1×/10× sweeps showed zero shortlist loss). Production passes
+    * `nprobe·N/C` here; the registry entry keeps the constant default
+    * because its oracle pins the exact shortlist.
+    */
+  private[graft] def fetchForMembers(membersPerQuery: Long): Int =
+    math.max(IvfRerankFetch, ((membersPerQuery + 255) / 256).toInt)
+
   def knnIvfPqRerank(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqRerankOn(Tables.embeddings(spark, dir), fetch = IvfRerankFetch)
 

@@ -119,13 +119,22 @@ object RecallProbe {
       // nprobe × fetch tuning surface for the composed trained tier —
       // the table production would tune on (RECALL_SWEEP=1); routing
       // ceilings per nprobe, then composed recall on the grid. All on
-      // the disjoint query set.
+      // the disjoint query set. RECALL_NP / RECALL_FETCH override the
+      // grid axes (comma lists) — e.g. the 100× fetch-depth sweep pins
+      // np=8 and walks fetch past 128 to find where composed recall
+      // meets the routing ceiling (the bucket-width fetch rule).
       if (sweep) {
-        Seq(1, 2, 3, 4, 5, 6, 8).foreach { np =>
+        val npGrid = sys.env.get("RECALL_NP")
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(1, 2, 3, 4, 5, 6, 8))
+        val fetchGrid = sys.env.get("RECALL_FETCH")
+          .map(_.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(32, 64, 128))
+        npGrid.foreach { np =>
           measure(truthD, denomD, f"(np=$np%d)", Seq(
             "trained_members" -> (() =>
               IvfTrained.trainedMembersOn(emb, nprobe = np, queryPred = disjointPred))))
-          Seq(32, 64, 128).foreach { f =>
+          fetchGrid.foreach { f =>
             measure(truthD, denomD, f"(np=$np%d,fetch=$f%d)", Seq(
               "knn_ivf_pq_rerank" -> (() => PqAnn.knnIvfPqRerankOn(emb, disjointPred,
                 membersOf = (e, qp) => IvfTrained.trainedMembersOn(e, nprobe = np, queryPred = qp),

@@ -82,4 +82,18 @@ class PqAnnSpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1 to rs.length) && rs.length <= 10, s"query $q ranks")
     }
   }
+
+  test("bucket-width fetch rule: floor at the oracle default, one slot per 256 routed members past it, monotone") {
+    // calibration points from the measured 100x sweep (PLANS.md): the
+    // 128 floor holds through the 1x/10x regimes (zero shortlist loss
+    // measured <= 32k members), and 80k members/query must clear the
+    // sufficient fetch-256 crossing
+    assert(PqAnn.fetchForMembers(0L) == 128)
+    assert(PqAnn.fetchForMembers(800L) == 128)     // registry scale: 8*2000/20
+    assert(PqAnn.fetchForMembers(8000L) == 128)    // 10x probe
+    assert(PqAnn.fetchForMembers(32768L) == 128)   // last floor point
+    assert(PqAnn.fetchForMembers(80000L) >= 256)   // measured 100x crossing
+    val pts = Seq(0L, 1000L, 32768L, 80000L, 1000000L).map(PqAnn.fetchForMembers)
+    assert(pts == pts.sorted, "fetch rule must be monotone in bucket width")
+  }
 }
