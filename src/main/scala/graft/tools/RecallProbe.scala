@@ -53,9 +53,38 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // RECALL_GEOM=clustered swaps the corpus for a PLANTED-CLUSTER
+    // geometry of the same size/shape (deterministic, hash-derived):
+    // PLANS claims trained routing reaches the recall bar at far
+    // smaller scan fractions on clustered real-world embeddings than on
+    // the near-isotropic test corpus — this mode measures that claim
+    // instead of asserting it. 16 true clusters, each vector =
+    // 0.9·unit-center + 0.436·unit-noise (E[cos to own center] ≈ 0.9,
+    // within-cluster cosines ≈ 0.8+, cross-cluster ≈ 0), so each
+    // query's true top-10 live in its own cluster and a trained cell
+    // that TRACKS the cluster captures them with a 1-2 cell probe.
+    val geom = sys.env.getOrElse("RECALL_GEOM", "corpus")
+    def clusteredEmb(n: Int, k: Int): DataFrame = {
+      GraftExtensions.register(spark)
+      spark.range(0, n).toDF("vec_id")
+        .withColumn("cl", pmod(col("vec_id"), lit(k)))
+        .withColumn("c", expr(
+          "transform(sequence(0, 63), d -> cast(pmod(xxhash64(cl, d), 2001) - 1000 as double) / 1000.0D)"))
+        .withColumn("g", expr(
+          "transform(sequence(0, 63), d -> cast(pmod(xxhash64(vec_id, d, 7), 2001) - 1000 as double) / 1000.0D)"))
+        .withColumn("cn", expr("sqrt(aggregate(c, 0D, (s, x) -> s + x * x))"))
+        .withColumn("gn", expr("sqrt(aggregate(g, 0D, (s, x) -> s + x * x))"))
+        .select(col("vec_id"),
+          expr("zip_with(c, g, (a, b) -> cast(0.9D * a / cn + 0.436D * b / gn as float))")
+            .as("embedding"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    }
+
     scales.foreach { copies =>
       val (emb, queryPred) =
-        if (copies == 1) (Tables.embeddings(spark, sfDir),
+        if (geom == "clustered") (clusteredEmb(2000 * copies, 16),
+          col("vec_id") % 100 === 0)
+        else if (copies == 1) (Tables.embeddings(spark, sfDir),
           col("vec_id") % 100 === 0)
         else {
           val embPath = s"$tmp/emb_$copies"
