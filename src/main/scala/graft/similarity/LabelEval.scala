@@ -100,36 +100,47 @@ object LabelEval {
   def kcenterSelect(spark: SparkSession, dir: String): DataFrame =
     kcenterSelectOn(Tables.embeddings(spark, dir))
 
+  /** ONE plan, not K (round 11 — the [[MmrSelect]] fusion applied to
+    * the same k-chained shape): the pool is bounded by construction, so
+    * the whole Gonzalez walk runs inside a single
+    * `aggregate(sequence(1, K), …)` higher-order expression over one
+    * collect_list row, carrying the selected set as an accumulated
+    * struct array and computing each step's min-distance coverage from
+    * the quantized vectors inline. The seed falls out of the SAME
+    * uniform step: with an empty selection every candidate's `m` is
+    * null, so the sort key coalesces to (0, vec_id) — argmin id, the
+    * seed convention — and `min_d2` coalesces to 0. Ten chained LIMIT-1
+    * sub-plans (and their first-execution codegen cascade) become two
+    * exchanges; `slice(array_sort(…), 1, 1)` keeps pool exhaustion
+    * empty-safe.
+    */
   private[graft] def kcenterSelectOn(emb: DataFrame,
                                      poolMod: Long = PoolMod): DataFrame = {
     val pool = quantized(emb).filter(col("vec_id") % poolMod === 0)
-      .select("vec_id", "qv")
-      .localCheckpoint(eager = false)
-    // |C|² pair distances once, reused by every greedy step
-    val d2 = pool.select(col("vec_id").as("va"), col("qv").as("v1"))
-      .join(broadcast(pool.select(col("vec_id").as("vb"), col("qv").as("v2"))),
-        col("va") =!= col("vb"))
-      .select(col("va"), col("vb"), expr("sq_dist_i64(v1, v2)").as("d2"))
-      .localCheckpoint(eager = false)
-    // seed: smallest id, covering distance 0 by convention. orderBy+
-    // limit(1) keeps every step a TakeOrderedAndProject over the pool-
-    // sized frame and stays empty-safe (the MmrSelect lesson).
-    var sel = pool.select("vec_id")
-      .orderBy(col("vec_id"))
-      .limit(1)
-      .select(lit(1L).as("sel_rank"), col("vec_id"), lit(0L).as("min_d2"))
-      .localCheckpoint(eager = false)
-    for (r <- 2 to KCenters) {
-      val pick = d2
-        .join(broadcast(sel.select(col("vec_id").as("vb"))), "vb")
-        .groupBy(col("va").as("vec_id")).agg(min(col("d2")).as("m"))
-        .join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
-        .orderBy(col("m").desc, col("vec_id"))
-        .limit(1)
-        .select(lit(r.toLong).as("sel_rank"), col("vec_id"), col("m").as("min_d2"))
-      sel = sel.unionByName(pick).localCheckpoint(eager = false)
-    }
-    sel.orderBy("sel_rank")
+      .agg(collect_list(struct(col("vec_id"), col("qv"))).as("cands"))
+    val sqd = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"
+    val stateType = "array<struct<sel_rank:bigint,vec_id:bigint,min_d2:bigint,qv:array<bigint>>>"
+    val selExpr =
+      s"""aggregate(
+         |  sequence(1, $KCenters),
+         |  cast(array() as $stateType),
+         |  (acc, step) -> concat(acc, transform(
+         |    slice(array_sort(transform(
+         |      transform(
+         |        filter(cands, c -> not exists(acc, s -> s.vec_id = c.vec_id)),
+         |        c -> named_struct(
+         |          'm', array_min(transform(acc,
+         |                 s -> ${sqd.format("c.qv", "s.qv")})),
+         |          'c', c)),
+         |      t -> named_struct('k1', coalesce(-t.m, 0L), 'k2', t.c.vec_id,
+         |                        'm', coalesce(t.m, 0L), 'qv', t.c.qv))),
+         |      1, 1),
+         |    p -> named_struct('sel_rank', cast(step as bigint),
+         |                      'vec_id', p.k2, 'min_d2', p.m, 'qv', p.qv))))""".stripMargin
+    pool.select(explode(expr(selExpr)).as("s"))
+      .select(col("s.sel_rank").as("sel_rank"), col("s.vec_id").as("vec_id"),
+        col("s.min_d2").as("min_d2"))
+      .orderBy("sel_rank")
   }
 
   /** The greedy unrolled into DuckDB CTEs (the [[MmrSelect]] oracle
