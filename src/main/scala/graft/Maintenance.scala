@@ -86,10 +86,20 @@ object Maintenance {
     *               not just files, under the identical crash protocol:
     *               the reduction is deterministic and fully materialized
     *               in the temp generation before any delete is planned.
+    * @param subPartitions sub-partition columns BELOW batch_id (e.g.
+    *               [[graft.streaming.PostingsIngest]]'s `term_bucket`,
+    *               [[graft.streaming.VectorIndexIngest]]'s
+    *               `centroid_id`): the consolidated generation is
+    *               rewritten under the same leaf layout, so
+    *               partition-pruned probes keep working and the store's
+    *               directory schema stays consistent (a flat `-1`
+    *               generation next to sub-partitioned batches would
+    *               break partition inference).
     */
   def compactBatchStore(
       spark: SparkSession, path: String, targetBytes: Long = 512L << 20,
-      reduce: DataFrame => DataFrame = identity): Unit = {
+      reduce: DataFrame => DataFrame = identity,
+      subPartitions: Seq[String] = Nil): Unit = {
     val root = new Path(path)
     val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp  = new Path(root, CompactTmp)
@@ -129,7 +139,9 @@ object Maintenance {
     val combined = reduce(spark.read.parquet(path).drop("batch_id"))
     val totalBytes = fs.getContentSummary(root).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    combined.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val writer = combined.repartition(nFiles).write.mode("overwrite")
+    (if (subPartitions.nonEmpty) writer.partitionBy(subPartitions: _*) else writer)
+      .parquet(tmp.toString)
 
     val planOut = fs.create(plan, true)
     planOut.write(batchDirs.mkString("\n").getBytes("UTF-8"))

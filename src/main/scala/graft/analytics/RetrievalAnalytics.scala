@@ -59,9 +59,24 @@ object RetrievalAnalytics {
   def bm25Topk(spark: SparkSession, dir: String): DataFrame =
     bm25TopkOn(Tables.documents(spark, dir))
 
-  private[graft] def bm25TopkOn(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+  private[graft] def bm25TopkOn(docs: DataFrame): DataFrame =
+    bm25OverTf(termFrequencies(docs))
+
+  /** The (doc_id, term, tc) frame both the batch entry and the
+    * streaming postings tier ([[graft.streaming.PostingsIngest]]) build
+    * from — one tokenization definition, so streamed postings merge to
+    * exactly these rows.
+    */
+  private[graft] def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+
+  /** Okapi scoring + per-doc top-k over ANY (doc_id, term, tc) source —
+    * the suffix the batch entry and the streamed-index read path share,
+    * making "BM25 off the live delta store ≡ the batch entry" a
+    * definitional law the spec then pins end-to-end.
+    */
+  private[graft] def bm25OverTf(tf: DataFrame): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum(col("tc")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
@@ -475,6 +490,52 @@ object RetrievalAnalytics {
     fuse(lexRank, vecRank)
   }
 
+  // ---- knn_served: plain ANN search off the persisted vector index ------
+  /** The `knn_ivf_trained` CONTRACT (query_id, neighbor_id, rank,
+    * cosine) served from the persisted trained-cell store instead of
+    * retraining + routing in-plan: queries route against the broadcast
+    * centroid table, scan ONLY their nprobe cells (static partition
+    * pruning), exact cosine over the routed members, top-10. Because
+    * build-time assignment and the in-plan routing share one definition
+    * ([[graft.similarity.IvfTrained.assignOn]]), the served result is
+    * bit-identical to `knn_ivf_trained` — the oracle IS that entry's
+    * oracle, and `HybridServeSpec` asserts the frame equality + the
+    * partition-filter law. This is the plain-vector-search twin of
+    * `hybrid_rrf_served`: what a 100 TB deployment actually executes
+    * per query batch (the index pays the corpus-linear terms once).
+    */
+  def knnServed(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, dir.replaceAll("[^A-Za-z0-9]", "_"),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+    val cents = spark.read.parquet(st.centroidsPath)
+    val rawQ = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+    val probes = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents,
+        graft.similarity.IvfTrained.NProbe)
+      .localCheckpoint(eager = false)
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qv = graft.similarity.Similarity.withNorms(rawQ)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.read.parquet(st.vectorsPath)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", expr("vec_dot(va, v)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Same routing, same scoring, same cut — the served path must
+    * reproduce the in-plan trained tier exactly, so it shares its
+    * oracle text verbatim.
+    */
+  val knnServedSql: String = graft.similarity.IvfTrained.knnIvfTrainedSql
+
   /** The served oracle: the lexical CTEs verbatim (stored scores ≡
     * recomputed scores), the vector leg over the trained-routing member
     * chain ([[graft.similarity.IvfTrained]]'s kmeans + assignment +
@@ -501,5 +562,6 @@ object RetrievalAnalytics {
     "inverted_index"    -> (invertedIndex _, invertedIndexSql),
     "hybrid_rrf"        -> (hybridRrf _, hybridRrfSql),
     "hybrid_rrf_served" -> (hybridRrfServed _, hybridRrfServedSql),
+    "knn_served"        -> (knnServed _, knnServedSql),
   )
 }

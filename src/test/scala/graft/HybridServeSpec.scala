@@ -58,6 +58,19 @@ class HybridServeSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("knn_served: bit-identical to the in-plan trained tier, partition-pruned cell scan") {
+    GraftExtensions.register(spark)
+    val served = RetrievalAnalytics.knnServed(spark, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      s"served knn scan lost its partition filter:\n${plan.take(3000)}")
+    val got = served.collect().map(_.toSeq).toSet
+    val exact = graft.similarity.IvfTrained.knnIvfTrained(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && got == exact,
+      "served ANN diverged from knn_ivf_trained on identical routing")
+  }
+
   test("store build is idempotent and the stores carry the documented layout") {
     GraftExtensions.register(spark)
     RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan

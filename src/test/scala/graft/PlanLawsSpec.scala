@@ -54,10 +54,10 @@ class PlanLawsSpec extends SparkSpec {
     // hybrid fusion's vector leg is the knn_brute broadcast query anchor
     // (bounded query batch) + the 1-row corpus-stats anchor of the BM25 leg
     "hybrid_rrf",
-    // the served variant's only cross join is the query batch × the
+    // the served variants' only cross join is the query batch × the
     // broadcast K-row trained-centroid table (router) — constant build
     // side; the index sides are probed with equi-joins
-    "hybrid_rrf_served",
+    "hybrid_rrf_served", "knn_served",
     // 1-row query anchor + bounded candidate-pool pair join (|C|², C
     // fixed by the retrieval stage, never corpus-sized)
     "mmr_select",
