@@ -208,16 +208,25 @@ object RetrievalAnalytics {
     *   — the probe pins queries to the base id range at replica scales
     *   (the knn_pq quadratic-query lesson).
     */
-  /** The BM25-scored postings frame (doc_id, term, score) — the
+  /** The BM25-scored postings frame (doc_id, term, tc, score) — the
     * corpus-linear term every lexical index build pays once. Shared by
     * the per-batch `hybrid_rrf` entry and [[graft.sources.HybridStore]]'s
     * build phase, so stored and recomputed scores are identical by
-    * construction.
+    * construction. `tc` rides along so the store can be RESCORED
+    * against fresh global stats when a delta tier arrives
+    * ([[hybridRrfLive]]) — impact scores freeze corpus statistics at
+    * build time; the raw counts don't.
     */
-  private def bm25ScoredOn(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
-      .localCheckpoint(eager = false) // consumers: dl, df, term scores
+  private def bm25ScoredOn(docs: DataFrame): DataFrame =
+    bm25ScoredOverTf(termFrequencies(docs))
+
+  /** Okapi per-(doc, term) scores off ANY (doc_id, term, tc) source —
+    * dl/df/stats re-derived from the tf frame itself, so base-store
+    * counts ∪ delta counts rescore EXACTLY as a full rebuild would (the
+    * [[hybridRrfLive]] equality law).
+    */
+  private[graft] def bm25ScoredOverTf(rawTf: DataFrame): DataFrame = {
+    val tf = rawTf.localCheckpoint(eager = false) // consumers: dl, df, scores
     val dl = tf.groupBy("doc_id").agg(sum(col("tc")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
@@ -231,7 +240,7 @@ object RetrievalAnalytics {
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("score", idf * tfn)
-      .select(col("doc_id"), col("term"), col("score"))
+      .select(col("doc_id"), col("term"), col("tc"), col("score"))
   }
 
   /** RRF fusion of the two leg rankings — missing leg contributes 0,
@@ -472,6 +481,76 @@ object RetrievalAnalytics {
       .localCheckpoint(eager = false) // consumers: probe-id collect + member join
     // ≤ K distinct cell ids — the VectorIndexIngest control-plane read
     // that turns the cell restriction into a static partition filter
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qv = graft.similarity.Similarity.withNorms(rawQ)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id").asc)
+    val vecRank = spark.read.parquet(st.vectorsPath)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", expr("vec_dot(va, v)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("cosine"))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= LegK)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    fuse(lexRank, vecRank)
+  }
+
+  /** LIVE hybrid retrieval: the base [[graft.sources.HybridStore]] plus
+    * a [[graft.streaming.PostingsIngest]] DELTA tier — the freshness
+    * composition production actually runs between index rebuilds (base
+    * rebuilt at refresh cadence; the crawler's new documents searchable
+    * within one trigger interval). The lexical leg RESCORES the union
+    * of base-store counts and delta counts against CURRENT global stats
+    * ([[bm25ScoredOverTf]] — BM25's df/dl/N are corpus-global, so
+    * frozen impact scores drift as deltas arrive; the stored `tc`
+    * column is what makes exact rescoring possible without re-reading
+    * the corpus), which makes the freshness law EXACT:
+    * base(half) + delta(other half) ≡ a full rebuild, bit-for-bit
+    * (`PostingsIngestSpec` pins it end-to-end). The vector leg serves
+    * from the base trained-cell store — embeddings lag text in
+    * production (the documented backfilling regime); with nprobe ≥ K it
+    * degenerates to the exact scan, which is what the law uses.
+    *
+    * Scale: the rescoring pass is one scan of base postings ∪ deltas
+    * (index-sized, not corpus-sized — no tokenization re-runs), cached
+    * between delta arrivals; the probes on top stay the served entry's
+    * bounded per-query work.
+    */
+  private[graft] def hybridRrfLive(spark: SparkSession, key: String,
+      baseDocs: => DataFrame, emb: => DataFrame,
+      delta: graft.streaming.PostingsIngest.Stores, nprobe: Int,
+      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, key, baseDocs, emb)
+    val liveTf = spark.table(st.postingsTable).select("doc_id", "term", "tc")
+      .unionByName(graft.streaming.PostingsIngest.mergedTf(spark, delta))
+    val scored = bm25ScoredOverTf(liveTf)
+      .select("doc_id", "term", "score")
+      .localCheckpoint(eager = false) // consumers: query-term pick + probe
+    val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    val qterms = scored.filter(queryIds(col("doc_id")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= QTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id").asc)
+    val lexRank = scored.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score")).as("lex"))
+      .withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= LegK)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    // vector leg: the base store's trained cells, served
+    val cents = spark.read.parquet(st.centroidsPath)
+    val rawQ = emb.filter(queryIds(col("vec_id")))
+    val probes = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
+      .localCheckpoint(eager = false)
     val probeIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     val qv = graft.similarity.Similarity.withNorms(rawQ)

@@ -100,6 +100,27 @@ class PostingsIngestSpec extends SparkSpec {
       health.map(_._3).sum + health(1)._3)
   }
 
+  test("live freshness law: base store on half the docs + delta tier on the rest == a full rebuild, bit-for-bit") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val emb  = Tables.embeddings(spark, dir)
+    val st = freshStores()
+    // the crawler lands the odd half AFTER the base index was built
+    PostingsIngest.processBatch(docs.filter(col("doc_id") % 2 === 1), 0L, st)
+    // nprobe >= K: the vector leg degenerates to the exact scan, so any
+    // difference would be the lexical freshness composition, not the
+    // documented ANN recall trade
+    val live = graft.analytics.RetrievalAnalytics.hybridRrfLive(
+      spark, "live_law", docs.filter(col("doc_id") % 2 === 0), emb, st,
+      nprobe = 1000000)
+      .collect().map(_.toSeq).toSet
+    val rebuild = graft.analytics.RetrievalAnalytics
+      .hybridRrfOn(docs, emb)
+      .collect().map(_.toSeq).toSet
+    assert(rebuild.nonEmpty && live == rebuild,
+      "base+delta composition diverged from the full rebuild")
+  }
+
   test("streaming end-to-end: MemoryStream -> per-batch postings -> live probe") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val st  = freshStores()
