@@ -356,6 +356,24 @@ object ScaleProbe {
         Maintenance.releaseCachedBlocks(spark, blocking = true)
         time(spark, copies, "hybrid_rrf_served")(served)
       }
+      // the freshness composition: base store on the even half, delta
+      // tier on the odd half; the timed object includes the per-refresh
+      // rescoring pass over base-counts ∪ delta-counts — index-sized
+      // and linear, the price of exact freshness (vs the served entry's
+      // frozen impact scores)
+      if (wanted("hybrid_rrf_live")) {
+        val dp = s"$tmp/postings_delta_$copies"
+        val dst = graft.streaming.PostingsIngest.Stores(dp + "/postings", dp + "/health")
+        graft.streaming.PostingsIngest.processBatch(
+          docs.filter(col("doc_id") % 2 === 1), 0L, dst)
+        def live = graft.analytics.RetrievalAnalytics.hybridRrfLive(
+          spark, s"probelive$copies", docs.filter(col("doc_id") % 2 === 0),
+          spark.read.parquet(embPath), dst, nprobe = 8,
+          queryIds = id => id % 100 === 0 && id < 10000000L)
+        live.count() // builds the base store untimed
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, "hybrid_rrf_live")(live)
+      }
       // keep-first passage dedup: replica token-wrapping puts a replica
       // tag inside every 10-token passage, so cross-replica passage dups
       // vanish and the dup set stays the base corpus' own per replica —
