@@ -27,6 +27,20 @@ class MmrSelectSpec extends SparkSpec {
     }
   }
 
+  test("pool exhaustion: a pool smaller than K yields exactly |pool| rows (the fused greedy's empty-slice law)") {
+    val emb = Tables.embeddings(spark, dir)
+    // poolMod 150 over 200 vectors -> vec_id in {150} minus the query:
+    // one candidate (vec_id 0 is the query and excluded)
+    val poolSize = emb.filter(col("vec_id") % 150 === 0 && col("vec_id") =!= 0L).count()
+    assert(poolSize > 0 && poolSize < 10, s"fixture drifted: pool=$poolSize")
+    val rows = graft.similarity.MmrSelect
+      .mmrSelectOn(emb, poolMod = 150)
+      .select("sel_rank", "vec_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == poolSize, s"expected $poolSize rows, got ${rows.length}")
+    assert(rows.map(_._1).toSeq == (1L to poolSize))
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
+
   test("retrieve→diversify composition: the ANN variant picks only shortlist members and keeps the greedy invariants") {
     val emb = Tables.embeddings(spark, dir)
     // the stage-1 int8 shortlist the composed operator promises to use
