@@ -185,10 +185,28 @@ object ScaleProbe {
       // one plan — nothing new shuffles beyond the components, so the
       // probe prices exactly their sum; embeddings replicate with the
       // corpus (ids shift identically, so every replica's semantic leg
-      // engages and the NULL-abstain column stays per-replica honest)
+      // engages and the NULL-abstain column stays per-replica honest).
+      // The semantic screen uses the FIXED base centroid set — the same
+      // production shape the dedup_semantic arm measures; the registry's
+      // modulo seeding grows K with N (its documented caveat) and at
+      // 100× cost ~35 s of pure assignment rows before this was split
+      // MATERIALIZATION GUARD (the span_removal_clean lesson, third
+      // sighting, with a twist): count() alone lets Catalyst ELIMINATE
+      // the distinct-keyed left-join legs — and a guard like
+      // `keep >= 0` is PROVABLY TRUE (keep ∈ {0,1}), so it constant-
+      // folds away and the elimination still fires (measured: 4 s vs
+      // the honest 23 s at 100×). The hash-inequality guard references
+      // all three verdict columns in a way no rule can fold.
       if (wanted("dedup_ensemble"))
         time(spark, copies, "dedup_ensemble")(
-          Dedup.dedupEnsembleOn(docs, spark.read.parquet(embPath)))
+          Dedup.dedupEnsembleOn(docs, spark.read.parquet(embPath),
+            semanticOf = e => Similarity.dedupSemanticWith(e,
+              Similarity.withNorms(Tables.embeddings(spark, sfDir))
+                .filter(col("vec_id") % 50 === 0)
+                .select(col("vec_id").as("centroid_id"), col("v").as("vb"),
+                  col("n2").as("cn2"))))
+            .filter(hash(col("keep"), col("lexical_dup"),
+              coalesce(col("semantic_dup"), lit(-7))) =!= lit(42)))
       if (wanted("dedup_components"))
         time(spark, copies, "dedup_components")(
           Dedup.componentsOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs))))

@@ -1192,7 +1192,18 @@ object Dedup {
     dedupEnsembleOn(Tables.documents(spark, dir),
       Tables.embeddings(spark, dir))
 
-  private[graft] def dedupEnsembleOn(docs: DataFrame, emb: DataFrame): DataFrame = {
+  /** @param semanticOf the semantic screen over the normed embedding
+    *   frame. The registry default is the oracle-checked modulo-seeded
+    *   `dedupSemanticOn` — whose K grows with N (fine for the oracle
+    *   gate, quadratic at corpus scale, the documented `dedup_semantic`
+    *   caveat); production passes a FIXED or trained centroid set via
+    *   `dedupSemanticWith`, which is exactly what the ScaleProbe arm
+    *   measures (the 100× residual before this parameter existed was the
+    *   modulo rule's 800M-row assignment, not the composition).
+    */
+  private[graft] def dedupEnsembleOn(docs: DataFrame, emb: DataFrame,
+      semanticOf: DataFrame => DataFrame =
+        graft.similarity.Similarity.dedupSemanticOn): DataFrame = {
     val d = docs.select(col("doc_id"), md5(col("text")).as("fp"))
       .localCheckpoint(eager = false) // consumers: group agg + join-back
     val exGroups = d.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
@@ -1203,8 +1214,7 @@ object Dedup {
     val lex = dedupJaccardOn(shingleSets(docs))
       .select(col("doc_id_2").as("doc_id")).distinct()
       .withColumn("lx", lit(1))
-    val sem = graft.similarity.Similarity
-      .dedupSemanticOn(graft.similarity.Similarity.withNorms(emb))
+    val sem = semanticOf(graft.similarity.Similarity.withNorms(emb))
       .select(col("vec_id").as("doc_id"),
         (lit(1) - col("keep")).cast("int").as("semantic_dup"))
     exact
