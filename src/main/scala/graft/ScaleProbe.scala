@@ -82,6 +82,17 @@ object ScaleProbe {
           .as("embedding"))
   }
 
+  /** Fold-proof materialization guard (round 11, the span_removal_clean
+    * count()-pruning lesson generalized after `tools.PlanAudit` found 15
+    * registry shapes whose distinct-keyed left-join legs Catalyst
+    * ELIMINATES under a bare count()): the hash references EVERY output
+    * column through an inequality no rule can fold, so the counted plan
+    * is the full plan. Cost: one hash per row; drops rows at p ≈ 2⁻³²,
+    * irrelevant to a timing probe.
+    */
+  private def guard(df: DataFrame): DataFrame =
+    df.filter(hash(df.columns.map(col): _*) =!= lit(42))
+
   private def time(spark: SparkSession, scale: Int, name: String)(df: => DataFrame): Unit = {
     val t0   = System.nanoTime()
     val rows = df.count()
@@ -211,8 +222,8 @@ object ScaleProbe {
         time(spark, copies, "dedup_components")(
           Dedup.componentsOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs))))
       if (wanted("dedup_components_altstar"))
-        time(spark, copies, "dedup_components_altstar")(
-          Dedup.componentsAltStarOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs))))
+        time(spark, copies, "dedup_components_altstar")(guard(
+          Dedup.componentsAltStarOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs)))))
       // real-world shape: the eval suite stays FIXED while the corpus
       // grows — benchmark grams come from the base table only, training
       // grams from every replica PLUS one unperturbed base copy
@@ -252,8 +263,8 @@ object ScaleProbe {
       // the dup set stays the base corpus' own — linear gram volume is
       // the thing under test
       if (wanted("span_dedup_rate"))
-        time(spark, copies, "span_dedup_rate")(
-          graft.analytics.TextAnalytics.spanDedupRateOn(docs))
+        time(spark, copies, "span_dedup_rate")(guard(
+          graft.analytics.TextAnalytics.spanDedupRateOn(docs)))
       // excision intervals + the full clean pass: dup spans stay the base
       // corpus' own (replica wrapping breaks cross-replica 8-grams), so
       // interval output scales ×copies and the clean join stays doc-keyed
@@ -296,8 +307,8 @@ object ScaleProbe {
       // DISTINCT-token axis too (vocab agg input), the aggregate that
       // actually grows; the top-20 broadcast stays constant
       if (wanted("vocab_coverage"))
-        time(spark, copies, "vocab_coverage")(
-          graft.analytics.TextAnalytics.vocabCoverageOn(docs))
+        time(spark, copies, "vocab_coverage")(guard(
+          graft.analytics.TextAnalytics.vocabCoverageOn(docs)))
       // quality_gate: output rows CONSTANT (one per source) while the
       // corpus grows — the (source, qi) histogram cell space is bounded
       // by sources × 10001 at ANY corpus size; replica docs get a
@@ -309,9 +320,9 @@ object ScaleProbe {
           graft.analytics.TextAnalytics.sourceRebalanceOn(
             docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(10))))))
       if (wanted("quality_gate"))
-        time(spark, copies, "quality_gate")(
+        time(spark, copies, "quality_gate")(guard(
           graft.analytics.TextAnalytics.qualityGateOn(
-            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(10))))))
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(10)))))))
       // token_budget_sample: same prefix-sum shape as training_order;
       // output is budget-bounded (S sources × ≤400 tokens) so rows stay
       // CONSTANT while the scanned corpus grows — the wall prices the
@@ -339,8 +350,8 @@ object ScaleProbe {
         time(spark, copies, "lm_bigram")(
           graft.analytics.SelectionAnalytics.lmBigramOn(docs))
       if (wanted("dsir_weights"))
-        time(spark, copies, "dsir_weights")(
-          graft.analytics.SelectionAnalytics.dsirWeightsOn(docs))
+        time(spark, copies, "dsir_weights")(guard(
+          graft.analytics.SelectionAnalytics.dsirWeightsOn(docs)))
       // two-pass exact heavy hitters: state is k counters per partial by
       // construction; the thing under test is that wall time tracks the
       // token stream (sketch pass) and never the key domain
@@ -500,10 +511,10 @@ object ScaleProbe {
       if (wanted("dedup_semantic"))
         time(spark, copies, "dedup_semantic") {
           val base = Similarity.withNorms(Tables.embeddings(spark, sfDir))
-          Similarity.dedupSemanticWith(emb,
+          guard(Similarity.dedupSemanticWith(emb,
             base.filter(col("vec_id") % 50 === 0)
               .select(col("vec_id").as("centroid_id"), col("v").as("vb"),
-                col("n2").as("cn2")))
+                col("n2").as("cn2"))))
         }
       // PageRank, exact edge source: inherits the O(N²/2) pair scan — the
       // measured-quadratic baseline, probe at small tiers only
