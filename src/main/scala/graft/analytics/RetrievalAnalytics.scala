@@ -569,6 +569,53 @@ object RetrievalAnalytics {
     fuse(lexRank, vecRank)
   }
 
+  // ---- bm25_search_served: lexical search off the postings store --------
+  /** Plain BM25 text search served from the persisted postings store —
+    * the lexical twin of [[knnServed]] and the third serving entry:
+    * query construction (top-[[QTerms]] characteristic terms per query
+    * doc) and the candidate probe both read the term-bucketed store
+    * with its baked impact scores; output is the per-query top-[[LegK]]
+    * (query_id, rank, doc_id, score) ranking a search box returns.
+    * Because stored scores ARE [[bm25ScoredOverTf]]'s, the oracle is
+    * the fusion oracle's `lexr` CTE chain verbatim — store and oracle
+    * score identically by construction.
+    */
+  def bm25SearchServed(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, dir.replaceAll("[^A-Za-z0-9]", "_"),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+    val postings = spark.table(st.postingsTable)
+    val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    val qterms = postings.filter(col("doc_id") % 100 === 0)
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= QTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val wl = Window.partitionBy("query_id").orderBy(col("lex").desc, col("doc_id").asc)
+    postings.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score")).as("lex"))
+      .withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= LegK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), round(col("lex"), 6).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  val bm25SearchServedSql: String =
+    s"""WITH $lexCtesSql,
+       |ranked AS (
+       |  SELECT q.query_id, s.doc_id, sum(s.score) AS lex,
+       |         row_number() OVER (PARTITION BY q.query_id
+       |           ORDER BY sum(s.score) DESC, s.doc_id ASC) AS rank
+       |  FROM scored s JOIN qterms q USING (term)
+       |  WHERE s.doc_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+       |       round(lex, 6) AS score
+       |FROM ranked WHERE rank <= $LegK
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- knn_served: plain ANN search off the persisted vector index ------
   /** The `knn_ivf_trained` CONTRACT (query_id, neighbor_id, rank,
     * cosine) served from the persisted trained-cell store instead of
@@ -642,5 +689,6 @@ object RetrievalAnalytics {
     "hybrid_rrf"        -> (hybridRrf _, hybridRrfSql),
     "hybrid_rrf_served" -> (hybridRrfServed _, hybridRrfServedSql),
     "knn_served"        -> (knnServed _, knnServedSql),
+    "bm25_search_served" -> (bm25SearchServed _, bm25SearchServedSql),
   )
 }
