@@ -569,6 +569,53 @@ object RetrievalAnalytics {
     fuse(lexRank, vecRank)
   }
 
+  /** LIVE served ANN — the VECTOR side of the freshness trilogy
+    * ([[hybridRrfLive]] is the lexical side): vectors arriving AFTER
+    * the base build land in a DELTA generation assigned against the
+    * SAME frozen centroid table (one [[graft.similarity.IvfTrained
+    * .assignOn]] definition — centroids retrain rarely, the index
+    * ingests continuously), and a query probes base ∪ delta with ONE
+    * cell filter that partition-prunes BOTH stores (predicate pushdown
+    * through the union). The freshness law is exact by construction:
+    * with nprobe ≥ K every cell is probed, membership is total, and
+    * the served ranking equals the brute-force exact top-10 over the
+    * union corpus bit-for-bit (`HybridServeSpec` pins it) — at the
+    * production nprobe the only difference is the trained tier's
+    * published recall trade, never a freshness artifact.
+    */
+  private[graft] def knnServedLive(spark: SparkSession, key: String,
+      baseDocs: => DataFrame, baseEmb: => DataFrame, deltaEmb: => DataFrame,
+      nprobe: Int): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, key, baseDocs, baseEmb)
+    val cents = spark.read.parquet(st.centroidsPath)
+    val deltaPath = st.vectorsPath + "_delta"
+    graft.sources.HybridStore.writeVectors(
+      graft.similarity.Similarity.withNorms(deltaEmb)
+        .join(graft.similarity.IvfTrained.assignOn(
+          graft.similarity.IvfTrained.scaledQuantized(deltaEmb), cents), "vec_id"),
+      deltaPath)
+    val rawQ = baseEmb.unionByName(deltaEmb).filter(col("vec_id") % 100 === 0)
+    val probes = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
+      .localCheckpoint(eager = false)
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qv = graft.similarity.Similarity.withNorms(rawQ)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.read.parquet(st.vectorsPath)
+      .unionByName(spark.read.parquet(deltaPath))
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", expr("vec_dot(va, v)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   // ---- bm25_search_served: lexical search off the postings store --------
   /** Plain BM25 text search served from the persisted postings store —
     * the lexical twin of [[knnServed]] and the third serving entry:

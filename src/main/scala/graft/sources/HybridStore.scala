@@ -47,11 +47,19 @@ object HybridStore {
       .sortBy("term")
       .format("parquet")
       .saveAsTable(s.postingsTable)
-    vectors.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy("centroid_id")
-      .parquet(s.vectorsPath)
+    writeVectors(vectors, s.vectorsPath)
     // K rows — one file, broadcast on read
     centroids.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s.centroidsPath)
   }
+
+  /** The cell-partitioned vector layout alone — also used for DELTA
+    * generations (vectors arriving after the base build, assigned
+    * against the SAME frozen centroids — the production contract that
+    * centroids retrain rarely while the index ingests continuously).
+    */
+  def writeVectors(vectors: DataFrame, path: String): Unit =
+    vectors.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("centroid_id")
+      .parquet(path)
 }

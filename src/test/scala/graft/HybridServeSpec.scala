@@ -71,6 +71,30 @@ class HybridServeSpec extends SparkSpec {
       "served ANN diverged from knn_ivf_trained on identical routing")
   }
 
+  test("vector freshness law: base store + delta generation at full probe == brute-force exact over the union") {
+    GraftExtensions.register(spark)
+    val emb  = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    // full probe: membership is total, so any divergence would be the
+    // delta plumbing (assignment, union, scoring), not the recall trade
+    val live = RetrievalAnalytics.knnServedLive(spark, "vec_live_law",
+      Tables.documents(spark, dir), base, delta, nprobe = 1000000)
+      .collect().map(_.toSeq).toSet
+    val exact = graft.similarity.Similarity
+      .knnBruteOn(graft.similarity.Similarity.withNorms(emb))
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && live == exact,
+      "base+delta vector serving diverged from the exact union ranking")
+    // at the production probe width BOTH stores' scans stay pruned
+    val plan = RetrievalAnalytics.knnServedLive(spark, "vec_live_law",
+      Tables.documents(spark, dir), base, delta, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    val pruned = "PartitionFilters: \\[[^\\]]*centroid_id".r.findAllIn(plan).length
+    assert(pruned == 2, s"expected both store scans partition-pruned, got $pruned:\n" +
+      plan.take(3000))
+  }
+
   test("store build is idempotent and the stores carry the documented layout") {
     GraftExtensions.register(spark)
     RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan
