@@ -139,7 +139,14 @@ object Maintenance {
     val combined = reduce(spark.read.parquet(path).drop("batch_id"))
     val totalBytes = fs.getContentSummary(root).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val writer = combined.repartition(nFiles).write.mode("overwrite")
+    // With sub-partitions, repartition ON them: a round-robin shuffle
+    // would make every task see every sub-partition value and emit up to
+    // nFiles × |values| files, defeating the targetBytes goal — keying
+    // the exchange on the partition columns lands each output directory
+    // ~one file (nFiles spreads hash ties across tasks).
+    val writer = (if (subPartitions.nonEmpty)
+        combined.repartition(nFiles, subPartitions.map(org.apache.spark.sql.functions.col): _*)
+      else combined.repartition(nFiles)).write.mode("overwrite")
     (if (subPartitions.nonEmpty) writer.partitionBy(subPartitions: _*) else writer)
       .parquet(tmp.toString)
 

@@ -402,6 +402,25 @@ object RetrievalAnalytics {
   private val ServedBuckets = 8
   private val buildLock = new Object
 
+  /** Collision-proof store key for a source directory: the sanitized
+    * name keeps keys readable, the appended CRC of the RAW string keeps
+    * distinct dirs distinct (sanitization alone maps e.g. `sf0.1` and
+    * `sf0_1` to the same key — the round-11 review's staleness hole).
+    */
+  private[graft] def storeKey(dir: String): String = {
+    val crc = new java.util.zip.CRC32
+    crc.update(dir.getBytes("UTF-8"))
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + java.lang.Long.toHexString(crc.getValue)
+  }
+
+  /** Build-once-serve-many store resolution. CONTRACT: `key` names the
+    * corpus CONTENT — callers must derive it via [[storeKey]] (distinct
+    * dirs can never collide) or, for frame-based probe/spec callers,
+    * choose a key unique to the frames they pass; re-calling with the
+    * same key and different data serves the memoized store (by design —
+    * that is the serve economics), so mutate the key when the corpus
+    * changes.
+    */
   private def servedStores(spark: SparkSession, key: String,
       docs: => DataFrame, emb: => DataFrame): graft.sources.HybridStore.Stores =
     buildLock.synchronized {
@@ -414,16 +433,14 @@ object RetrievalAnalytics {
       if (!built) {
         // the catalog is per-JVM but the warehouse directory persists: a
         // prior process may have left the managed table's LOCATION behind
-        // with no catalog entry, which saveAsTable refuses — drop both
+        // with no catalog entry, which saveAsTable refuses — drop both.
+        // Hadoop FS API, not java.io: the warehouse may not be local.
         spark.sql(s"DROP TABLE IF EXISTS ${s.postingsTable}")
-        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        val staleLoc = new java.io.File(warehouse, s.postingsTable)
-        if (staleLoc.exists()) rm(staleLoc)
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, s.postingsTable)
+        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
         val e = emb
         // K-row trained centroid table: consumed by the assignment pass
         // now and persisted for the query-side router
@@ -442,7 +459,7 @@ object RetrievalAnalytics {
 
   private[graft] def hybridRrfServedOn(spark: SparkSession, dir: String,
                                        nprobe: Int): DataFrame =
-    hybridRrfServedFrames(spark, dir.replaceAll("[^A-Za-z0-9]", "_"),
+    hybridRrfServedFrames(spark, storeKey(dir),
       Tables.documents(spark, dir), Tables.embeddings(spark, dir), nprobe)
 
   /** Frame-based served entry (`ScaleProbe` feeds the replica corpus
@@ -629,7 +646,7 @@ object RetrievalAnalytics {
     */
   def bm25SearchServed(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val st = servedStores(spark, dir.replaceAll("[^A-Za-z0-9]", "_"),
+    val st = servedStores(spark, storeKey(dir),
       Tables.documents(spark, dir), Tables.embeddings(spark, dir))
     val postings = spark.table(st.postingsTable)
     val wq = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
@@ -679,7 +696,7 @@ object RetrievalAnalytics {
     */
   def knnServed(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftExtensions.register(spark)
-    val st = servedStores(spark, dir.replaceAll("[^A-Za-z0-9]", "_"),
+    val st = servedStores(spark, storeKey(dir),
       Tables.documents(spark, dir), Tables.embeddings(spark, dir))
     val cents = spark.read.parquet(st.centroidsPath)
     val rawQ = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale (100 TB):
   *  - `kcenter_select` is a RERANKER like [[MmrSelect]]: the pool is a
-  *    retrieval/cluster shard's candidate set, bounded by construction,
-  *    so the |C|² pair-distance table broadcasts and each greedy step is
-  *    one keyed aggregate + TakeOrdered(1). Corpus-wide coresets run one
+  *    retrieval/cluster shard's candidate set, HARD-CAPPED at [[MaxPool]]
+  *    rows (a `% mod` sample alone is a corpus fraction; the cap is a
+  *    distributed TakeOrdered, so the fused greedy's one collected row
+  *    stays ≤2 MB at any corpus size). Corpus-wide coresets run one
   *    pool per shard and union — the parallel axis is pools, not steps.
   *  - `hard_negatives` / `knn_label_acc` are the O(Q·N) broadcast-query
   *    scan of `knn_brute` with the bounded `topk_by_score` partial
@@ -49,6 +50,19 @@ object LabelEval {
   /** kcenter_select: pool membership rule + number of selections. */
   private val PoolMod = 10L
   private val KCenters = 10
+
+  /** Hard cap on the k-center candidate pool: unlike MMR's pool (the
+    * reranker's top-C contract bounds it), `vec_id % PoolMod` is a fixed
+    * corpus FRACTION, so the fused greedy's single collect_list row
+    * would grow with the corpus (≈0.5 KB/candidate → the ~2 GB
+    * single-row wall near 4M pool members). The cap keeps the
+    * MaxPool smallest sampled ids — deterministic, oracle-expressible
+    * (ORDER BY vec_id LIMIT), planned as one distributed
+    * TakeOrderedAndProject — so the greedy's input is ≤2 MB at ANY
+    * corpus size. All test SFs sit far under the cap (2k vectors at
+    * sf0.1 → pool 200), so results are unchanged.
+    */
+  private val MaxPool = 4096L
 
   /** hard_negatives: anchor set rule + negatives per anchor. */
   private val AnchorMod = 100L
@@ -101,7 +115,8 @@ object LabelEval {
     kcenterSelectOn(Tables.embeddings(spark, dir))
 
   /** ONE plan, not K (round 11 — the [[MmrSelect]] fusion applied to
-    * the same k-chained shape): the pool is bounded by construction, so
+    * the same k-chained shape): the pool is hard-capped at [[MaxPool]]
+    * candidates (the `% poolMod` sample alone is a corpus fraction), so
     * the whole Gonzalez walk runs inside a single
     * `aggregate(sequence(1, K), …)` higher-order expression over one
     * collect_list row, carrying the selected set as an accumulated
@@ -117,6 +132,7 @@ object LabelEval {
   private[graft] def kcenterSelectOn(emb: DataFrame,
                                      poolMod: Long = PoolMod): DataFrame = {
     val pool = quantized(emb).filter(col("vec_id") % poolMod === 0)
+      .orderBy("vec_id").limit(MaxPool.toInt)
       .agg(collect_list(struct(col("vec_id"), col("qv"))).as("cands"))
     val sqd = "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0L, (a, b) -> a + b)"
     val stateType = "array<struct<sel_rank:bigint,vec_id:bigint,min_d2:bigint,qv:array<bigint>>>"
@@ -159,11 +175,14 @@ object LabelEval {
          |u$r AS MATERIALIZED (
          |  SELECT * FROM u${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS MATERIALIZED (
+    s"""WITH pool AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings WHERE vec_id % $PoolMod = 0
+       |  ORDER BY vec_id LIMIT $MaxPool),
+       |e0 AS MATERIALIZED (
        |  SELECT vec_id, i,
        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * $QScale) AS BIGINT) AS q
        |  FROM embeddings, generate_series(1, $Dim) AS g(i)
-       |  WHERE vec_id % $PoolMod = 0),
+       |  WHERE vec_id IN (SELECT vec_id FROM pool)),
        |d2 AS MATERIALIZED (
        |  SELECT a.vec_id AS va, b.vec_id AS vb,
        |         CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS d2

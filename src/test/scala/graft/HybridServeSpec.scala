@@ -34,7 +34,7 @@ class HybridServeSpec extends SparkSpec {
     GraftExtensions.register(spark)
     // force the store to exist, then probe it the way the serving leg does
     RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan
-    val postings = spark.table(s"hybrid_postings_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val postings = spark.table(s"hybrid_postings_${graft.analytics.RetrievalAnalytics.storeKey(dir)}")
     val qterms = postings.filter(col("doc_id") % 100 === 0)
       .limit(5).select(col("doc_id").as("query_id"), col("term"))
     val cands = postings.join(broadcast(qterms), "term")
@@ -98,7 +98,7 @@ class HybridServeSpec extends SparkSpec {
   test("store build is idempotent and the stores carry the documented layout") {
     GraftExtensions.register(spark)
     RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan
-    val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val key = graft.analytics.RetrievalAnalytics.storeKey(dir)
     val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
     val vecs = spark.read.parquet(base + "/vectors")
     assert(vecs.columns.toSet == Set("vec_id", "v", "n2", "centroid_id"))
