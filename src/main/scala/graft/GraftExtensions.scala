@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotSorted, FloatVecDot, HilbertKey, JaccardSorted, MinHashSig, MortonKey, OverlapSorted, PqArgminCode, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
+import graft.functions.{DotSorted, FloatVecDot, HilbertKey, JaccardSorted, KMinDistinct, MinHashSig, MortonKey, OverlapSorted, PqArgminCode, SimhashFold, SqDistI64, TopKByScore, VecDotI8, VecSum, WinnowFp}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -170,6 +170,12 @@ object GraftExtensions {
             s"topk_by_score k must be an integer literal, got $other")
         }
         TopKByScore(children.head, children(1), k)
+      }),
+    (FunctionIdentifier("kmin_distinct"),
+      new ExpressionInfo(classOf[KMinDistinct].getName, "kmin_distinct"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kmin_distinct takes (value, k)")
+        KMinDistinct(children.head, foldToInt(children(1), "kmin_distinct k"))
       }))
 
   /** Idempotently register the native functions + planner strategy on a

@@ -357,6 +357,107 @@ object TextAnalytics {
        |GROUP BY 1, 2
        |ORDER BY exact_cnt DESC, token""".stripMargin
 
+  // ---- kmv_distinct: k-minimum-values cardinality sketch ---------------
+  /** KMV distinct-count sketch (Bar-Yossef et al. RANDOM '02) over each
+    * source's 3-gram shingle stream — the CARDINALITY member of the
+    * sketch family ([[cmsSketchOn]] answers "how often", Misra-Gries
+    * answers "which are the heaviest", KMV answers "how many distinct"):
+    * per source, the [[KmvK]] smallest distinct [[hash60]] values; the
+    * k-th smallest m estimates the distinct shingle count as
+    * (k−1)·2⁶⁰/m with relative error ≈ 1/√(k−2) (~6% at k=256). The
+    * entry audits the estimate against the exact distinct count — the
+    * error surface a user sizes k against. Distinct shingles per source
+    * is the content-diversity signal a curation pipeline tracks per
+    * domain (a crawler feeding boilerplate shows a flat curve; fresh
+    * content grows it).
+    *
+    * Scale (100 TB): the native `kmin_distinct` aggregate
+    * ([[graft.functions.KMinDistinct]]) carries ≤ k longs of state per
+    * group per map task and partial-aggregates (merge = set-union
+    * re-trimmed to k — the KMV mergeability law, `KmvSketchSpec`), so
+    * the sketch shuffles k longs per task per group where the exact
+    * audit's count(DISTINCT) must repartition the full (source, shingle)
+    * universe — the audit is the oracle-checkable truth column here;
+    * production reads the sketch alone. Estimator caveat: the sketch
+    * counts distinct HASHES — a 60-bit collision (≈n²/2⁶¹) undercounts
+    * by one; at the ~2⁶⁰-point scale this is far below the 1/√k noise
+    * floor.
+    */
+  private[graft] val KmvK = 256
+
+  /** 2⁶⁰ as an exact IEEE double (integers up to 2⁶⁰ with ≤53 significant
+    * bits are representable; 2⁶⁰ has one).
+    */
+  private[graft] val KmvSpace = 1.152921504606846976e18
+
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinctOn(Tables.documents(spark, dir))
+
+  /** (source, shingle) stream — the element universe both the batch
+    * entry and the streaming tier ([[graft.streaming.StreamingKmv]])
+    * sketch over; one definition so streamed ≡ batch is definitional.
+    */
+  private[graft] def kmvShingles(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      // sub-3-token guard (the docGrams pattern, see Dedup.docGrams)
+      .select(col("source"), explode(expr(
+        """IF(size(toks) < 3, array(),
+          |  array_distinct(transform(sequence(1, size(toks) - 2),
+          |    i -> concat(element_at(toks, i), ' ',
+          |                element_at(toks, i + 1), ' ',
+          |                element_at(toks, i + 2)))))""".stripMargin)).as("g"))
+
+  private[graft] def kmvDistinctOn(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val sh = kmvShingles(docs)
+      .localCheckpoint(eager = false) // consumers: sketch + exact audit
+    val sk = sh.select(col("source"), hash60(col("g")).as("h"))
+      .groupBy("source").agg(expr(s"kmin_distinct(h, $KmvK)").as("mins"))
+    val exact = sh.groupBy("source")
+      .agg(countDistinct(col("g")).as("n_exact"))
+    val kth = element_at(col("mins"), size(col("mins")))
+    val est = when(size(col("mins")) < KmvK, size(col("mins")).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace) / kth.cast("double"))
+    sk.join(exact, "source")
+      .select(col("source"), col("n_exact"), kth.as("kth_min"),
+        round(est, 4).as("kmv_est"),
+        round(abs(est - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 6).as("rel_err"))
+      .orderBy("source")
+  }
+
+  val kmvDistinctSql: String = {
+    val estCase =
+      s"""CASE WHEN s.n_kept < $KmvK THEN s.n_kept::DOUBLE
+         |     ELSE ${KmvK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE
+         |          / s.kth_min::DOUBLE END""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT source, unnest(${shinglesSql("toks")}) AS g
+       |  FROM d WHERE len(toks) >= 3),
+       |hd AS (
+       |  SELECT DISTINCT source, ${hash60Sql("g")} AS h FROM sh),
+       |r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hd),
+       |sk AS (
+       |  SELECT source, max(h) AS kth_min, CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+       |ex AS (
+       |  SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM sh
+       |  GROUP BY 1)
+       |SELECT s.source, e.n_exact, s.kth_min,
+       |       round($estCase, 4) AS kmv_est,
+       |       round(abs(($estCase) - e.n_exact::DOUBLE) / e.n_exact::DOUBLE,
+       |             6) AS rel_err
+       |FROM sk s JOIN ex e USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
   // ---- doc_fingerprint: content + bag-of-words fingerprints ------------
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -2041,6 +2142,7 @@ object TextAnalytics {
     "token_topk"      -> (tokenTopk _, tokenTopkSql),
     "heavy_hitters"   -> (heavyHitters _, heavyHittersSql),
     "cms_sketch"      -> (cmsSketch _, cmsSketchSql),
+    "kmv_distinct"    -> (kmvDistinct _, kmvDistinctSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),
     "decontam"        -> (decontam _, decontamSql),
