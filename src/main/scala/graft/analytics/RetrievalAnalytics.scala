@@ -541,11 +541,20 @@ object RetrievalAnalytics {
       baseDocs: => DataFrame, emb: => DataFrame,
       delta: graft.streaming.PostingsIngest.Stores, nprobe: Int,
       queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        _ % 100 === 0): DataFrame = {
+        _ % 100 === 0,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(spark)
     val st = servedStores(spark, key, baseDocs, emb)
-    val liveTf = spark.table(st.postingsTable).select("doc_id", "term", "tc")
-      .unionByName(graft.streaming.PostingsIngest.mergedTf(spark, delta))
+    // tombstoned docs (the knnServedDel deletion contract, lexical side)
+    // vanish from the tf stream BEFORE scoring, so df/dl/N re-derive
+    // from the survivors — deletion-correct BM25 without a rebuild
+    val dead = tombstones.map(t => t.select(col(t.columns.head).as("dead_id")))
+    def living(df: DataFrame, idCol: String): DataFrame = dead.fold(df)(d =>
+      df.join(broadcast(d), col(idCol) === col("dead_id"), "left_anti"))
+    val liveTf = living(
+      spark.table(st.postingsTable).select("doc_id", "term", "tc")
+        .unionByName(graft.streaming.PostingsIngest.mergedTf(spark, delta)),
+      "doc_id")
     val scored = bm25ScoredOverTf(liveTf)
       .select("doc_id", "term", "score")
       .localCheckpoint(eager = false) // consumers: query-term pick + probe
@@ -564,7 +573,7 @@ object RetrievalAnalytics {
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
     // vector leg: the base store's trained cells, served
     val cents = spark.read.parquet(st.centroidsPath)
-    val rawQ = emb.filter(queryIds(col("vec_id")))
+    val rawQ = living(emb.filter(queryIds(col("vec_id"))), "vec_id")
     val probes = graft.similarity.IvfTrained
       .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
       .localCheckpoint(eager = false)
@@ -573,8 +582,8 @@ object RetrievalAnalytics {
     val qv = graft.similarity.Similarity.withNorms(rawQ)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
     val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id").asc)
-    val vecRank = spark.read.parquet(st.vectorsPath)
-      .filter(col("centroid_id").isin(probeIds: _*))
+    val vecRank = living(spark.read.parquet(st.vectorsPath)
+        .filter(col("centroid_id").isin(probeIds: _*)), "vec_id")
       .join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(qv), "query_id")
@@ -602,7 +611,7 @@ object RetrievalAnalytics {
     */
   private[graft] def knnServedLive(spark: SparkSession, key: String,
       baseDocs: => DataFrame, baseEmb: => DataFrame, deltaEmb: => DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, tombstones: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(spark)
     val st = servedStores(spark, key, baseDocs, baseEmb)
     val cents = spark.read.parquet(st.centroidsPath)
@@ -612,7 +621,12 @@ object RetrievalAnalytics {
         .join(graft.similarity.IvfTrained.assignOn(
           graft.similarity.IvfTrained.scaledQuantized(deltaEmb), cents), "vec_id"),
       deltaPath)
-    val rawQ = baseEmb.unionByName(deltaEmb).filter(col("vec_id") % 100 === 0)
+    // tombstoned ids (a deletion batch, bounded by the rebuild cadence —
+    // see knnServedDel) vanish from the member scan AND the query set
+    val dead = tombstones.map(t => t.select(col(t.columns.head).as("dead_id")))
+    def living(df: DataFrame): DataFrame = dead.fold(df)(d =>
+      df.join(broadcast(d), col("vec_id") === col("dead_id"), "left_anti"))
+    val rawQ = living(baseEmb.unionByName(deltaEmb).filter(col("vec_id") % 100 === 0))
     val probes = graft.similarity.IvfTrained
       .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
       .localCheckpoint(eager = false)
@@ -621,9 +635,9 @@ object RetrievalAnalytics {
     val qv = graft.similarity.Similarity.withNorms(rawQ)
       .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
     val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
-    spark.read.parquet(st.vectorsPath)
-      .unionByName(spark.read.parquet(deltaPath))
-      .filter(col("centroid_id").isin(probeIds: _*))
+    living(spark.read.parquet(st.vectorsPath)
+        .unionByName(spark.read.parquet(deltaPath))
+        .filter(col("centroid_id").isin(probeIds: _*)))
       .join(broadcast(probes), "centroid_id")
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(qv), "query_id")
@@ -726,6 +740,86 @@ object RetrievalAnalytics {
     */
   val knnServedSql: String = graft.similarity.IvfTrained.knnIvfTrainedSql
 
+  // ---- knn_served_del: tombstoned deletes on the served vector tier -----
+
+  /** Deterministic tombstone rule for the oracle-checked deletion entry:
+    * vec_id ≡ [[DelRes]] (mod [[DelMod]]) is deleted — ~14% of the
+    * corpus, enough that deletion visibly reshapes every query's top-10.
+    */
+  private val DelMod = 7L
+  private val DelRes = 3L
+
+  /** [[knnServed]] under DELETION — the missing half of the freshness
+    * story (adds stream in as delta generations; deletes cannot, because
+    * the vectors are already IN the immutable base store). The
+    * production answer is Lucene's: deletes land as TOMBSTONES — an id
+    * store written beside the index — and serving anti-joins them; the
+    * tombstones fold in for free at the next index build/compaction.
+    * Centroids, assignments and routing are UNTOUCHED (they were trained
+    * with the deleted vectors present — retraining per delete would make
+    * deletion a corpus-linear operation), so the law is: served ranking
+    * ≡ the trained tier's ranking over the SURVIVING members, deleted
+    * docs neither returned nor issuing queries. The oracle replicates
+    * exactly that — the knn_ivf_trained routing chain with the tombstone
+    * filter on members and queries.
+    *
+    * Scale: the tombstone set is bounded by the deletion volume BETWEEN
+    * index builds (the rebuild folds it to zero), so the anti-join is a
+    * broadcast against a deletion batch — per-query work stays
+    * probe-bounded, and the store scan keeps its partition pruning (the
+    * anti-join sits above the pruned scan).
+    */
+  def knnServedDel(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, storeKey(dir),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+    // the deletion batch lands beside the index (idempotent overwrite,
+    // the delta-generation contract) and is read back as a store — the
+    // serve path never sees the rule, only ids
+    val tombPath = st.vectorsPath + "_tombstones"
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % DelMod === DelRes)
+      .select(col("vec_id").as("dead_id"))
+      .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+    val dead = spark.read.parquet(tombPath).select("dead_id")
+    val cents = spark.read.parquet(st.centroidsPath)
+    val rawQ = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_anti")
+    val probes = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents,
+        graft.similarity.IvfTrained.NProbe)
+      .localCheckpoint(eager = false)
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qv = graft.similarity.Similarity.withNorms(rawQ)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    val wv = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.read.parquet(st.vectorsPath)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(dead), col("vec_id") === col("dead_id"), "left_anti")
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", expr("vec_dot(va, v)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .withColumn("rank", row_number().over(wv))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** The knn_ivf_trained oracle's routing chain, with the tombstone rule
+    * filtering the member stream and the query set — deleted vectors
+    * still participated in TRAINING (kmeans chain untouched), exactly
+    * like the store.
+    */
+  val knnServedDelSql: String =
+    s"""WITH ${graft.similarity.IvfTrained.trainedMembersSqlChain},
+       |${graft.similarity.Similarity.EmbCteBody},
+       |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM e
+       |      WHERE vec_id % 100 = 0 AND vec_id % $DelMod <> $DelRes),
+       |live AS (SELECT query_id, vec_id FROM members
+       |         WHERE vec_id % $DelMod <> $DelRes),
+       |${graft.similarity.Similarity.ivfScoredSqlFrom("live")}""".stripMargin
+
   /** The served oracle: the lexical CTEs verbatim (stored scores ≡
     * recomputed scores), the vector leg over the trained-routing member
     * chain ([[graft.similarity.IvfTrained]]'s kmeans + assignment +
@@ -753,6 +847,7 @@ object RetrievalAnalytics {
     "hybrid_rrf"        -> (hybridRrf _, hybridRrfSql),
     "hybrid_rrf_served" -> (hybridRrfServed _, hybridRrfServedSql),
     "knn_served"        -> (knnServed _, knnServedSql),
+    "knn_served_del"    -> (knnServedDel _, knnServedDelSql),
     "bm25_search_served" -> (bm25SearchServed _, bm25SearchServedSql),
   )
 }

@@ -322,11 +322,16 @@ object Similarity {
     * IVF oracles (modular, √N, trained) share; requires `e` and `q`
     * CTEs in scope.
     */
-  private[graft] val ivfScoredSql: String =
+  private[graft] val ivfScoredSql: String = ivfScoredSqlFrom("members")
+
+  /** The same scoring suffix over an arbitrary member-CTE name (the
+    * deletion tier scores a tombstone-filtered member stream).
+    */
+  private[graft] def ivfScoredSqlFrom(members: String): String =
     s"""scored AS (
        |  SELECT m.query_id, m.vec_id AS neighbor_id,
        |         ${cosSql("q.qv", "e.v", "q.qn2", "e.n2")} AS cosine
-       |  FROM members m JOIN e ON m.vec_id = e.vec_id JOIN q ON m.query_id = q.query_id)
+       |  FROM $members m JOIN e ON m.vec_id = e.vec_id JOIN q ON m.query_id = q.query_id)
        |SELECT query_id, neighbor_id, rank, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM scored) WHERE rank <= $TopK""".stripMargin

@@ -95,6 +95,39 @@ class HybridServeSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("deletion law: base + delta - tombstones at full probe == brute force over the survivors") {
+    GraftExtensions.register(spark)
+    val emb  = Tables.embeddings(spark, dir)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val dead = emb.filter(col("vec_id") % 5 === 3).select(col("vec_id"))
+    val live = RetrievalAnalytics.knnServedLive(spark, "vec_del_law",
+      Tables.documents(spark, dir), base, delta, nprobe = 1000000,
+      tombstones = Some(dead))
+      .collect().map(_.toSeq).toSet
+    val exact = graft.similarity.Similarity
+      .knnBruteOn(graft.similarity.Similarity.withNorms(
+        emb.filter(col("vec_id") % 5 =!= 3)))
+      .collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty && live == exact,
+      "base+delta-tombstones diverged from brute force over the survivors")
+    // no deleted id is ever returned, as neighbor or query
+    assert(!live.exists(r => r.head.asInstanceOf[Long] % 5 == 3 ||
+      r(1).asInstanceOf[Long] % 5 == 3))
+  }
+
+  test("knn_served_del keeps the partition-pruned scan and never returns a tombstoned id") {
+    GraftExtensions.register(spark)
+    val served = RetrievalAnalytics.knnServedDel(spark, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id".r.findFirstIn(plan).isDefined,
+      s"deletion serving lost its partition filter:\n${plan.take(3000)}")
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(r => r.getLong(0) % 7 == 3 || r.getLong(1) % 7 == 3),
+      "a tombstoned id surfaced as query or neighbor")
+  }
+
   test("store build is idempotent and the stores carry the documented layout") {
     GraftExtensions.register(spark)
     RetrievalAnalytics.hybridRrfServed(spark, dir).queryExecution.executedPlan

@@ -58,6 +58,9 @@ class PlanLawsSpec extends SparkSpec {
     // broadcast K-row trained-centroid table (router) — constant build
     // side; the index sides are probed with equi-joins
     "hybrid_rrf_served", "knn_served",
+    // the deletion variant adds only a broadcast ANTI join against the
+    // bounded tombstone batch on top of knn_served's router cross join
+    "knn_served_del",
     // 1-row query anchor + bounded candidate-pool pair join (|C|², C
     // fixed by the retrieval stage, never corpus-sized)
     "mmr_select",

@@ -121,6 +121,27 @@ class PostingsIngestSpec extends SparkSpec {
       "base+delta composition diverged from the full rebuild")
   }
 
+  test("lexical deletion law: base + delta - tombstones == a rebuild on the survivors, bit-for-bit") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val emb  = Tables.embeddings(spark, dir)
+    val st = freshStores()
+    PostingsIngest.processBatch(docs.filter(col("doc_id") % 2 === 1), 0L, st)
+    val dead = docs.filter(col("doc_id") % 5 === 3).select(col("doc_id"))
+    // BM25's df/dl/N must re-derive from the SURVIVING tf union — frozen
+    // global stats would make every surviving score subtly wrong
+    val live = graft.analytics.RetrievalAnalytics.hybridRrfLive(
+      spark, "lex_del_law", docs.filter(col("doc_id") % 2 === 0), emb, st,
+      nprobe = 1000000, tombstones = Some(dead))
+      .collect().map(_.toSeq).toSet
+    val rebuild = graft.analytics.RetrievalAnalytics
+      .hybridRrfOn(docs.filter(col("doc_id") % 5 =!= 3),
+        emb.filter(col("vec_id") % 5 =!= 3))
+      .collect().map(_.toSeq).toSet
+    assert(rebuild.nonEmpty && live == rebuild,
+      "tombstoned serving diverged from the survivor rebuild")
+  }
+
   test("streaming end-to-end: MemoryStream -> per-batch postings -> live probe") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val st  = freshStores()
