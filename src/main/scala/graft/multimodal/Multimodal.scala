@@ -554,6 +554,192 @@ object Multimodal {
       |       CAST(list_max(sm) AS INTEGER) AS peak
       |FROM w ORDER BY doc_id, win_idx""".stripMargin
 
+  // ---- multimodal_phash_dedup: perceptual-hash near-dup image dedup ----
+
+  /** dHash bit width: 8×8 gray raster → 8 rows × 7 horizontal gradient
+    * signs = 56 bits, packed positive in a BIGINT.
+    */
+  private val PhashBits = 56
+
+  /** Hamming blocks for the LSH candidate join: 7 byte-blocks over the
+    * 56-bit hash. Hamming ≤ [[PhashHammingMax]] = 6 damages at most six
+    * blocks, so at least ONE survives intact — single-block agreement is
+    * an EXHAUSTIVE candidate generator by pigeonhole (the dedup_simhash
+    * law at image granularity).
+    */
+  private val PhashBlocks = 7
+  private val PhashHammingMax = 6
+
+  /** Near-dup group width: doc_id div 4 picks the base image, so true
+    * duplicate GROUPS are corpus-sized in count but constant in width —
+    * the near-dup pair graph stays LINEAR in the corpus (≤ C(4,2)·N/4
+    * planted pairs), the realistic regime (a re-encoded image has a few
+    * variants, not N/K).
+    */
+  private val PhashGroup = 4
+
+  /** Synthetic-but-VALID 8×8 P6 blobs with PLANTED near-dup structure —
+    * the image analogue of the text corpus' seeded duplicates. Each
+    * group (doc_id div [[PhashGroup]]) has a deterministic 16-LEVEL base
+    * pattern (pixel p's level = hex digit p of md5(group) ‖
+    * md5(group‖'x') — an exponential pattern space, so no two groups
+    * alias), and each document adds md5-derived noise (0–9) on the blue
+    * channel. Decoded gray = 90 + 24·level + noise: where adjacent
+    * levels differ the gradient is ≥ 24−9 — noise-immune, the base
+    * image's signature (~15/16 of positions; two random groups disagree
+    * on ~⅓ of them, Hamming ~18); where adjacent levels are EQUAL
+    * (~1/16 of positions, ~3.4 per image) the gradient IS the noise
+    * difference — the per-document variation. Same-group images land
+    * within a few Hamming bits; different groups diverge.
+    */
+  def phashTable(spark: SparkSession, dir: String): DataFrame = {
+    // bind the md5 chains once (HOF re-inlining idiom): the 64-pixel
+    // transform would otherwise recompute the digest concats per pixel
+    // per channel
+    def base = // the group's 16-level pattern value at pixel p ∈ [30, 150]
+      "(30 + 8 * cast(conv(substring(t.pat, p + 1, 1), 16, 10) as int))"
+    val pxHex =
+      s"""transform(array(named_struct(
+         |    'ch', concat(md5(text), md5(concat(text, 'x')),
+         |                 md5(concat(text, 'y')), md5(concat(text, 'z'))),
+         |    'pat', concat(md5(cast(doc_id div $PhashGroup as string)),
+         |                  md5(concat(cast(doc_id div $PhashGroup as string), 'x'))))), t ->
+         |  array_join(transform(sequence(0, 63), p ->
+         |    concat(
+         |      lpad(hex($base), 2, '0'),
+         |      lpad(hex($base), 2, '0'),
+         |      lpad(hex($base
+         |        + cast(conv(substring(t.ch, 2 * p + 1, 2), 16, 10) as int) % 10), 2, '0'))),
+         |  ''))[0]""".stripMargin
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("content", concat(
+        lit("P6\n8 8\n255\n").cast("binary"), unhex(expr(pxHex))))
+      .select(col("doc_id"), col("content"))
+  }
+
+  /** Decoded raster row: header fields + the full RGB byte sequence. */
+  case class PpmRaster(doc_id: Long, width: Int, height: Int, px: Array[Int])
+
+  /** REAL P6 raster decoder — [[decodePpm]]'s parser, returning the
+    * pixel bytes instead of channel sums (the slot a feature extractor
+    * consumes). Partition-parallel iterator pass, no shuffle.
+    */
+  def decodePpmRaster(media: DataFrame): Dataset[PpmRaster] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          var p = 0
+          def skipSpace(): Unit = {
+            var go = true
+            while (go && p < bytes.length) {
+              val c = bytes(p).toChar
+              if (c == '#') { while (p < bytes.length && bytes(p).toChar != '\n') p += 1 }
+              else if (c.isWhitespace) p += 1
+              else go = false
+            }
+          }
+          def readInt(): Int = {
+            skipSpace()
+            var v = 0
+            while (p < bytes.length && bytes(p).toChar.isDigit) {
+              v = v * 10 + (bytes(p) - '0'); p += 1
+            }
+            v
+          }
+          require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+            s"doc $id: not a P6 PPM")
+          p = 2
+          val w  = readInt(); val h = readInt(); val mv = readInt()
+          p += 1
+          require(mv > 0 && mv < 256, s"doc $id: only 8-bit maxval supported, got $mv")
+          require(bytes.length - p == w * h * 3,
+            s"doc $id: raster is ${bytes.length - p} bytes, expected ${w * h * 3}")
+          PpmRaster(id, w, h, bytes.drop(p).map(_ & 0xff))
+        }
+      }
+  }
+
+  /** Near-duplicate IMAGE detection end-to-end: binary blob → real P6
+    * decode → grayscale → dHash (8×7 horizontal gradient signs, the
+    * classic perceptual hash) → banded Hamming-LSH candidate join →
+    * exact Hamming ≤ [[PhashHammingMax]] verify. The multimodal twin of
+    * `dedup_simhash`: same block-pigeonhole exhaustiveness law, the
+    * signature computed from DECODED PIXELS instead of token hashes —
+    * what an image-bearing training corpus runs to drop re-encoded /
+    * lightly-perturbed duplicate images that byte-level exact dedup
+    * can never see.
+    *
+    * Scale (100 TB): decode + dHash are one partition-parallel pass
+    * (56 bits per image cross the shuffle, never pixels); candidates
+    * come from the 7-way block equi-join (never all-pairs — the oracle's
+    * brute-force all-pairs is oracle-only); with Hamming ≤ 6 over 7
+    * blocks the single-block join is EXHAUSTIVE by pigeonhole, so the
+    * LSH output equals the brute-force output exactly.
+    */
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val rast = decodePpmRaster(phashTable(spark, dir)).toDF()
+    def gray(i: String) =
+      s"""(element_at(px, cast(3*($i)+1 as int))
+         | + element_at(px, cast(3*($i)+2 as int))
+         | + element_at(px, cast(3*($i)+3 as int)))""".stripMargin
+    val phashExpr =
+      s"""aggregate(sequence(0, ${PhashBits - 1}), 0L, (acc, k) ->
+         |  acc + IF(${gray("(k div 7)*8 + k % 7 + 1")} > ${gray("(k div 7)*8 + k % 7")},
+         |           shiftleft(1L, cast(k as int)), 0L))""".stripMargin
+    // one exchange under both self-join sides (the dedup_simhash shape)
+    val hashes = rast.select(col("doc_id"), expr(phashExpr).as("phash"))
+      .repartition(col("doc_id"))
+    val blocks = hashes.select(col("doc_id"), col("phash"),
+      explode(expr(
+        s"""transform(sequence(0, ${PhashBlocks - 1}), b ->
+           |  cast(b as bigint) * 256 + (shiftright(phash, b * 8) & 255))""".stripMargin))
+        .as("bkey"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))))
+      .filter(col("hamming") <= PhashHammingMax)
+      .select(col("doc_id_1"), col("doc_id_2"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_id_1", "doc_id_2")
+  }
+
+  /** Oracle: pixels re-derived from first principles (doc_id class
+    * pattern + md5-digit noise — never parsing the blob), dHash packed
+    * identically, brute-force all-pairs Hamming (the block join above is
+    * exhaustive for ≤ [[PhashHammingMax]] by pigeonhole, so outputs are
+    * identical).
+    */
+  val multimodalPhashDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         md5((doc_id // $PhashGroup)::VARCHAR)
+       |           || md5((doc_id // $PhashGroup)::VARCHAR || 'x') AS pat,
+       |         md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z') AS ch
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, p,
+       |         3 * (30 + 8 * ('0x' || substr(pat, p + 1, 1))::BIGINT)
+       |         + ('0x' || substr(ch, 2 * p + 1, 2))::BIGINT % 10 AS gray
+       |  FROM d, RANGE(0, 64) AS t(p)),
+       |sig AS (
+       |  SELECT a.doc_id,
+       |         CAST(sum(CASE WHEN b.gray > a.gray
+       |           THEN (1::BIGINT << CAST((a.p // 8) * 7 + a.p % 8 AS INT))
+       |           ELSE 0 END) AS BIGINT) AS phash
+       |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+       |  WHERE a.p % 8 < 7
+       |  GROUP BY 1)
+       |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $PhashHammingMax
+       |ORDER BY doc_id_1, doc_id_2""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "multimodal_meta"   -> (multimodalMeta _, multimodalMetaSql),
     "multimodal_frames" -> (multimodalFrames _, multimodalFramesSql),
@@ -561,5 +747,6 @@ object Multimodal {
     "multimodal_wav"    -> (multimodalWav _, multimodalWavSql),
     "multimodal_resize" -> (multimodalResize _, multimodalResizeSql),
     "multimodal_wav_windows" -> (multimodalWavWindows _, multimodalWavWindowsSql),
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _, multimodalPhashDedupSql),
   )
 }

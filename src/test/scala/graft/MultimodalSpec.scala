@@ -196,4 +196,52 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("nw") == 8L)
     }
   }
+
+  test("phash blobs are valid 8x8 P6; the raster decoder round-trips every byte") {
+    val dir = "/root/testdata/sf0.001"
+    val rast = Multimodal.decodePpmRaster(Multimodal.phashTable(spark, dir)).collect()
+    assert(rast.nonEmpty)
+    rast.foreach { r =>
+      assert(r.width == 8 && r.height == 8 && r.px.length == 192)
+      // R = G = base pattern; B = base + noise in [0, 9]
+      r.px.grouped(3).foreach { t =>
+        assert(t(0) == t(1) && t(2) >= t(0) && t(2) - t(0) <= 9)
+        assert(t(0) >= 30 && t(0) <= 150)
+      }
+    }
+  }
+
+  test("phash dedup: banded LSH equals brute-force all-pairs (pigeonhole), pairs are the planted groups") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = Multimodal.multimodalPhashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    // every reported near-dup pair is a planted same-group pair
+    got.foreach { case (a, b, h) =>
+      assert(a / 4 == b / 4, s"cross-group pair ($a, $b) at hamming $h")
+      assert(h <= 6)
+    }
+    // exhaustiveness: brute-force all-pairs over the same hashes finds
+    // nothing the block join missed (Hamming <= 6 of 7 blocks pigeonhole)
+    val rast = Multimodal.decodePpmRaster(Multimodal.phashTable(spark, dir)).toDF()
+    def gray(i: String) =
+      s"""(element_at(px, cast(3*($i)+1 as int))
+         | + element_at(px, cast(3*($i)+2 as int))
+         | + element_at(px, cast(3*($i)+3 as int)))""".stripMargin
+    val hashes = rast.select(col("doc_id"), expr(
+      s"""aggregate(sequence(0, 55), 0L, (acc, k) ->
+         |  acc + IF(${gray("(k div 7)*8 + k % 7 + 1")} > ${gray("(k div 7)*8 + k % 7")},
+         |           shiftleft(1L, cast(k as int)), 0L))""".stripMargin).as("ph"))
+    val brute = hashes.as("a").join(hashes.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("int").as("h"))
+      .filter(col("h") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == brute.toSet,
+      "LSH block join diverged from brute-force all-pairs")
+    // the planting is effective: most groups of 4 yield near-dup pairs
+    val groups = got.map(_._1 / 4).distinct.length
+    assert(groups > 80, s"only $groups of ~125 planted groups detected")
+  }
 }
