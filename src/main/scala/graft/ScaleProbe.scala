@@ -403,6 +403,57 @@ object ScaleProbe {
         Maintenance.releaseCachedBlocks(spark, blocking = true)
         time(spark, copies, "hybrid_rrf_live")(live)
       }
+      // KMV cardinality sketch: the full entry INCLUDES the exact
+      // count(DISTINCT) audit (the oracle gate) — that repartitions the
+      // (source, shingle) universe and is the dominant scale term; the
+      // sketch-only arm below is the production read (k longs of state
+      // per source per task, one bounded aggregate) whose gap to the
+      // entry prices what the audit costs. Sources synthesized per
+      // replica doc (20 groups, constant) so group COUNT stays fixed
+      // while group width grows with the corpus.
+      if (wanted("kmv_distinct"))
+        time(spark, copies, "kmv_distinct")(guard(
+          graft.analytics.TextAnalytics.kmvDistinctOn(
+            docs.withColumn("source", concat(lit("s"), col("doc_id") % 20)))))
+      if (wanted("kmv_sketch_only"))
+        time(spark, copies, "kmv_sketch_only")(guard(
+          graft.analytics.TextAnalytics.kmvShingles(
+              docs.withColumn("source", concat(lit("s"), col("doc_id") % 20)))
+            .select(col("source"),
+              graft.functions.TextFeatures.hash60(col("g")).as("h"))
+            .groupBy("source")
+            .agg(expr(s"kmin_distinct(h, ${graft.analytics.TextAnalytics.KmvK})")
+              .as("mins"))))
+      // served ANN under deletion: base store built untimed (run 1), a
+      // tiny delta generation + a 1/7 tombstone batch (the WORST-case
+      // deletion volume — production folds tombstones at each rebuild);
+      // the timed object is the per-batch probe path with the broadcast
+      // anti-join on both member scan and query set. Queries pin to the
+      // base id range (bounded batch).
+      if (wanted("knn_served_del")) {
+        val rawEmb = spark.read.parquet(embPath)
+        def served = graft.analytics.RetrievalAnalytics.knnServedLive(
+          spark, s"probedel$copies", docs, rawEmb,
+          rawEmb.filter(col("vec_id") % 1000003 === 7),
+          nprobe = 8,
+          tombstones = Some(rawEmb.select(col("vec_id")).filter(col("vec_id") % 7 === 3)),
+          queryIds = id => id % 100 === 0 && id < 10000000L)
+        served.count() // builds the store; serve-only is the timed object
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, "knn_served_del")(served)
+      }
+      // perceptual-hash image dedup: blob synthesis + the REAL P6 decode
+      // + dHash are the linear pass (56 bits/image cross the shuffle,
+      // never pixels); the 7-way block join's candidate volume is the
+      // planted pair graph — groups of 4 stay within a replica (1e7 ≡ 0
+      // mod 4), patterns are md5(group) (no replica aliasing), so true
+      // pairs grow linearly and the thing under test is that candidates
+      // do too (never all-pairs)
+      if (wanted("multimodal_phash_dedup"))
+        time(spark, copies, "multimodal_phash_dedup")(guard(
+          graft.multimodal.Multimodal.multimodalPhashDedupOn(
+            graft.multimodal.Multimodal.decodePpmRaster(
+              graft.multimodal.Multimodal.phashTableOn(docs)).toDF())))
       // keep-first passage dedup: replica token-wrapping puts a replica
       // tag inside every 10-token passage, so cross-replica passage dups
       // vanish and the dup set stays the base corpus' own per replica —

@@ -611,7 +611,9 @@ object RetrievalAnalytics {
     */
   private[graft] def knnServedLive(spark: SparkSession, key: String,
       baseDocs: => DataFrame, baseEmb: => DataFrame, deltaEmb: => DataFrame,
-      nprobe: Int, tombstones: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int, tombstones: Option[DataFrame] = None,
+      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
     graft.GraftExtensions.register(spark)
     val st = servedStores(spark, key, baseDocs, baseEmb)
     val cents = spark.read.parquet(st.centroidsPath)
@@ -626,7 +628,7 @@ object RetrievalAnalytics {
     val dead = tombstones.map(t => t.select(col(t.columns.head).as("dead_id")))
     def living(df: DataFrame): DataFrame = dead.fold(df)(d =>
       df.join(broadcast(d), col("vec_id") === col("dead_id"), "left_anti"))
-    val rawQ = living(baseEmb.unionByName(deltaEmb).filter(col("vec_id") % 100 === 0))
+    val rawQ = living(baseEmb.unionByName(deltaEmb).filter(queryIds(col("vec_id"))))
     val probes = graft.similarity.IvfTrained
       .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents, nprobe)
       .localCheckpoint(eager = false)

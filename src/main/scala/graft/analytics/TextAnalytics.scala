@@ -2119,10 +2119,68 @@ object TextAnalytics {
        |SELECT lang, doc_id FROM r WHERE rn <= $StratKeep
        |ORDER BY lang, doc_id""".stripMargin
 
+  // ---- weighted_sample: A-ES weighted reservoir sampling ---------------
+  /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
+    * IPL '06) — the [[stratifiedSampleOn]] twin with inclusion
+    * probability ∝ weight: per language, the top-[[WSampleKeep]] docs by
+    * key u^(1/w), here in log space (ln(u)/w — same ordering, no pow),
+    * with u the content-derived uniform (hash60(text)+1)/2⁶⁰ and w =
+    * n_chars. Length-proportional sampling is the mixture primitive a
+    * token-budgeted trainer wants: a doc's chance of selection tracks
+    * the token mass it would contribute, not its document count — and
+    * because u is CONTENT-derived (the corpus_mix law), the sample is
+    * replayable on any engine, any partitioning, any retry; an RNG
+    * sample is neither replayable nor oracle-checkable.
+    *
+    * Determinism caveat (the bm25_topk precedent): ln is evaluated in
+    * both engines on identical exact inputs ((h+1)/2⁶⁰ is an exact
+    * binary fraction) — a rank flip would need two keys within one ulp;
+    * exact ties break on doc_id asc identically.
+    *
+    * Scale: one narrow projection + the bounded `topk_by_score` partial
+    * aggregate — k rows per map task per language cross the shuffle,
+    * never the corpus (the window-rank oracle is oracle-only).
+    */
+  private val WSampleKeep = 10
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleOn(Tables.documents(spark, dir))
+
+  private[graft] def weightedSampleOn(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    docs
+      .select(col("lang"), col("doc_id"),
+        (log((hash60(col("text")) + 1).cast("double") / lit(KmvSpace))
+          / col("n_chars")).as("score"))
+      .groupBy("lang")
+      .agg(expr(s"topk_by_score(score, doc_id, $WSampleKeep)").as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), round(col("col.score"), 6).as("score"))
+      .orderBy("lang", "rank")
+  }
+
+  val weightedSampleSql: String =
+    s"""WITH s AS (
+       |  SELECT lang, doc_id,
+       |         ln((${hash60Sql("text")} + 1)::DOUBLE / 1152921504606846976.0)
+       |           / n_chars AS score
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, score,
+       |         row_number() OVER (
+       |           PARTITION BY lang
+       |           ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM s)
+       |SELECT lang, CAST(rn AS INT) AS rank, doc_id, round(score, 6) AS score
+       |FROM r WHERE rn <= $WSampleKeep
+       |ORDER BY lang, rank""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "pii_scrub"       -> (piiScrub _, piiScrubSql),
     "stratified_sample" -> (stratifiedSample _, stratifiedSampleSql),
+    "weighted_sample" -> (weightedSample _, weightedSampleSql),
     "corpus_shards"   -> (corpusShards _, corpusShardsSql),
     "lm_quality"      -> (lmQuality _, lmQualitySql),
     "span_dedup_rate" -> (spanDedupRate _, spanDedupRateSql),

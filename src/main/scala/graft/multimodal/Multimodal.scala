@@ -592,7 +592,10 @@ object Multimodal {
     * difference — the per-document variation. Same-group images land
     * within a few Hamming bits; different groups diverge.
     */
-  def phashTable(spark: SparkSession, dir: String): DataFrame = {
+  def phashTable(spark: SparkSession, dir: String): DataFrame =
+    phashTableOn(Tables.documents(spark, dir))
+
+  private[graft] def phashTableOn(docsIn: DataFrame): DataFrame = {
     // bind the md5 chains once (HOF re-inlining idiom): the 64-pixel
     // transform would otherwise recompute the digest concats per pixel
     // per channel
@@ -611,7 +614,7 @@ object Multimodal {
          |      lpad(hex($base
          |        + cast(conv(substring(t.ch, 2 * p + 1, 2), 16, 10) as int) % 10), 2, '0'))),
          |  ''))[0]""".stripMargin
-    Tables.documents(spark, dir)
+    docsIn
       .select(col("doc_id"), col("text"))
       .withColumn("content", concat(
         lit("P6\n8 8\n255\n").cast("binary"), unhex(expr(pxHex))))
@@ -678,8 +681,11 @@ object Multimodal {
     * blocks the single-block join is EXHAUSTIVE by pigeonhole, so the
     * LSH output equals the brute-force output exactly.
     */
-  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val rast = decodePpmRaster(phashTable(spark, dir)).toDF()
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame =
+    multimodalPhashDedupOn(
+      decodePpmRaster(phashTable(spark, dir)).toDF())
+
+  private[graft] def multimodalPhashDedupOn(rast: DataFrame): DataFrame = {
     def gray(i: String) =
       s"""(element_at(px, cast(3*($i)+1 as int))
          | + element_at(px, cast(3*($i)+2 as int))

@@ -237,4 +237,24 @@ class TextAnalyticsSpec extends SparkSpec {
     val (s2, s3, stf, sfl) = out(3L)                      // too short for 3-grams
     assert(s2 == 0.0 && s3 == 0.0 && stf == 0.5 && sfl)  // top_tok 1/2 > 0.2
   }
+
+  test("weighted_sample: partitioning-independent, ranks by ln(u)/w with weight monotonicity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    val docs = (1L to 200L).map(i => (i, s"doc body $i", "xx", "s1", 10 + (i % 50)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = graft.analytics.TextAnalytics.weightedSampleOn(docs)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.analytics.TextAnalytics.weightedSampleOn(docs.repartition(13))
+      .collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b, "A-ES sample depends on partitioning")
+    // same content (same u), bigger weight => strictly better key: a doc
+    // cloned with 100x the chars must rank at least as high
+    val boosted = docs.withColumn("n_chars",
+      when(col("doc_id") === a.head(2), col("n_chars") * 100).otherwise(col("n_chars")))
+    val c = graft.analytics.TextAnalytics.weightedSampleOn(boosted)
+      .collect().map(_.toSeq).toSeq
+    assert(c.head(2) == a.head(2), "boosting the top doc's weight demoted it")
+  }
 }
