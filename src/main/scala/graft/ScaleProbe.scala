@@ -665,6 +665,14 @@ object ScaleProbe {
               .trainedMembersSqrtOn(e, queryPred = qp),
             fetch = graft.similarity.PqAnn.IvfRerankFetch)
         }
+      // the residual-encoded composition (the FAISS IVFPQ shape): same
+      // stages as knn_ivf_pq_rerank minus the rerank plus one K-row
+      // broadcast residual subtraction per pass; the per-(query, cell)
+      // tables multiply the broadcast by nprobe, still query-bounded
+      if (wanted("knn_ivf_pq_residual"))
+        time(spark, copies, "knn_ivf_pq_residual")(
+          graft.similarity.PqAnn.knnIvfPqResidualOn(spark.read.parquet(embPath),
+            queryPred = col("vec_id") % 100 === 0 && col("vec_id") < 10000000L))
       // training-order shuffle: two-level rank over the hash-prefix
       // groups — one keyed shuffle + a 64-row broadcast; output rows = N
       // exactly, wall time should track N and nothing else. The filter

@@ -527,6 +527,188 @@ object PqAnn {
   val knnPq256Sql: String       = knnPqSqlFor(K256)
   val knnPq256RerankSql: String = knnPqRerankSqlFor(K256)
 
+  // ---- knn_ivf_pq_residual: residual-encoded IVF-PQ (the FAISS shape) ---
+  /** IVF-PQ over RESIDUALS — the detail that separates the textbook
+    * composition from the production one (Jégou PAMI'11 §IV.B, what
+    * FAISS `IVFPQ` actually encodes): instead of quantizing raw vectors,
+    * each vector is encoded as its offset from its OWN coarse cell's
+    * trained centroid, x ≈ c(x) + PQ(x − c(x)). Residuals concentrate
+    * near the origin with far less variance than raw vectors, so the
+    * same M×K codebook budget spends its resolution on the
+    * within-cell geometry that actually ranks neighbors — the measured
+    * recall gap to raw-vector IVF-ADC is published in PLANS.md's recall
+    * table. The query side pays the honest price: distance tables are
+    * PER (query, probed cell) — the query's residual differs per cell —
+    * Q·nprobe·M·K table rows instead of Q·M·K, still bounded by the
+    * query batch.
+    *
+    * All arithmetic stays exact-integer: residuals are differences of
+    * the shared fixed-point frames ([[IvfTrained.scaledQuantized]] and
+    * [[KMeansExact.centroidsPacked]] both live at CScale·QScale), the
+    * per-subspace Lloyd rounds run the [[pqEncode]] recipe verbatim
+    * (the inputs arrive pre-scaled, so the update's floor-division
+    * identity applies unchanged), and the oracle unrolls the identical
+    * chain — bit-for-bit at all three SFs.
+    *
+    * Scale: one extra K-row broadcast join (the residual subtraction)
+    * over the encode pass vs [[knnIvfPqOn]]; the scored stream is the
+    * same routed |Q|·nprobe·(N/K)·M code rows; members carry their cell
+    * so the per-cell table join is an equi-join on (query, cell, sub,
+    * code).
+    */
+  def knnIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    knnIvfPqResidualOn(Tables.embeddings(spark, dir))
+
+  private[graft] def knnIvfPqResidualOn(emb: DataFrame,
+      queryPred: Column = col("vec_id") % QueryMod === 0,
+      nprobe: Int = IvfTrained.NProbe): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    val tier = K256
+    val sq = IvfTrained.scaledQuantized(emb)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(eager = false) // consumers: assign, residuals, probes
+    val cents = KMeansExact.centroidsPacked(emb).localCheckpoint(eager = false)
+    val asg = IvfTrained.assignOn(sq, cents)
+      .localCheckpoint(eager = false) // consumers: residuals, member stream
+    def subSlices(rv: String) = expr(
+      s"""transform(sequence(0, ${tier.m - 1}), s ->
+         |  named_struct('sub', s, 'qs', slice($rv, s * ${tier.d} + 1, ${tier.d})))""".stripMargin)
+    // residual sub-vectors, already at the shared fixed-point scale
+    val subv = sq.join(asg, "vec_id").join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), expr("zip_with(sqv, cv, (a, b) -> a - b)").as("rv"))
+      .select(col("vec_id"), explode(subSlices("rv")).as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.qs").as("qs"))
+      .localCheckpoint(eager = false)
+    var c = subv.filter(col("vec_id") % tier.seedMod === 0 && col("vec_id") < tier.seedMax)
+      .select(col("sub"), col("vec_id").as("code"), col("qs").as("cv"))
+    def assign(cb: DataFrame): DataFrame = {
+      val packed = cb.groupBy(col("sub"))
+        .agg(collect_list(struct(col("code"), col("cv"))).as("l"))
+        .select(col("sub"), expr("array_sort(l)").as("cbm"))
+      subv.join(broadcast(packed), Seq("sub"))
+        .select(col("vec_id"), col("sub"),
+          expr("pq_argmin_code(qs, cbm)").as("code"))
+    }
+    for (_ <- 1 to Rounds) {
+      val a = assign(c)
+      c = a.join(subv, Seq("vec_id", "sub"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("vec_sum(cast(qs as array<double>))").as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"),
+          expr("transform(sv, x -> (cast(x as bigint) - pmod(cast(x as bigint), n)) div n)")
+            .as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    val enc = assign(c)
+    // query side: probes, then PER-CELL residual distance tables
+    val probes = IvfTrained.probesOn(sq.filter(queryPred), cents, nprobe)
+      .localCheckpoint(eager = false) // consumers: tables + member stream
+    val dtab = probes
+      .join(sq.filter(queryPred).select(col("vec_id").as("query_id"), col("sqv")),
+        "query_id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("query_id"), col("centroid_id"),
+        expr("zip_with(sqv, cv, (a, b) -> a - b)").as("rv"))
+      .select(col("query_id"), col("centroid_id"), explode(subSlices("rv")).as("t"))
+      .select(col("query_id"), col("centroid_id"),
+        col("t.sub").as("sub"), col("t.qs").as("qs"))
+      .join(broadcast(c), Seq("sub"))
+      .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
+        expr("sq_dist_i64(qs, cv)").as("dt"))
+    // members WITH their cell: the table join is per (query, cell)
+    val cmembers = probes.join(asg, "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("centroid_id"), col("vec_id"))
+    enc.join(broadcast(cmembers), "vec_id")
+      .join(broadcast(dtab), Seq("query_id", "centroid_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("d2"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Oracle: the trained-routing chain verbatim (ke0 / kasg / kprobes /
+    * final centroids), residual components per assigned cell, the PQ
+    * Lloyd rounds over residuals (inputs pre-scaled, so the ×CScale
+    * factors drop out), per-(query, cell) tables, cell-carrying member
+    * restriction.
+    */
+  val knnIvfPqResidualSql: String = {
+    val kc = KMeansExact.finalCentroidCte
+    val rounds = (1 to Rounds).map { r =>
+      s"""rd$r AS MATERIALIZED (
+         |  SELECT rve.vec_id, rve.sub, c.code,
+         |         CAST(sum((rve.rq - c.ci) * (rve.rq - c.ci)) AS BIGINT) AS d2
+         |  FROM rve JOIN rc${r - 1} c ON rve.sub = c.sub AND rve.j = c.j
+         |  GROUP BY 1, 2, 3),
+         |ra$r AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM rd$r) WHERE rn = 1),
+         |rc$r AS MATERIALIZED (
+         |  SELECT sub, code, j, (s - ((s % n + n) % n)) // n AS ci
+         |  FROM (SELECT a.sub, a.code, rve.j, CAST(sum(rve.rq) AS BIGINT) AS s,
+         |               CAST(count(*) AS BIGINT) AS n
+         |        FROM ra$r a JOIN rve ON a.vec_id = rve.vec_id AND a.sub = rve.sub
+         |        GROUP BY 1, 2, 3))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${IvfTrained.trainedMembersSqlChain},
+       |rve AS MATERIALIZED (
+       |  SELECT ke0.vec_id, (ke0.i - 1) // ${K256.d} AS sub,
+       |         (ke0.i - 1) % ${K256.d} AS j,
+       |         ($CScale * ke0.q - c.ci) AS rq
+       |  FROM ke0 JOIN kasg a ON a.vec_id = ke0.vec_id
+       |  JOIN $kc c ON c.centroid_id = a.centroid_id AND c.i = ke0.i),
+       |rc0 AS MATERIALIZED (
+       |  SELECT sub, vec_id AS code, j, rq AS ci FROM rve
+       |  WHERE vec_id % ${K256.seedMod} = 0 AND vec_id < ${K256.seedMax}),
+       |$rounds,
+       |rdenc AS MATERIALIZED (
+       |  SELECT rve.vec_id, rve.sub, c.code,
+       |         CAST(sum((rve.rq - c.ci) * (rve.rq - c.ci)) AS BIGINT) AS d2
+       |  FROM rve JOIN rc$Rounds c ON rve.sub = c.sub AND rve.j = c.j
+       |  GROUP BY 1, 2, 3),
+       |raenc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |    FROM rdenc) WHERE rn = 1),
+       |rqre AS MATERIALIZED (
+       |  SELECT p.query_id, p.centroid_id, (ke0.i - 1) // ${K256.d} AS sub,
+       |         (ke0.i - 1) % ${K256.d} AS j,
+       |         ($CScale * ke0.q - c.ci) AS rq
+       |  FROM kprobes p JOIN ke0 ON ke0.vec_id = p.query_id
+       |  JOIN $kc c ON c.centroid_id = p.centroid_id AND c.i = ke0.i),
+       |rdtab AS MATERIALIZED (
+       |  SELECT q.query_id, q.centroid_id, c.sub, c.code,
+       |         CAST(sum((q.rq - c.ci) * (q.rq - c.ci)) AS BIGINT) AS dt
+       |  FROM rqre q JOIN rc$Rounds c ON q.sub = c.sub AND q.j = c.j
+       |  GROUP BY 1, 2, 3, 4),
+       |cmem AS MATERIALIZED (
+       |  SELECT p.query_id, p.centroid_id, a.vec_id
+       |  FROM kprobes p JOIN kasg a USING (centroid_id)
+       |  WHERE p.query_id <> a.vec_id),
+       |rscored AS MATERIALIZED (
+       |  SELECT m.query_id, m.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
+       |  FROM cmem m
+       |  JOIN raenc a ON a.vec_id = m.vec_id
+       |  JOIN rdtab t ON t.query_id = m.query_id AND t.centroid_id = m.centroid_id
+       |              AND t.sub = a.sub AND t.code = a.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, vec_id, d2 FROM (
+       |  SELECT query_id, vec_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn
+       |  FROM rscored) WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_pq" -> (knnPq _, knnPqSql),
     "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql),
@@ -535,5 +717,6 @@ object PqAnn {
     "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql),
     "knn_ivf_pq_sqrt" -> (knnIvfPqSqrt _, knnIvfPqSqrtSql),
     "knn_ivf_pq_rerank" -> (knnIvfPqRerank _, knnIvfPqRerankSql),
-    "knn_ivf_pq_rerank_sqrt" -> (knnIvfPqRerankSqrt _, knnIvfPqRerankSqrtSql))
+    "knn_ivf_pq_rerank_sqrt" -> (knnIvfPqRerankSqrt _, knnIvfPqRerankSqrtSql),
+    "knn_ivf_pq_residual" -> (knnIvfPqResidual _, knnIvfPqResidualSql))
 }

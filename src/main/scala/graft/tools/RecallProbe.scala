@@ -139,6 +139,12 @@ object RecallProbe {
           IvfTrained.trainedMembersOn(emb, queryPred = disjointPred)),
         "knn_ivf_pq_rerank" -> (() =>
           PqAnn.knnIvfPqRerankOn(emb, disjointPred, fetch = PqAnn.IvfRerankFetch)),
+        // the residual A/B: raw-vector codebooks vs residual codebooks on
+        // IDENTICAL trained routing (np=8), ADC ranking only (no rerank) —
+        // isolates what residual encoding alone buys at the same M×K budget
+        "knn_ivf_adc_raw" -> (() => PqAnn.knnIvfPqOn(emb, disjointPred, PqAnn.K256,
+          membersOf = e => IvfTrained.trainedMembersOn(e, queryPred = disjointPred))),
+        "knn_ivf_pq_residual" -> (() => PqAnn.knnIvfPqResidualOn(emb, disjointPred)),
         "trained_sqrt_members" -> (() =>
           IvfTrained.trainedMembersSqrtOn(emb, queryPred = disjointPred)),
         "knn_ivf_pq_rerank_sqrt" -> (() =>

@@ -51,6 +51,9 @@ class PlanLawsSpec extends SparkSpec {
     // variants swap in the C≈√N cell table plus the 1-row modulus anchor
     "knn_ivf_trained", "knn_ivf_pq_rerank",
     "knn_ivf_trained_sqrt", "knn_ivf_pq_rerank_sqrt",
+    // the residual composition reuses the same K-row centroid broadcasts
+    // (kmeans rounds, routing, residual subtraction)
+    "knn_ivf_pq_residual",
     // hybrid fusion's vector leg is the knn_brute broadcast query anchor
     // (bounded query batch) + the 1-row corpus-stats anchor of the BM25 leg
     "hybrid_rrf",
