@@ -139,6 +139,76 @@ object VectorIndexIngest {
       .groupBy(col("centroid_id"))
       .agg(sum(col("n")).as("n"), sum(col("n_low")).as("n_low"))
 
+  /** The retrain HALF of the trigger loop (the health rows are the
+    * trigger half): re-fit the coarse quantizer on a RAW sample — in
+    * production the trainer samples upstream vectors, never the
+    * quantized index; the spec passes the recent drifted batches — via
+    * the exact-integer Lloyd fit ([[graft.similarity.IvfTrained
+    * .trainedCentroidFrame]]) and swap the static centroid store. The
+    * swap is a plain overwrite (readers quiesce — the raw-parquet trade
+    * every store here documents); existing buckets still carry OLD
+    * assignments until [[rebucket]] runs.
+    */
+  def retrain(sample: DataFrame, stores: Stores): Unit = {
+    // the exact-integer fit seeds on the vec_id modulus, so the sample
+    // is re-numbered densely first (deterministic: ordered by original
+    // id; the sample is trainer-bounded, so the rank window is cheap)
+    val dense = sample.select(col("vec_id"), col("embedding"))
+      .withColumn("vec_id",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+          .cast("long") - 1L)
+    writeCentroids(
+      graft.similarity.IvfTrained.trainedCentroidFrame(dense), stores)
+  }
+
+  /** Re-assign the EXISTING index to the current (post-[[retrain]])
+    * centroids — from the int8 payload directly: per-vector quantization
+    * scales cancel in cosine (the `knn_quantized` law), so the
+    * re-assignment argmax is `vec_dot_i8` against the int8-quantized
+    * new centroids, ~0.4% reconstruction error, no raw-vector fetch.
+    * Runs as [[graft.Maintenance.compactBatchStore]]'s reduce hook, so
+    * the rewrite inherits the crash-safe plan/commit protocol and lands
+    * as ONE `batch_id=-1` generation still leaf-partitioned on the NEW
+    * `centroid_id` (probes stay partition-pruned). The health store is
+    * then rewritten to a single audited generation from the re-assigned
+    * rows (health is advisory telemetry: a crash between the two
+    * rewrites leaves stale health, never a wrong index).
+    *
+    * Scale: one O(index·C) int8 scoring pass + one partitioned rewrite
+    * — the same order as the original ingest assignment, paid at
+    * retrain cadence only.
+    */
+  def rebucket(spark: org.apache.spark.sql.SparkSession, stores: Stores,
+      coverageThreshold: Double = 0.45): Unit = {
+    GraftExtensions.register(spark)
+    val cents8 = Quantize.int8On(
+      spark.read.parquet(stores.centroidsPath)
+        .select(col("centroid_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"), col("in2").as("cin2"))
+    graft.Maintenance.compactBatchStore(spark, stores.bucketsPath,
+      reduce = rows => rows.drop("centroid_id", "best_cos")
+        .crossJoin(broadcast(cents8))
+        .withColumn("cosine",
+          expr("vec_dot_i8(q, cq)").cast("double")
+            / sqrt(col("in2").cast("double") * col("cin2").cast("double")))
+        .groupBy(col("vec_id"), col("q"), col("in2"))
+        .agg(max(struct(col("cosine"), (-col("centroid_id")).as("neg"))).as("w"))
+        .select((-col("w.neg")).as("centroid_id"), col("vec_id"),
+          col("q"), col("in2"), col("w.cosine").as("best_cos")),
+      subPartitions = Seq("centroid_id"))
+    // fresh one-generation health audit off the re-assigned rows
+    val fresh = spark.read.parquet(stores.bucketsPath)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("best_cos") < coverageThreshold, 1L).otherwise(0L)).as("n_low"))
+      .localCheckpoint()
+    val hroot = new org.apache.hadoop.fs.Path(stores.healthPath)
+    val hfs = hroot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(hroot)) hfs.delete(hroot, true)
+    fresh.write.mode("overwrite").parquet(s"${stores.healthPath}/batch_id=-1")
+  }
+
   /** Search the STREAMED index: route the query to its `nprobe` nearest
     * centroids, scan ONLY those buckets' int8 rows (partition-pruned on
     * `centroid_id`), rank by quantized cosine through the bounded

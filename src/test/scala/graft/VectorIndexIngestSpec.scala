@@ -180,4 +180,59 @@ class VectorIndexIngestSpec extends SparkSpec {
         .agg(sum("n")).as[Long].head() == 150)
     } finally query.stop()
   }
+
+  test("retrain loop: drift raises n_low, retrain + rebucket restore coverage and search") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // planted directions: clusters 0-3 are the ORIGINAL distribution,
+    // 10-13 the drifted one (random 64-dim directions are ~orthogonal,
+    // so a drifted vector's cosine to any original centroid is ~0)
+    def planted(cl: Long, idFrom: Long, n: Int) =
+      spark.range(idFrom, idFrom + n).toDF("vec_id")
+        .withColumn("c", expr(
+          s"transform(sequence(0, 63), d -> cast(pmod(xxhash64(${cl}L, d), 2001) - 1000 as double) / 1000.0D)"))
+        .withColumn("g", expr(
+          "transform(sequence(0, 63), d -> cast(pmod(xxhash64(vec_id, d, 7), 2001) - 1000 as double) / 1000.0D)"))
+        .withColumn("cn", expr("sqrt(aggregate(c, 0D, (s, x) -> s + x * x))"))
+        .withColumn("gn", expr("sqrt(aggregate(g, 0D, (s, x) -> s + x * x))"))
+        .select(col("vec_id"),
+          expr("zip_with(c, g, (a, b) -> cast(0.95D * a / cn + 0.31D * b / gn as float))")
+            .as("embedding"))
+    val original = (0 to 3).map(cl => planted(cl, cl * 100L, 50)).reduce(_ unionByName _)
+    val drifted = (10 to 13).map(cl => planted(cl, 1000 + cl * 100L, 50)).reduce(_ unionByName _)
+    val s = freshStores()
+    // offline trainer on the original distribution; ingest it: covered
+    VectorIndexIngest.retrain(original, s)
+    VectorIndexIngest.processBatch(original, 0L, s)
+    val h0 = VectorIndexIngest.indexHealth(spark, s)
+      .agg(sum("n"), sum("n_low")).as[(Long, Long)].head()
+    assert(h0._1 == 200 && h0._2.toDouble / h0._1 < 0.1,
+      s"original distribution should be covered, n_low=${h0._2}")
+    // drift arrives: the health rows ARE the retrain trigger
+    VectorIndexIngest.processBatch(drifted, 1L, s)
+    val h1 = VectorIndexIngest.indexHealth(spark, s)
+      .agg(sum("n"), sum("n_low")).as[(Long, Long)].head()
+    assert(h1._2.toDouble / h1._1 > 0.4,
+      s"drift should blow coverage, n_low=${h1._2} of ${h1._1}")
+    // the loop closes: retrain on the recent raw sample, re-bucket
+    VectorIndexIngest.retrain(original.unionByName(drifted), s)
+    VectorIndexIngest.rebucket(spark, s)
+    val buckets = spark.read.parquet(s.bucketsPath)
+    assert(buckets.select("batch_id").distinct().as[Long].collect().toSeq == Seq(-1L),
+      "rebucket should consolidate to one generation")
+    assert(buckets.count() == 400, "rebucket lost rows")
+    val h2 = VectorIndexIngest.indexHealth(spark, s)
+      .agg(sum("n"), sum("n_low")).as[(Long, Long)].head()
+    assert(h2._1 == 400 && h2._2.toDouble / h2._1 < 0.1,
+      s"retrained centroids should cover both distributions, n_low=${h2._2}")
+    // search for a drifted-direction query finds drifted vectors
+    val q = planted(12L, 9999L, 1).select("embedding").as[Array[Float]].head()
+    val hits = VectorIndexIngest.search(spark, s, q, nprobe = 2)
+      .select("neighbor_id").as[Long].collect()
+    assert(hits.nonEmpty && hits.forall(id => id >= 2200 && id < 2250),
+      s"drifted query should hit its own drifted cluster, got ${hits.toSeq}")
+    // post-rebucket ingest still lands and merges
+    VectorIndexIngest.processBatch(planted(11L, 5000L, 10), 2L, s)
+    assert(spark.read.parquet(s.bucketsPath).count() == 410)
+  }
 }
