@@ -38,6 +38,7 @@ object Maintenance {
 
   private[graft] val CompactTmp  = ".compact_tmp"   // dot-prefixed: hidden from partition discovery
   private[graft] val CompactPlan = ".compact_plan"
+  private[graft] val CompactManifest = ".compact_manifest" // cumulative fold horizon
   private[graft] val CompactedId = -1L              // the consolidated generation's batch_id
 
   /** Compact a `batch_id=N`-partitioned store (the exactly-once sink
@@ -114,8 +115,11 @@ object Maintenance {
     if (fs.exists(plan)) {
       if (fs.exists(new Path(tmp, "_SUCCESS"))) {
         // crashed somewhere in steps 3-4: temp generation is complete and
-        // still present — replay delete-planned (idempotent) + rename.
+        // still present — replay delete-planned (idempotent) + rename,
+        // and re-derive the fold horizon from the plan (the manifest
+        // write may also have been lost in the crash window).
         val planned = scala.io.Source.fromInputStream(fs.open(plan)).getLines().toSeq
+        writeFoldHorizon(fs, root, planned)
         planned.foreach(d => fs.delete(new Path(root, d), true))
         fs.rename(tmp, new Path(root, s"batch_id=$CompactedId"))
       } else if (fs.exists(tmp)) {
@@ -153,9 +157,66 @@ object Maintenance {
     val planOut = fs.create(plan, true)
     planOut.write(batchDirs.mkString("\n").getBytes("UTF-8"))
     planOut.close()
+    // the fold horizon commits with the plan: if the process dies in the
+    // delete/rename window, recovery re-derives it from the plan above
+    writeFoldHorizon(fs, root, batchDirs)
 
     batchDirs.foreach(d => fs.delete(new Path(root, d), true))
     fs.rename(tmp, new Path(root, s"batch_id=$CompactedId"))
     fs.delete(plan, false)
+  }
+
+  /** Record (cumulatively) the highest REAL batch id folded into the
+    * consolidated generation — the boundary below which per-batch
+    * history no longer exists.
+    */
+  private def writeFoldHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, foldedDirs: Seq[String]): Unit = {
+    val folded = foldedDirs.map(_.stripPrefix("batch_id=").toLong)
+      .filter(_ != CompactedId)
+    if (folded.nonEmpty) {
+      val horizon = math.max(foldHorizon(fs, root).getOrElse(Long.MinValue), folded.max)
+      val out = fs.create(new Path(root, CompactManifest), true)
+      out.write(horizon.toString.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  private def foldHorizon(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Option[Long] = {
+    val m = new Path(root, CompactManifest)
+    if (!fs.exists(m)) None
+    else Some(scala.io.Source.fromInputStream(fs.open(m)).mkString.trim.toLong)
+  }
+
+  /** SNAPSHOT read of a `batch_id=N` store: the rows as of the moment
+    * batch `maxBatch` committed — the reproducibility primitive a
+    * training run records ("the corpus at snapshot 41") so any later
+    * audit re-reads EXACTLY the data it trained on. Correct by the
+    * stores' own contracts: batches are idempotent per-batch overwrites
+    * (a replay rewrites its own partition, never changing an as-of
+    * view) and later batches only ADD generations (pruned here by the
+    * partition filter, so an as-of read never scans them).
+    *
+    * Compaction is the one operation that destroys per-batch history —
+    * the consolidated `batch_id=-1` generation holds every batch up to
+    * the recorded fold horizon, so an as-of AT or PAST the horizon
+    * still answers exactly (−1 ∪ the surviving generations ≤ maxBatch)
+    * while an as-of BELOW it throws rather than silently over-reading.
+    * Production keeps snapshots readable by compacting only past the
+    * oldest snapshot any consumer still references (the retention
+    * policy every table format pairs with vacuum).
+    */
+  def readAsOf(spark: SparkSession, path: String, maxBatch: Long): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    foldHorizon(fs, root).foreach { h =>
+      require(maxBatch >= h,
+        s"as-of $maxBatch predates the fold horizon $h: per-batch history " +
+          s"below $h was compacted away (retention policy: compact only " +
+          "past the oldest referenced snapshot)")
+    }
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("batch_id") <= maxBatch)
   }
 }

@@ -1386,7 +1386,140 @@ object StarAnalytics {
       |       END AS chi_term
       |FROM c CROSS JOIN t ORDER BY bin""".stripMargin
 
+  // ---- promo_revenue (TPC-H Q14 shape): conditional revenue share ------
+  /** Promotion revenue share in a one-year ship window: 100 ×
+    * promo-typed discounted revenue / total discounted revenue. Exact
+    * DECIMAL sums for both terms, ONE double division at the edge (the
+    * pricing_summary money contract). Scale: a single scan with the
+    * shipdate band pushed to parquet (PushedFilters), the part join
+    * broadcast (dimension-sized), two conditional partial-aggregable
+    * sums — no shuffle wider than one row.
+    */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val discPrice = col("l_extendedprice").cast(Money) *
+      (lit(1).cast(Rate) - col("l_discount").cast(Rate))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast(Money))).as("_promo"),
+        sum(discPrice).as("_total"),
+        count(lit(1)).as("line_count"))
+      .select(
+        (lit(100.0) * col("_promo").cast("double") / col("_total").cast("double"))
+          .as("promo_pct"),
+        col("_promo").cast("double").as("promo_revenue"),
+        col("line_count"))
+  }
+
+  val promoRevenueSql: String =
+    """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice AS DECIMAL(10,2))
+      |              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |         ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+      |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+      |       AS promo_pct,
+      |       CAST(sum(CASE WHEN p_type = 'PROMO'
+      |         THEN CAST(l_extendedprice AS DECIMAL(10,2))
+      |              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+      |         ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS promo_revenue,
+      |       count(*) AS line_count
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin
+
+  // ---- large_volume_customers (TPC-H Q18 shape) -------------------------
+  /** Customers whose orders aggregate over 300 units: the group-then-
+    * semi-join decorrelation of Q18's HAVING-subquery. Scale: the
+    * qualifying-order set is one lineitem aggregate (order-keyed,
+    * partial-aggregable) that is far smaller than lineitem, so it
+    * BROADCASTS into orders; customer is dimension-sized and broadcasts
+    * too — lineitem itself never reshuffles. Top-20 by (totalprice desc,
+    * orderkey) through TakeOrderedAndProject.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300L)
+    Tables.orders(spark, dir)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice").cast(Money).cast("double").as("totalprice"),
+        col("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
+  val largeVolumeCustomersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |       CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) AS totalprice,
+      |       sum_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  // ---- bracket_revenue (TPC-H Q19 shape): OR-of-ANDs bracket predicate --
+  /** Discounted revenue under three (brand, size, quantity) brackets —
+    * the Q19 disjunctive-predicate shape on this schema's columns. The
+    * plan story is the point: Catalyst distributes the OR so the shared
+    * conjuncts prune BOTH scan sides before the join (part's size band
+    * and lineitem's quantity band reach PushedFilters), and the
+    * dimension side broadcasts; a naive engine evaluates the whole
+    * disjunction post-join.
+    */
+  def bracketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bracket =
+      (col("p_brand") === "Brand#13" && col("p_size").between(1, 20)
+        && col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(1, 30)
+        && col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#25" && col("p_size").between(1, 40)
+        && col("l_quantity").between(20, 45))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(
+        sum(col("l_extendedprice").cast(Money)
+          * (lit(1).cast(Rate) - col("l_discount").cast(Rate)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
+  val bracketRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+      |         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+      |         AS revenue,
+      |       count(*) AS line_count
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 40
+      |       AND l_quantity BETWEEN 20 AND 45)""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promo_revenue"     -> (promoRevenue _, promoRevenueSql),
+    "large_volume_customers" -> (largeVolumeCustomers _, largeVolumeCustomersSql),
+    "bracket_revenue"   -> (bracketRevenue _, bracketRevenueSql),
     "table_checksum"    -> (tableChecksum _, tableChecksumSql),
     "drift_report"      -> (driftReport _, driftReportSql),
     "lone_late_suppliers" -> (loneLateSuppliers _, loneLateSuppliersSql),

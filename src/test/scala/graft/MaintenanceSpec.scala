@@ -122,4 +122,38 @@ class MaintenanceSpec extends SparkSpec {
     assert(contents(store) == before)
     assert(dataFiles(store).forall(_.toString.contains("batch_id=-1")))
   }
+
+  test("as-of snapshot reads: stable under replay and later batches; fold horizon enforced") {
+    import spark.implicits._
+    val store = freshStore(batches = 3, rowsPerBatch = 10)
+    def asOf(n: Long): Set[(Long, String)] =
+      Maintenance.readAsOf(spark, store, n).select("id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val snap1 = asOf(1)
+    assert(snap1.map(_._1) == (0 until 10).flatMap(i => Seq(i.toLong, 1000L + i)).toSet,
+      "as-of 1 should see exactly batches 0-1")
+    // a replayed batch rewrites its own partition: the snapshot is stable
+    (0 until 10).map(i => (0L + i, s"v0_$i")).toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$store/batch_id=0")
+    assert(asOf(1) == snap1, "replay changed an as-of view")
+    // a LATER batch never leaks into an earlier snapshot
+    (0 until 5).map(i => (3000L + i, s"v3_$i")).toDF("id", "payload")
+      .write.parquet(s"$store/batch_id=3")
+    assert(asOf(1) == snap1, "a later batch leaked into as-of 1")
+    assert(asOf(3).size == 35)
+    // compaction folds history: as-of at/past the horizon still answers
+    // exactly via the consolidated generation; below it throws
+    Maintenance.compactBatchStore(spark, store)
+    assert(asOf(3).size == 35 && asOf(10) == asOf(3))
+    val e = intercept[IllegalArgumentException](asOf(1))
+    assert(e.getMessage.contains("fold horizon"))
+    // batches landing after compaction: snapshots past them compose
+    (0 until 5).map(i => (4000L + i, s"v4_$i")).toDF("id", "payload")
+      .write.parquet(s"$store/batch_id=4")
+    assert(asOf(3).size == 35 && asOf(4).size == 40)
+    // a second compaction advances the horizon cumulatively
+    Maintenance.compactBatchStore(spark, store)
+    assert(asOf(4).size == 40)
+    assert(intercept[IllegalArgumentException](asOf(3)).getMessage.contains("fold horizon"))
+  }
 }
