@@ -1,7 +1,7 @@
 package graft
 
 import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics, TrainingPrep}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, Linkage}
 import graft.multimodal.Multimodal
 import graft.operators.Layout
 import graft.similarity.{IvfTrained, KMeansExact, LabelEval, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
@@ -21,7 +21,7 @@ object SparkEntry {
   private val registries: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
     Seq(StockAnalytics.registry, StarAnalytics.registry, TextAnalytics.registry,
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
-      TimeSeriesAnalytics.registry, Dedup.registry, Similarity.registry,
+      TimeSeriesAnalytics.registry, Dedup.registry, Linkage.registry, Similarity.registry,
       Quantize.registry, PcaPower.registry, KMeansExact.registry, IvfTrained.registry,
       Multimodal.registry,
       Layout.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry,
