@@ -458,6 +458,140 @@ object TextAnalytics {
        |ORDER BY source""".stripMargin
   }
 
+  // ---- kmv_overlap: KMV sketch set algebra across sources --------------
+  /** Distinct-set OVERLAP between source pairs from their KMV sketches
+    * alone — the set-algebra half of the KMV family (Beyer et al. SIGMOD
+    * '07, "On synopses for distinct value estimation under multiset
+    * operations"). The k smallest hashes of A ∪ B are a subset of
+    * K(A) ∪ K(B), so the union sketch merges WITHOUT touching data:
+    * sort-distinct the two min-arrays and keep the first k. Within that
+    * union sketch, the fraction ρ of members present in BOTH component
+    * sketches is an unbiased Jaccard estimate, and ρ·Û estimates
+    * |A ∩ B|. When a pair is fully sketched (|union sketch| < k) every
+    * estimate collapses to the exact value by construction. Cross-source
+    * distinct overlap is the corpus-dedup planning signal: two crawl
+    * sources with high shingle Jaccard are candidates for source-level
+    * dedup before the doc-level passes run.
+    *
+    * The entry audits every estimate against the exact distinct
+    * intersection/union — the oracle-checkable truth columns. Scale
+    * (100 TB): production reads the SKETCH columns only — per-source
+    * state is ≤ k longs regardless of corpus size, and the pair algebra
+    * is O(S²·k) on the S-row sketch frame, corpus-independent; the exact
+    * audit's (source, shingle) self-join is the one corpus-linear term
+    * and exists only to expose the error surface the sketch is sized
+    * against (rel error ≈ 1/√(k−2) on the union, amplified by 1/ρ on
+    * the intersection — the documented reason intersection estimates of
+    * nearly-disjoint sources need a larger k).
+    */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapOn(Tables.documents(spark, dir))
+
+  private[graft] def kmvOverlapOn(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val sh = kmvShingles(docs)
+      .localCheckpoint(eager = false) // consumers: sketch + exact audit
+    val sk = sh.select(col("source"), hash60(col("g")).as("h"))
+      .groupBy("source").agg(expr(s"kmin_distinct(h, $KmvK)").as("mins"))
+    val eg = sh.distinct()
+      .localCheckpoint(eager = false) // consumers: per-source counts + pair intersection
+    val exN = eg.groupBy("source").agg(count(lit(1)).as("n_ex"))
+    val inter = eg.as("x")
+      .join(eg.as("y"), col("x.g") === col("y.g") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val est = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        col("a.mins").as("amins"), col("b.mins").as("bmins"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(amins, bmins)), 1, $KmvK)"))
+      .withColumn("ku", size(col("u")))
+      .withColumn("n_both", size(expr(
+        "filter(u, h -> array_contains(amins, h) AND array_contains(bmins, h))")))
+      .withColumn("est_u",
+        when(col("ku") < KmvK, col("ku").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace)
+            / element_at(col("u"), col("ku")).cast("double")))
+      .withColumn("rho", col("n_both").cast("double") / col("ku").cast("double"))
+    est
+      .join(exN.withColumnRenamed("source", "s1").withColumnRenamed("n_ex", "n_ex1"), "s1")
+      .join(exN.withColumnRenamed("source", "s2").withColumnRenamed("n_ex", "n_ex2"), "s2")
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("n_inter_exact", coalesce(col("n_inter_exact"), lit(0L)))
+      .withColumn("n_union_exact", col("n_ex1") + col("n_ex2") - col("n_inter_exact"))
+      .select(col("s1"), col("s2"), col("n_inter_exact"), col("n_union_exact"),
+        round(col("rho") * col("est_u"), 4).as("est_inter"),
+        round(col("est_u"), 4).as("est_union"),
+        round(col("rho"), 6).as("jacc_est"),
+        round(col("n_inter_exact").cast("double")
+          / col("n_union_exact").cast("double"), 6).as("jacc_exact"),
+        round(abs(col("est_u") - col("n_union_exact").cast("double"))
+          / col("n_union_exact").cast("double"), 6).as("rel_err_union"))
+      .orderBy("s1", "s2")
+  }
+
+  val kmvOverlapSql: String = {
+    val estU =
+      s"""CASE WHEN ku < $KmvK THEN ku::DOUBLE
+         |     ELSE ${KmvK - 1}.0::DOUBLE * 1152921504606846976.0::DOUBLE
+         |          / kth::DOUBLE END""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT source, unnest(${shinglesSql("toks")}) AS g
+       |  FROM d WHERE len(toks) >= 3),
+       |hd AS (
+       |  SELECT DISTINCT source, ${hash60Sql("g")} AS h FROM sh),
+       |r AS (
+       |  SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hd),
+       |sk AS (
+       |  SELECT source, list(h ORDER BY h) AS mins
+       |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+       |eg AS MATERIALIZED (
+       |  SELECT DISTINCT source, g FROM sh),
+       |exn AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_ex FROM eg GROUP BY 1),
+       |iv AS (
+       |  SELECT x.source AS s1, y.source AS s2,
+       |         CAST(count(*) AS BIGINT) AS n_inter_exact
+       |  FROM eg x JOIN eg y ON x.g = y.g AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.source AS s1, b.source AS s2,
+       |         a.mins AS amins, b.mins AS bmins,
+       |         (list_sort(list_distinct(a.mins || b.mins)))[1:$KmvK] AS u
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |m AS (
+       |  SELECT s1, s2, len(u) AS ku, u[len(u)] AS kth,
+       |         len(list_filter(u,
+       |           h -> list_contains(amins, h) AND list_contains(bmins, h)))
+       |           AS n_both
+       |  FROM p),
+       |e AS (
+       |  SELECT s1, s2, $estU AS est_u, n_both::DOUBLE / ku::DOUBLE AS rho
+       |  FROM m)
+       |SELECT e.s1, e.s2,
+       |       COALESCE(i.n_inter_exact, 0) AS n_inter_exact,
+       |       x1.n_ex + x2.n_ex - COALESCE(i.n_inter_exact, 0) AS n_union_exact,
+       |       round(e.rho * e.est_u, 4) AS est_inter,
+       |       round(e.est_u, 4) AS est_union,
+       |       round(e.rho, 6) AS jacc_est,
+       |       round(COALESCE(i.n_inter_exact, 0)::DOUBLE
+       |             / (x1.n_ex + x2.n_ex - COALESCE(i.n_inter_exact, 0))::DOUBLE,
+       |             6) AS jacc_exact,
+       |       round(abs(e.est_u
+       |                 - (x1.n_ex + x2.n_ex
+       |                    - COALESCE(i.n_inter_exact, 0))::DOUBLE)
+       |             / (x1.n_ex + x2.n_ex - COALESCE(i.n_inter_exact, 0))::DOUBLE,
+       |             6) AS rel_err_union
+       |FROM e
+       |JOIN exn x1 ON x1.source = e.s1
+       |JOIN exn x2 ON x2.source = e.s2
+       |LEFT JOIN iv i ON i.s1 = e.s1 AND i.s2 = e.s2
+       |ORDER BY e.s1, e.s2""".stripMargin
+  }
+
   // ---- doc_fingerprint: content + bag-of-words fingerprints ------------
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -2201,6 +2335,7 @@ object TextAnalytics {
     "heavy_hitters"   -> (heavyHitters _, heavyHittersSql),
     "cms_sketch"      -> (cmsSketch _, cmsSketchSql),
     "kmv_distinct"    -> (kmvDistinct _, kmvDistinctSql),
+    "kmv_overlap"     -> (kmvOverlap _, kmvOverlapSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),
     "decontam"        -> (decontam _, decontamSql),

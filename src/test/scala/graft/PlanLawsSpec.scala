@@ -76,7 +76,11 @@ class PlanLawsSpec extends SparkSpec {
     // Q·N threshold scan — the knn_brute shape with a filter, not top-k
     "decontam_semantic",
     // 1-row total-weight anchor cross-joined over the sources-sized frame
-    "source_rebalance")
+    "source_rebalance",
+    // KMV pair algebra: the s1 < s2 join runs on the S-row SKETCH frame
+    // (one ≤k-long array per source) — build side bounded by |sources|,
+    // corpus-independent; the exact audit joins on shingle equality
+    "kmv_overlap")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
