@@ -281,9 +281,84 @@ object SelectionAnalytics {
        |FROM pred WHERE rn = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- pareto_frontier: quality-vs-cost skyline over documents ---------
+  /** The documents on the Pareto frontier of (quality ↑, cost ↓) — the
+    * skyline operator (Börzsönyi, Kossmann, Stocker, ICDE '01) on the
+    * curation plane a budgeted selection run optimizes over: quality =
+    * integer-scaled stopword ratio (⌊10⁶·stop/tok⌋, the same function-word
+    * signal the text-stats family uses, exact integer math so both engines
+    * agree bit-for-bit), cost = `n_chars`. A doc survives iff no other doc
+    * is no-worse on both axes and strictly better on one; equal-(cost,
+    * quality) docs coexist (neither dominates).
+    *
+    * Scale (100 TB): NOT the quadratic NOT-EXISTS shape. Three steps, all
+    * bounded: (1) per-cost max quality — a map-side partial aggregate
+    * keyed on `n_chars`; (2) a strict-prefix running max over the GROUPED
+    * frame, whose row count is bounded by the VALUE DOMAIN |distinct
+    * n_chars| (≲ max doc length), not the corpus — the one unpartitioned
+    * window in the plan runs over that bounded frame only; (3) a
+    * broadcast join of the per-cost thresholds back onto the corpus
+    * stream: doc on frontier ⟺ q = gq(cost) ∧ gq(cost) > prefix-max of
+    * strictly cheaper costs. The spec pins step-composition ≡ brute-force
+    * dominance on a fixture with ties on both axes.
+    */
+  private[graft] val ParetoScale = 1000000L
+
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame =
+    paretoFrontierOn(Tables.documents(spark, dir))
+
+  /** (doc_id, n_chars, q) scored stream shared by entry + brute twin. */
+  private[graft] def paretoScored(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"CAST($ParetoScale * size(filter(toks, t -> t = 'the' OR t = 'a')) AS BIGINT)"
+          + " div size(toks)").as("q"))
+
+  private[graft] def paretoFrontierOn(docs: DataFrame): DataFrame = {
+    val f = paretoScored(docs)
+    val grp = f.groupBy("n_chars").agg(max("q").as("gq"))
+    val w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    val pref = grp.withColumn("pm", max("gq").over(w))
+    f.join(broadcast(pref), "n_chars")
+      .filter(col("q") === col("gq") && (col("pm").isNull || col("q") > col("pm")))
+      .select(col("doc_id"), col("n_chars"), col("q"))
+      .orderBy("n_chars", "doc_id")
+  }
+
+  /** Quadratic dominance twin for the spec law. Test-scale only. */
+  private[graft] def bruteFrontierOn(docs: DataFrame): DataFrame = {
+    val f = paretoScored(docs).localCheckpoint(eager = false)
+    f.as("x").join(f.as("y"),
+        col("y.n_chars") <= col("x.n_chars") && col("y.q") >= col("x.q")
+          && (col("y.n_chars") < col("x.n_chars") || col("y.q") > col("x.q")),
+        "left_anti")
+      .select(col("doc_id"), col("n_chars"), col("q"))
+      .orderBy("n_chars", "doc_id")
+  }
+
+  val paretoFrontierSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST($ParetoScale * len(list_filter(string_split(text, ' '),
+       |                                 t -> t = 'the' OR t = 'a')) AS BIGINT)
+       |         // len(string_split(text, ' ')) AS q
+       |  FROM documents),
+       |g AS (SELECT n_chars, max(q) AS gq FROM f GROUP BY 1),
+       |p AS (
+       |  SELECT n_chars, gq,
+       |         max(gq) OVER (ORDER BY n_chars
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING
+       |                                AND 1 PRECEDING) AS pm
+       |  FROM g)
+       |SELECT f.doc_id, f.n_chars, f.q
+       |FROM f JOIN p USING (n_chars)
+       |WHERE f.q = p.gq AND (p.pm IS NULL OR f.q > p.pm)
+       |ORDER BY f.n_chars, f.doc_id""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "lm_bigram"    -> (lmBigram _, lmBigramSql),
-    "dsir_weights" -> (dsirWeights _, dsirWeightsSql),
-    "nb_classify"  -> (nbClassify _, nbClassifySql),
+    "lm_bigram"       -> (lmBigram _, lmBigramSql),
+    "dsir_weights"    -> (dsirWeights _, dsirWeightsSql),
+    "nb_classify"     -> (nbClassify _, nbClassifySql),
+    "pareto_frontier" -> (paretoFrontier _, paretoFrontierSql),
   )
 }
