@@ -90,6 +90,22 @@ object ScaleProbe {
     * is the full plan. Cost: one hash per row; drops rows at p ≈ 2⁻³²,
     * irrelevant to a timing probe.
     */
+  /** Replicated customer names with a Hamming-distance-2 replica code
+    * injected (two digits + their mod-10 checksum: any single-digit
+    * change breaks the checksum), so cross-replica Levenshtein is ≥ 2 —
+    * equal-length strings at edit distance ≤ 1 differ by exactly one
+    * substitution — and the ≤1 fuzzy-pair output grows exactly linearly
+    * in replicas, the same honest independent-shards test as [[bigDocs]].
+    */
+  def bigNames(base: DataFrame, copies: Int): DataFrame =
+    base.select(col("c_custkey"), col("c_name"))
+      .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      .select(
+        (col("c_custkey") + col("c") * 10000000L).as("id"),
+        concat(lit("r"), lpad(col("c"), 2, "0"),
+          expr("cast((c div 10 + c % 10) % 10 as string)"),
+          col("c_name")).as("name"))
+
   private def guard(df: DataFrame): DataFrame =
     df.filter(hash(df.columns.map(col): _*) =!= lit(42))
 
@@ -749,6 +765,30 @@ object ScaleProbe {
       if (wanted("label_error_margin"))
         time(spark, copies, "label_error_margin")(
           graft.similarity.LabelEval.labelErrorMarginOn(embWithLabel))
+      if (wanted("fuzzy_join")) {
+        val namesPath = s"$tmp/names_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
+          bigNames(Tables.customer(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(namesPath)
+        val names = spark.read.parquet(namesPath)
+        time(spark, copies, "fuzzy_join")(
+          graft.dedup.Linkage.fuzzyJoinOn(names, "id", "name"))
+      }
+      // synthetic 20-source slicing of the replicated corpus: the pair
+      // count stays constant (190) while per-source volume scales —
+      // exactly the axis the sketch bounds
+      if (wanted("kmv_overlap"))
+        time(spark, copies, "kmv_overlap")(
+          graft.analytics.TextAnalytics.kmvOverlapOn(
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))))
+      if (wanted("kmv_overlap_sketch"))
+        time(spark, copies, "kmv_overlap_sketch")(
+          graft.analytics.TextAnalytics.kmvOverlapSketchOn(
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))))
+      if (wanted("pareto_frontier"))
+        time(spark, copies, "pareto_frontier")(
+          graft.analytics.SelectionAnalytics.paretoFrontierOn(
+            docs.withColumn("n_chars", length(col("text")))))
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

@@ -487,6 +487,37 @@ object TextAnalytics {
   def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
     kmvOverlapOn(Tables.documents(spark, dir))
 
+  /** Pair algebra over the S-row sketch frame: union sketch, ρ, Û. */
+  private[graft] def kmvPairEst(sk: DataFrame): DataFrame =
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"),
+        col("a.mins").as("amins"), col("b.mins").as("bmins"))
+      .withColumn("u", expr(s"slice(array_sort(array_union(amins, bmins)), 1, $KmvK)"))
+      .withColumn("ku", size(col("u")))
+      .withColumn("n_both", size(expr(
+        "filter(u, h -> array_contains(amins, h) AND array_contains(bmins, h))")))
+      .withColumn("est_u",
+        when(col("ku") < KmvK, col("ku").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace)
+            / element_at(col("u"), col("ku")).cast("double")))
+      .withColumn("rho", col("n_both").cast("double") / col("ku").cast("double"))
+
+  /** Sketch-only serving shape (no exact audit): what production reads —
+    * one pass to the per-source sketches, then corpus-independent pair
+    * algebra. The ScaleProbe rows price the audit against this.
+    */
+  private[graft] def kmvOverlapSketchOn(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val sk = kmvShingles(docs).select(col("source"), hash60(col("g")).as("h"))
+      .groupBy("source").agg(expr(s"kmin_distinct(h, $KmvK)").as("mins"))
+    kmvPairEst(sk)
+      .select(col("s1"), col("s2"),
+        round(col("rho") * col("est_u"), 4).as("est_inter"),
+        round(col("est_u"), 4).as("est_union"),
+        round(col("rho"), 6).as("jacc_est"))
+      .orderBy("s1", "s2")
+  }
+
   private[graft] def kmvOverlapOn(docs: DataFrame): DataFrame = {
     graft.GraftExtensions.register(docs.sparkSession)
     val sh = kmvShingles(docs)
@@ -500,19 +531,7 @@ object TextAnalytics {
       .join(eg.as("y"), col("x.g") === col("y.g") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("s1"), col("y.source").as("s2"))
       .agg(count(lit(1)).as("n_inter_exact"))
-    val est = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
-      .select(col("a.source").as("s1"), col("b.source").as("s2"),
-        col("a.mins").as("amins"), col("b.mins").as("bmins"))
-      .withColumn("u", expr(s"slice(array_sort(array_union(amins, bmins)), 1, $KmvK)"))
-      .withColumn("ku", size(col("u")))
-      .withColumn("n_both", size(expr(
-        "filter(u, h -> array_contains(amins, h) AND array_contains(bmins, h))")))
-      .withColumn("est_u",
-        when(col("ku") < KmvK, col("ku").cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) * lit(KmvSpace)
-            / element_at(col("u"), col("ku")).cast("double")))
-      .withColumn("rho", col("n_both").cast("double") / col("ku").cast("double"))
-    est
+    kmvPairEst(sk)
       .join(exN.withColumnRenamed("source", "s1").withColumnRenamed("n_ex", "n_ex1"), "s1")
       .join(exN.withColumnRenamed("source", "s2").withColumnRenamed("n_ex", "n_ex2"), "s2")
       .join(inter, Seq("s1", "s2"), "left")
