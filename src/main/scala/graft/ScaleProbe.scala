@@ -778,13 +778,13 @@ object ScaleProbe {
       // count stays constant (190) while per-source volume scales —
       // exactly the axis the sketch bounds
       if (wanted("kmv_overlap"))
-        time(spark, copies, "kmv_overlap")(
+        time(spark, copies, "kmv_overlap")(guard(
           graft.analytics.TextAnalytics.kmvOverlapOn(
-            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))))
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))))
       if (wanted("kmv_overlap_sketch"))
-        time(spark, copies, "kmv_overlap_sketch")(
+        time(spark, copies, "kmv_overlap_sketch")(guard(
           graft.analytics.TextAnalytics.kmvOverlapSketchOn(
-            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))))
+            docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))))
       if (wanted("pareto_frontier"))
         time(spark, copies, "pareto_frontier")(
           graft.analytics.SelectionAnalytics.paretoFrontierOn(
