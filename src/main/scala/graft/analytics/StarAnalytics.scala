@@ -787,6 +787,80 @@ object StarAnalytics {
       |GROUP BY event_type, next_type
       |ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin
 
+  // ---- scd2_intervals: slowly-changing-dimension (type 2) build --------
+  /** Per-user SCD Type-2 state history from the event stream: collapse
+    * consecutive same-state events into validity intervals
+    * [valid_from, valid_to) with a NULL open end for the current state —
+    * the gaps-and-islands build that turns an event log into a
+    * versioned dimension table, and the WRITE-side twin of the as-of
+    * join (`ticks_asof_bars` probes exactly such interval tables).
+    * `version` is the island ordinal per user; `n_events` counts the
+    * collapsed run, the change-suppression a naive one-row-per-event
+    * SCD would miss.
+    *
+    * Determinism: the (ts, event_id) ordering key (the
+    * [[eventTransitions]] rule) makes lag/running-sum island ids unique
+    * under same-timestamp ties; within an island the state is constant,
+    * so min(event_type) is exact, not a tie-break.
+    *
+    * Scale (100 TB): ONE shuffle on user_id serves the change flag, the
+    * island running sum, the island aggregate AND the valid_to lead —
+    * user_id is a prefix of every window/group key, so Catalyst reuses
+    * the exchange; per-user partitions are bounded by user activity and
+    * no stage orders anything globally (the presentation sort is the
+    * one range exchange every entry pays).
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wi = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("island"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull
+          || lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island").as("version"), col("state"),
+        col("valid_from"),
+        lead(col("valid_from"), 1).over(wi).as("valid_to"),
+        col("n_events"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "version")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (
+      |  SELECT user_id, ts, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id
+      |                        ORDER BY ts, event_id) AS island
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, CAST(island AS BIGINT) AS version,
+      |         min(event_type) AS state, min(ts) AS valid_from,
+      |         CAST(count(*) AS BIGINT) AS n_events
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, version, state, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id
+      |                              ORDER BY version) AS valid_to,
+      |       n_events,
+      |       lead(valid_from) OVER (PARTITION BY user_id
+      |                              ORDER BY version) IS NULL AS is_current
+      |FROM g
+      |ORDER BY user_id, version""".stripMargin
+
   // ---- event_cube: full grouping-sets lattice ---------------------------
   /** CUBE over (event_type, weekday) — the grouping-sets completion of
     * event_rollup's ROLLUP: all four lattice levels (both, each, grand
@@ -1536,6 +1610,7 @@ object StarAnalytics {
     "small_quantity_revenue" -> (smallQuantityRevenue _, smallQuantityRevenueSql),
     "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),
     "event_transitions" -> (eventTransitions _, eventTransitionsSql),
+    "scd2_intervals" -> (scd2Intervals _, scd2IntervalsSql),
     "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),
