@@ -101,6 +101,51 @@ object Linkage {
       |WHERE levenshtein(a.s_name, b.s_name) <= 1
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---- entity_groups: linkage pairs → entity components ----------------
+  /** Canonical entity resolution: the fuzzy ≤1 pair graph collapsed to
+    * connected components — A~B and B~C merge into ONE entity even when
+    * A~C was never emitted (chained typo drift, the record-linkage twin
+    * of chained near-dup docs). Reuses [[Dedup.componentsOn]]'s min-label
+    * propagation verbatim (the per-round keyed join + min-agg shape);
+    * `entity_id` = min suppkey in the group, `is_canonical` marks the
+    * survivor record a master-data table keeps. The same
+    * adversarial-diameter escape hatch ([[Dedup.componentsAltStarOn]])
+    * applies unchanged since the interface is just the pair frame.
+    *
+    * Scale: inherits fuzzy_join's linear candidate stream and the
+    * components loop's O(diameter) keyed rounds; entity groups are
+    * shallow by construction (typo graphs, like near-dup graphs, chain
+    * rather than deep-path).
+    */
+  def entityGroups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsOn(
+      fuzzyJoin(spark, dir)
+        .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+      .select(col("doc_id").as("s_suppkey"), col("component_id").as("entity_id"),
+        col("is_canonical"))
+      .orderBy("s_suppkey")
+
+  val entityGroupsSql: String =
+    s"""WITH RECURSIVE fpairs AS (
+       |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+       |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+       |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM fpairs
+       |  UNION
+       |  SELECT b_id, a_id FROM fpairs),
+       |reach(v, u) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+       |SELECT v AS s_suppkey,
+       |       least(v, min(u)) AS entity_id,
+       |       v = least(v, min(u)) AS is_canonical
+       |FROM reach
+       |GROUP BY v
+       |ORDER BY s_suppkey""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql))
+    "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql),
+    "entity_groups" -> (entityGroups _, entityGroupsSql))
 }

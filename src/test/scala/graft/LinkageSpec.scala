@@ -53,6 +53,29 @@ class LinkageSpec extends SparkSpec {
     assert(keys(1) == Seq(""))
   }
 
+  test("entity_groups labels equal a union-find closure of the brute pair graph") {
+    val pairs = rows(Linkage.bruteFuzzyOn(Tables.supplier(spark, sf), "s_suppkey", "s_name"))
+      .map(p => (p._1, p._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    val got = Linkage.entityGroups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected)
+    got.foreach { case (k, e, canon) => assert(canon == (k == e)) }
+    // exactly one canonical per entity
+    assert(got.filter(_._3).map(_._2).toSeq.sorted ==
+      got.map(_._2).distinct.toSeq.sorted)
+  }
+
   test("blocked plan joins on keys — no cartesian product") {
     val plan = Linkage.fuzzyJoinOn(Tables.supplier(spark, sf), "s_suppkey", "s_name")
       .queryExecution.executedPlan
