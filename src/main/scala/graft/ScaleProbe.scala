@@ -106,6 +106,17 @@ object ScaleProbe {
           expr("cast((c div 10 + c % 10) % 10 as string)"),
           col("c_name")).as("name"))
 
+  /** Replicated events with per-replica user-id shifts: each user's
+    * ordered stream (and so its island structure) is copied verbatim
+    * into a fresh user id, so interval output grows exactly linearly
+    * and per-user window partitions stay their natural size.
+    */
+  def bigEvents(base: DataFrame, copies: Int): DataFrame =
+    base.withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      .select((col("user_id") + col("c") * 10000000L).as("user_id"),
+        (col("event_id") + col("c") * 1000000000L).as("event_id"),
+        col("ts"), col("event_type"))
+
   private def guard(df: DataFrame): DataFrame =
     df.filter(hash(df.columns.map(col): _*) =!= lit(42))
 
@@ -785,6 +796,25 @@ object ScaleProbe {
         time(spark, copies, "kmv_overlap_sketch")(guard(
           graft.analytics.TextAnalytics.kmvOverlapSketchOn(
             docs.withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20)))))))
+      if (wanted("entity_groups")) {
+        val namesPath = s"$tmp/names_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
+          bigNames(Tables.customer(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(namesPath)
+        val names = spark.read.parquet(namesPath)
+        time(spark, copies, "entity_groups")(
+          Dedup.componentsOn(
+            graft.dedup.Linkage.fuzzyJoinOn(names, "id", "name")
+              .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2"))))
+      }
+      if (wanted("scd2_intervals")) {
+        val evPath = s"$tmp/events_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
+          bigEvents(Tables.events(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(evPath)
+        time(spark, copies, "scd2_intervals")(guard(
+          graft.analytics.StarAnalytics.scd2IntervalsOn(spark.read.parquet(evPath))))
+      }
       if (wanted("pareto_frontier"))
         time(spark, copies, "pareto_frontier")(
           graft.analytics.SelectionAnalytics.paretoFrontierOn(

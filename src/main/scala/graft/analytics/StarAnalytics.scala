@@ -810,12 +810,15 @@ object StarAnalytics {
     * no stage orders anything globally (the presentation sort is the
     * one range exchange every entry pays).
     */
-  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOn(Tables.events(spark, dir))
+
+  private[graft] def scd2IntervalsOn(events: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val wi = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("island"))
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(w).isNull
