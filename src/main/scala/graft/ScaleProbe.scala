@@ -115,7 +115,7 @@ object ScaleProbe {
     base.withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
       .select((col("user_id") + col("c") * 10000000L).as("user_id"),
         (col("event_id") + col("c") * 1000000000L).as("event_id"),
-        col("ts"), col("event_type"))
+        col("ts"), col("event_type"), col("value"))
 
   private def guard(df: DataFrame): DataFrame =
     df.filter(hash(df.columns.map(col): _*) =!= lit(42))
@@ -819,6 +819,36 @@ object ScaleProbe {
         time(spark, copies, "pareto_frontier")(
           graft.analytics.SelectionAnalytics.paretoFrontierOn(
             docs.withColumn("n_chars", length(col("text")))))
+      // point-in-time enrichment: facts AND dimension both grow with the
+      // replicated stream; per-user merge partitions stay natural-sized
+      if (wanted("scd2_lookup")) {
+        val evPath = s"$tmp/events_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
+          bigEvents(Tables.events(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(evPath)
+        time(spark, copies, "scd2_lookup")(guard(
+          graft.analytics.StarAnalytics.scd2LookupOn(spark.read.parquet(evPath))))
+      }
+      // rule cells stay <= V(V-1)/2 while the presence stream grows:
+      // replica tags rename every 2nd token, so the top-30 vocabulary is
+      // the shared untagged head and per-basket item sets stay bounded
+      if (wanted("assoc_rules"))
+        time(spark, copies, "assoc_rules")(guard(
+          graft.analytics.TextAnalytics.assocRulesOn(docs)))
+      // per-replica triangle structure is identical (checksum replica
+      // codes keep the pair graph per-replica), so triangle volume and
+      // the wedge axis both grow exactly linearly in replicas
+      if (wanted("graph_triangles")) {
+        val namesPath = s"$tmp/names_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
+          bigNames(Tables.customer(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(namesPath)
+        val names = spark.read.parquet(namesPath)
+        time(spark, copies, "graph_triangles")(guard(
+          graft.dedup.Linkage.graphTrianglesOn(
+            graft.dedup.Linkage.fuzzyJoinOn(names, "id", "name")
+              .select(col("a_id"), col("b_id")))))
+      }
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

@@ -864,6 +864,86 @@ object StarAnalytics {
       |FROM g
       |ORDER BY user_id, version""".stripMargin
 
+  // ---- scd2_lookup: point-in-time dimension enrichment ------------------
+  /** The READ side of the SCD Type-2 pair: enrich every purchase event
+    * with the dimension version valid AT ITS TIMESTAMP — the
+    * point-in-time lookup every versioned warehouse dimension exists to
+    * serve. The dimension here is the user's non-purchase activity state
+    * ([[scd2IntervalsOn]] over `event_type <> 'purchase'`), so a
+    * purchase is attributed to whatever the user was last doing —
+    * LEFT semantics keep purchases that precede any dimension event
+    * (NULL version/state), the backfilling regime reported honestly.
+    *
+    * Plan shape: because SCD2 intervals TILE per-user time (each
+    * `valid_to` equals the next `valid_from`), "the interval containing
+    * ts" is exactly "the latest `valid_from` <= ts" — an AS-OF join, not
+    * a range join. The entry routes through the native
+    * [[graft.plans.AsofJoin]] streaming-merge operator (O(|facts| +
+    * |intervals|) per user partition, O(1) state), where the naive
+    * range-predicate join Spark would otherwise plan is a
+    * BroadcastNestedLoopJoin that re-scans the dimension per fact.
+    * Zero-width intervals ([valid_from, valid_from) from same-timestamp
+    * state flips) are filtered first — they contain no timestamp, and
+    * dropping them restores strict `valid_from` monotonicity per user so
+    * the as-of pick is unique (spec law; the oracle's range predicate
+    * excludes them by construction).
+    *
+    * Scale (100 TB): both sides hash-cluster on user_id (the facts side
+    * reuses no exchange only because the dimension build's window
+    * already produced one — EnsureRequirements inserts the single facts
+    * exchange), the merge is single-pass per co-partition, and nothing
+    * is corpus-global but the presentation sort.
+    */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame =
+    scd2LookupOn(Tables.events(spark, dir))
+
+  private[graft] def scd2LookupOn(events: DataFrame): DataFrame = {
+    val dim = scd2IntervalsOn(events.filter(col("event_type") =!= "purchase"))
+      .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+      .select(col("user_id"), col("valid_from"), col("version"), col("state"))
+    val facts = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin.asofJoin(facts, dim, "user_id", "ts", "valid_from")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("version"), col("state"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val scd2LookupSql: String =
+    """WITH d AS (
+      |  SELECT * FROM events WHERE event_type <> 'purchase'),
+      |e AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |                OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (
+      |  SELECT user_id, ts, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id
+      |                        ORDER BY ts, event_id) AS island
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, CAST(island AS BIGINT) AS version,
+      |         min(event_type) AS state, min(ts) AS valid_from
+      |  FROM i GROUP BY 1, 2),
+      |iv AS (
+      |  SELECT user_id, version, state, valid_from,
+      |         lead(valid_from) OVER (PARTITION BY user_id
+      |                                ORDER BY version) AS valid_to
+      |  FROM g),
+      |ivn AS (
+      |  SELECT * FROM iv WHERE valid_to IS NULL OR valid_from < valid_to),
+      |f AS (
+      |  SELECT user_id, event_id, ts, value FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT f.user_id, f.event_id, f.ts, f.value, iv.version, iv.state
+      |FROM f LEFT JOIN ivn iv
+      |  ON f.user_id = iv.user_id AND iv.valid_from <= f.ts
+      | AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+      |ORDER BY f.user_id, f.ts, f.event_id""".stripMargin
+
   // ---- event_cube: full grouping-sets lattice ---------------------------
   /** CUBE over (event_type, weekday) — the grouping-sets completion of
     * event_rollup's ROLLUP: all four lattice levels (both, each, grand
@@ -1614,6 +1694,7 @@ object StarAnalytics {
     "data_quality_report" -> (dataQualityReport _, dataQualityReportSql),
     "event_transitions" -> (eventTransitions _, eventTransitionsSql),
     "scd2_intervals" -> (scd2Intervals _, scd2IntervalsSql),
+    "scd2_lookup" -> (scd2Lookup _, scd2LookupSql),
     "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),

@@ -2329,6 +2329,83 @@ object TextAnalytics {
        |FROM r WHERE rn <= $WSampleKeep
        |ORDER BY lang, rank""".stripMargin
 
+  // ---- assoc_rules: market-basket association mining over documents -----
+  private val AssocVocab = 30
+
+  /** A-priori association-rule mining with documents as baskets and the
+    * corpus top-[[AssocVocab]] tokens (by document frequency, count desc
+    * / token asc at the cut — the [[vocabCoverage]] determinism rule) as
+    * the item domain: for every co-occurring item pair, exact support
+    * (baskets containing both), directed confidences and lift — the
+    * support/confidence/lift triple of Agrawal-Srikant VLDB '94, in pure
+    * integers (ppm via integer division) so both engines agree
+    * bit-for-bit.
+    *
+    * The a-priori structure IS the scale story: the candidate axis is
+    * bounded by the broadcast V-item vocabulary BEFORE any pair forms —
+    * per-basket item sets are <= V, the basket-keyed self-join emits
+    * <= V(V-1)/2 pairs per basket (never corpus x corpus), and the rule
+    * table is <= V(V-1)/2 cells at ANY corpus size. df/support counts are
+    * partial-aggregable; the corpus total joins in as a 1-row broadcast.
+    * Integer range: lift_ppm's numerator support*n_docs*10^6 <=
+    * n_docs^2 * 10^6 stays inside Long up to ~3 * 10^6 baskets per
+    * mining run — shard the corpus (or drop to per-mille) beyond that.
+    */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOn(Tables.documents(spark, dir))
+
+  private[graft] def assocRulesOn(docs: DataFrame): DataFrame = {
+    // presence stream: one row per (doc, distinct token)
+    val pres = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("token"))
+    val vocab = pres.groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(AssocVocab)
+    val items = pres.join(broadcast(vocab), Seq("token"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
+      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("support"),
+        col("df_a"), col("df_b"),
+        expr("(support * 1000000L) div df_a").as("conf_ab_ppm"),
+        expr("(support * 1000000L) div df_b").as("conf_ba_ppm"),
+        expr("(support * n_docs * 1000000L) div (df_a * df_b)").as("lift_ppm"))
+      .orderBy(col("support").desc, col("token_a"), col("token_b"))
+  }
+
+  val assocRulesSql: String =
+    s"""WITH pres AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+       |  FROM documents),
+       |v AS (
+       |  SELECT token, df FROM (
+       |    SELECT token, count(*) AS df FROM pres GROUP BY 1
+       |    ORDER BY df DESC, token ASC LIMIT $AssocVocab)),
+       |it AS (
+       |  SELECT pres.doc_id, pres.token, v.df
+       |  FROM pres JOIN v ON pres.token = v.token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |p AS (
+       |  SELECT a.token AS token_a, b.token AS token_b,
+       |         a.df AS df_a, b.df AS df_b, count(*) AS support
+       |  FROM it a JOIN it b
+       |    ON a.doc_id = b.doc_id AND a.token < b.token
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT token_a, token_b,
+       |       CAST(support AS BIGINT) AS support,
+       |       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
+       |       CAST((support * 1000000) // df_a AS BIGINT) AS conf_ab_ppm,
+       |       CAST((support * 1000000) // df_b AS BIGINT) AS conf_ba_ppm,
+       |       CAST((support * n_docs * 1000000) // (df_a * df_b) AS BIGINT)
+       |         AS lift_ppm
+       |FROM p, n
+       |ORDER BY support DESC, token_a, token_b""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "text_stats"      -> (textStats _, textStatsSql),
     "pii_scrub"       -> (piiScrub _, piiScrubSql),
@@ -2364,5 +2441,6 @@ object TextAnalytics {
     "tfidf_topk_log"  -> (tfidfTopkLog _, tfidfTopkLogSql),
     "source_profile"  -> (sourceProfile _, sourceProfileSql),
     "curation_audit"  -> (curationAudit _, curationAuditSql),
+    "assoc_rules"     -> (assocRules _, assocRulesSql),
   )
 }

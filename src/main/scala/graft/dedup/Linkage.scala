@@ -145,7 +145,81 @@ object Linkage {
        |GROUP BY v
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---- graph_triangles: degree-oriented triangle counting ---------------
+  /** Per-node triangle participation over the fuzzy <=1 pair graph — the
+    * third member of the graph-analytics tier beside connected components
+    * and PageRank. Triangle density separates clique-like duplicate
+    * clusters (safe to collapse to one canonical record) from chain-like
+    * typo drift (where transitive merging is the risky step), so it is
+    * the diagnostic a linkage pipeline reads BEFORE trusting
+    * [[entityGroups]]' transitive closure.
+    *
+    * Plan shape (the Suri-Vassilvitskii WWW '11 / Cohen '09 shape): every
+    * edge is ORIENTED from its (degree, id)-smaller endpoint to the
+    * larger — a total order, so the oriented graph is acyclic and each
+    * triangle has exactly ONE node with two out-edges in it. Wedges =
+    * the out-neighbor pairs of that node (one equi self-join on src);
+    * closing = one equi join of the wedge's (min, max) endpoints against
+    * the canonical edge list. Every join is hash-partitionable — no
+    * pair-axis blowup beyond the wedge set, whose size is bounded by
+    * sum(out_deg^2) <= O(m^1.5) under degree orientation REGARDLESS of
+    * skew (a hub of degree d contributes ~d wedges, not d^2, because
+    * high-degree nodes sit on the receiving end). The brute oracle
+    * closes e1-e2-e3 directly; blocked-vs-brute equality is the spec law.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graphTrianglesOn(fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
+
+  /** `pairs`: unique undirected edges with a_id < b_id. Output: top-20
+    * nodes by triangle participation (count desc, id asc).
+    */
+  private[graft] def graphTrianglesOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    val deg = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("src"),
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val tris = wedges.join(edges,
+      least(col("y"), col("z")) === col("u") &&
+        greatest(col("y"), col("z")) === col("v"))
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("s_suppkey"))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
+  val graphTrianglesSql: String =
+    """WITH fp AS (
+      |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      |tri AS (
+      |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+      |  FROM fp e1
+      |  JOIN fp e2 ON e2.a_id = e1.b_id
+      |  JOIN fp e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+      |nodes AS (
+      |  SELECT x AS s_suppkey FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM nodes GROUP BY 1
+      |ORDER BY n_triangles DESC, s_suppkey ASC LIMIT 20""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql),
-    "entity_groups" -> (entityGroups _, entityGroupsSql))
+    "entity_groups" -> (entityGroups _, entityGroupsSql),
+    "graph_triangles" -> (graphTriangles _, graphTrianglesSql))
 }

@@ -1,0 +1,70 @@
+package graft
+
+import graft.dedup.Linkage
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws for degree-oriented triangle counting (`graph_triangles`). */
+class GraphTrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(es: Seq[(Long, Long)]): DataFrame =
+    es.toDF("a_id", "b_id")
+
+  /** Brute closure: e1=(x,y), e2=(y,z), e3=(x,z) — each triangle once
+    * with x < y < z by the a_id < b_id edge invariant.
+    */
+  private def brute(p: DataFrame): Seq[(Long, Long)] = {
+    val e = p.select(col("a_id").as("a"), col("b_id").as("b"))
+    e.as("e1").join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("id").asc)
+      .as[(Long, Long)].collect().toSeq
+  }
+
+  private def oriented(p: DataFrame): Seq[(Long, Long)] =
+    Linkage.graphTrianglesOn(p)
+      .as[(Long, Long)].collect().toSeq
+
+  test("clique, chain, star, shared-edge cliques") {
+    // K4 on 1..4 (4 triangles, 3 per node); 5-6-7 chain (none);
+    // star hub 20 with leaves 21..25 (none — the skew case);
+    // K3 {8,9,10} and K3 {9,10,11} sharing edge 9-10
+    val p = pairs(Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (20L, 24L), (20L, 25L),
+      (8L, 9L), (8L, 10L), (9L, 10L), (9L, 11L), (10L, 11L)))
+    val got = oriented(p)
+    assert(got == brute(p).take(20))
+    val m = got.toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 3L))
+    assert(m(9L) == 2L && m(10L) == 2L && m(8L) == 1L && m(11L) == 1L)
+    assert(!m.contains(5L) && !m.contains(20L) && !m.contains(21L))
+  }
+
+  test("oriented enumeration equals brute closure on the fuzzy supplier graph") {
+    val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select("a_id", "b_id")
+    val got = oriented(fp)
+    assert(got.nonEmpty, "digit-variant supplier names must form triangles")
+    assert(got == brute(fp).take(20))
+  }
+
+  test("triangle participation is bounded by C(deg, 2)") {
+    val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select("a_id", "b_id")
+    val deg = fp.select(col("a_id").as("id"))
+      .unionAll(fp.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    oriented(fp).foreach { case (id, n) =>
+      val d = deg(id)
+      assert(n <= d * (d - 1) / 2, s"node $id: $n triangles exceeds C($d,2)")
+    }
+  }
+}

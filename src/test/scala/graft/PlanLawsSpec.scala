@@ -80,7 +80,9 @@ class PlanLawsSpec extends SparkSpec {
     // KMV pair algebra: the s1 < s2 join runs on the S-row SKETCH frame
     // (one ≤k-long array per source) — build side bounded by |sources|,
     // corpus-independent; the exact audit joins on shingle equality
-    "kmv_overlap")
+    "kmv_overlap",
+    // 1-row n_docs anchor cross-joined over the ≤ V(V-1)/2 rule cells
+    "assoc_rules")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
