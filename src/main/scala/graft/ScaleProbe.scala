@@ -835,6 +835,24 @@ object ScaleProbe {
       if (wanted("assoc_rules"))
         time(spark, copies, "assoc_rules")(guard(
           graft.analytics.TextAnalytics.assocRulesOn(docs)))
+      // the (id, id+1) pair sample replicates with the corpus (the
+      // replica id offset is ≡ 0 mod PairMod), so audit rows grow
+      // ×copies while the projection stays one per-row codegen pass
+      if (wanted("jl_distortion"))
+        time(spark, copies, "jl_distortion")(guard(
+          graft.similarity.JlProject.jlDistortionOn(spark.read.parquet(embPath))))
+      // per-user kept chains are replica-local (user ids shift per
+      // replica), so the state-machine pass parallelizes over users and
+      // kept output grows exactly ×copies
+      if (wanted("events_debounce")) {
+        val evPath = s"$tmp/events_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
+          bigEvents(Tables.events(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(evPath)
+        time(spark, copies, "events_debounce")(guard(
+          graft.operators.Debounce.eventsDebounceOn(
+            spark.read.parquet(evPath), graft.operators.Debounce.GapSec)))
+      }
       // per-replica triangle structure is identical (checksum replica
       // codes keep the pair graph per-replica), so triangle volume and
       // the wedge axis both grow exactly linearly in replicas

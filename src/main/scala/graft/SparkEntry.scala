@@ -3,8 +3,8 @@ package graft
 import graft.analytics.{BpeTrainer, RetrievalAnalytics, SelectionAnalytics, StarAnalytics, StockAnalytics, TextAnalytics, TimeSeriesAnalytics, TrainingPrep}
 import graft.dedup.{Dedup, Linkage}
 import graft.multimodal.Multimodal
-import graft.operators.Layout
-import graft.similarity.{IvfTrained, KMeansExact, LabelEval, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
+import graft.operators.{Debounce, Layout}
+import graft.similarity.{IvfTrained, JlProject, KMeansExact, LabelEval, MmrSelect, PcaPower, PqAnn, Quantize, Similarity}
 import graft.streaming.TrendingTokens
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -23,8 +23,9 @@ object SparkEntry {
       RetrievalAnalytics.registry, SelectionAnalytics.registry, BpeTrainer.registry,
       TimeSeriesAnalytics.registry, Dedup.registry, Linkage.registry, Similarity.registry,
       Quantize.registry, PcaPower.registry, KMeansExact.registry, IvfTrained.registry,
+      JlProject.registry,
       Multimodal.registry,
-      Layout.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry,
+      Layout.registry, Debounce.registry, TrainingPrep.registry, MmrSelect.registry, PqAnn.registry,
       TrendingTokens.registry, LabelEval.registry)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The movers
