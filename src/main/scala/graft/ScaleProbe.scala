@@ -841,6 +841,14 @@ object ScaleProbe {
       if (wanted("jl_distortion"))
         time(spark, copies, "jl_distortion")(guard(
           graft.similarity.JlProject.jlDistortionOn(spark.read.parquet(embPath))))
+      // the knn_brute Q·N shape over 16-int projected rows: queries pin
+      // to the base id range (the quadratic-query lesson), so the scan
+      // term is the one scaling axis
+      if (wanted("knn_jl"))
+        time(spark, copies, "knn_jl")(guard(
+          graft.similarity.JlProject.knnJlOn(
+            spark.read.parquet(embPath).filter(
+              col("vec_id") % 100 =!= 0 || col("vec_id") < 10000000L))))
       // per-user kept chains are replica-local (user ids shift per
       // replica), so the state-machine pass parallelizes over users and
       // kept output grows exactly ×copies

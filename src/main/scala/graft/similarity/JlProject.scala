@@ -48,18 +48,23 @@ object JlProject {
     if (BigInt(hex.substring(0, 15), 16) % 2 == 0) 1 else -1
   }
 
-  /** The 64×16 sign matrix as a SQL array-of-arrays literal. */
-  private[graft] lazy val signMatrixSql: String =
+  /** The 64×P sign matrix as a SQL array-of-arrays literal. */
+  private[graft] def signMatrixSqlFor(projDims: Int): String =
     (1 to Dims).map { i =>
-      (1 to ProjDims).map(j => s"${sign(i, j)}L").mkString("array(", ",", ")")
+      (1 to projDims).map(j => s"${sign(i, j)}L").mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")
+
+  private[graft] lazy val signMatrixSql: String = signMatrixSqlFor(ProjDims)
 
   /** vec_id, q (int8 codes as longs), p (projected ints). The projection
     * binds `q` ONCE via the single-element-array idiom — referencing the
     * q column directly inside the (i, j) fold would re-inline the whole
     * quantization per multiply (the HOF project-collapse gotcha).
+    * `projDims` defaults to the registry's P=16; [[graft.tools.JlSweep]]
+    * sweeps it for the published distortion-vs-width surface.
     */
-  private[graft] def projectedOn(emb: DataFrame): DataFrame =
+  private[graft] def projectedOn(emb: DataFrame,
+      projDims: Int = ProjDims): DataFrame =
     emb.select(col("vec_id"), col("embedding").as("v"))
       .withColumn("max_abs", expr(
         "aggregate(v, cast(0 as double), (a, x) -> greatest(a, abs(cast(x as double))))"))
@@ -70,18 +75,19 @@ object JlProject {
           |END""".stripMargin))
       .withColumn("p", expr(
         s"""transform(array(q), qq ->
-           |  transform(sequence(1, $ProjDims), j ->
+           |  transform(sequence(1, $projDims), j ->
            |    aggregate(sequence(1, $Dims), 0L, (a, i) ->
            |      a + element_at(qq, i)
-           |        * element_at(element_at($signMatrixSql, i), j))))[0]"""
+           |        * element_at(element_at(${signMatrixSqlFor(projDims)}, i), j))))[0]"""
           .stripMargin))
       .select(col("vec_id"), col("q"), col("p"))
 
   def jlDistortion(spark: SparkSession, dir: String): DataFrame =
     jlDistortionOn(Tables.embeddings(spark, dir))
 
-  private[graft] def jlDistortionOn(emb: DataFrame): DataFrame = {
-    val proj = projectedOn(emb)
+  private[graft] def jlDistortionOn(emb: DataFrame,
+      projDims: Int = ProjDims): DataFrame = {
+    val proj = projectedOn(emb, projDims)
     def dot(a: String, b: String, n: Int) =
       expr(s"aggregate(sequence(1, $n), 0L, (s, i) -> s + element_at($a, i) * element_at($b, i))")
     proj.as("a").filter(col("vec_id") % PairMod === 0)
@@ -91,11 +97,126 @@ object JlProject {
         dot("a.q", "b.q", Dims).as("dot_q"),
         dot("a.q", "a.q", Dims).as("nsq1_q"),
         dot("b.q", "b.q", Dims).as("nsq2_q"),
-        dot("a.p", "b.p", ProjDims).as("dot_p"),
-        dot("a.p", "a.p", ProjDims).as("nsq1_p"),
-        dot("b.p", "b.p", ProjDims).as("nsq2_p"))
+        dot("a.p", "b.p", projDims).as("dot_p"),
+        dot("a.p", "a.p", projDims).as("nsq1_p"),
+        dot("b.p", "b.p", projDims).as("nsq2_p"))
       .orderBy("vec_id_1")
   }
+
+  // ---- knn_jl: projected-space shortlist + exact rerank ------------------
+  private val TopK      = 10
+  private val OverFetch = 40
+  private val QueryMod  = 100 // queries = vec_id % 100 == 0 (knn_brute's rule)
+
+  /** The JL tier cashed into an ANN path — [[Quantize.knnQuantizedOn]]'s
+    * two-stage shape with the 16-int PROJECTED vectors as the stage-1
+    * scan (16 ints vs 64 floats = the 16× scan-byte shrink the
+    * projection buys; the distortion surface in PLANS.md prices what
+    * that costs in shortlist fidelity):
+    *
+    *  1. APPROX: rank all candidates per query by projected cosine —
+    *     exact integer dot over p, one IEEE division — and keep
+    *     top-[[OverFetch]] via the bounded `topk_by_score` aggregate.
+    *  2. RERANK: only the Q·OverFetch survivors fetch their float
+    *     vectors by id and rerank by exact cosine (knn_brute's fold
+    *     contract), emitting top-[[TopK]].
+    *
+    * Both stages deterministic (integer/IEEE math, ties on id), so the
+    * oracle reproduces the SAME two-stage semantics and the gate is
+    * exact, not probabilistic — recall vs `knn_brute` is a measured
+    * property, not the correctness contract.
+    */
+  def knnJl(spark: SparkSession, dir: String): DataFrame =
+    knnJlOn(Tables.embeddings(spark, dir))
+
+  private[graft] def knnJlOn(raw: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(raw.sparkSession)
+    def pdot(a: String, b: String) = expr(
+      s"aggregate(sequence(1, $ProjDims), 0L, (s, i) -> s + element_at($a, i) * element_at($b, i))")
+    val pr = projectedOn(raw)
+      .select(col("vec_id"), col("p"))
+      .withColumn("pn2", pdot("p", "p"))
+    val qq = pr.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("p").as("pa"),
+        col("pn2").as("qpn2"))
+    val cand = pr.withColumnRenamed("p", "pb")
+      .join(broadcast(qq), col("query_id") =!= col("vec_id"))
+      .withColumn("ascore",
+        pdot("pa", "pb").cast("double")
+          / sqrt(col("qpn2").cast("double") * col("pn2").cast("double")))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(ascore, vec_id, $OverFetch)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val e = Similarity.withNorms(raw)
+    val qf = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("n2").as("qn2"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("n2")),
+        "neighbor_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cosine", expr("vec_dot(va, vb)") / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(cosine, neighbor_id, $TopK)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("cosine"))
+  }
+
+  val knnJlSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+       |                     (a, b) -> a + b) AS n2,
+       |         list_reduce(list_transform(embedding::DOUBLE[], x -> abs(x)),
+       |                     (a, b) -> greatest(a, b)) AS max_abs
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id,
+       |         CASE WHEN max_abs = 0
+       |              THEN list_transform(v, x -> 0::BIGINT)
+       |              ELSE list_transform(v, x ->
+       |                CAST(floor(x / (max_abs / 127.0) + 0.5) AS BIGINT))
+       |         END AS q
+       |  FROM e),
+       |p AS (
+       |  SELECT vec_id,
+       |         list_transform(generate_series(1, $ProjDims), j ->
+       |           list_reduce(list_transform(generate_series(1, $Dims), i ->
+       |             q[i] * $signCaseSql), (a, b) -> a + b)) AS p
+       |  FROM q),
+       |pn AS (
+       |  SELECT vec_id, p,
+       |         list_reduce(list_transform(list_zip(p, p), z -> z[1] * z[2]),
+       |                     (a, b) -> a + b) AS pn2
+       |  FROM p),
+       |approx AS (
+       |  SELECT pa.vec_id AS query_id, pb.vec_id AS neighbor_id,
+       |         CAST(list_reduce(list_transform(list_zip(pa.p, pb.p),
+       |                z -> z[1] * z[2]), (acc, x) -> acc + x) AS DOUBLE)
+       |           / sqrt(CAST(pa.pn2 AS DOUBLE) * CAST(pb.pn2 AS DOUBLE)) AS ascore
+       |  FROM pn pa JOIN pn pb
+       |    ON pa.vec_id % $QueryMod = 0 AND pa.vec_id <> pb.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY ascore DESC, neighbor_id ASC) AS rn
+       |    FROM approx) WHERE rn <= $OverFetch),
+       |rerank AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_reduce(list_transform(list_zip(qe.v, ne.v), z -> z[1] * z[2]),
+       |                     (a, b) -> a + b)
+       |           / (sqrt(qe.n2) * sqrt(ne.n2)) AS cosine
+       |  FROM cand c
+       |  JOIN e qe ON c.query_id = qe.vec_id
+       |  JOIN e ne ON c.neighbor_id = ne.vec_id)
+       |SELECT query_id, neighbor_id, rank, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rerank) WHERE rank <= $TopK""".stripMargin
 
   private def signCaseSql: String =
     "(CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 2 = 0 THEN 1 ELSE -1 END)"
@@ -141,5 +262,6 @@ object JlProject {
        |FROM pairs ORDER BY vec_id_1""".stripMargin
 
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "jl_distortion" -> (jlDistortion _, jlDistortionSql))
+    "jl_distortion" -> (jlDistortion _, jlDistortionSql),
+    "knn_jl" -> (knnJl _, knnJlSql))
 }

@@ -82,7 +82,10 @@ class PlanLawsSpec extends SparkSpec {
     // corpus-independent; the exact audit joins on shingle equality
     "kmv_overlap",
     // 1-row n_docs anchor cross-joined over the ≤ V(V-1)/2 rule cells
-    "assoc_rules")
+    "assoc_rules",
+    // the knn_quantized shape over the projected tier: broadcast query
+    // anchors (bounded batch) scored against the 16-int scan
+    "knn_jl")
 
   private lazy val plans: Map[String, String] = {
     GraftExtensions.register(spark)
