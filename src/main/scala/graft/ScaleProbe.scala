@@ -841,6 +841,22 @@ object ScaleProbe {
       if (wanted("jl_distortion"))
         time(spark, copies, "jl_distortion")(guard(
           graft.similarity.JlProject.jlDistortionOn(spark.read.parquet(embPath))))
+      // replicated events duplicate every (symbol, minute) point, so the
+      // minute means are IDENTICAL at every scale (sum and count both
+      // x copies) — output constant 10 pair cells, wall = the roll-up
+      // scan term; the S²-bounded pair join never grows
+      if (wanted("ticks_corr")) {
+        val evPath = s"$tmp/events_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
+          bigEvents(Tables.events(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(evPath)
+        val t = spark.read.parquet(evPath).select(
+          upper(col("event_type")).as("symbol"),
+          col("value").cast("decimal(12,4)").as("price"),
+          col("ts").as("event_time"))
+        time(spark, copies, "ticks_corr")(guard(
+          graft.analytics.TimeSeriesAnalytics.ticksCorrOn(t)))
+      }
       // the knn_brute Q·N shape over 16-int projected rows: queries pin
       // to the base id range (the quadratic-query lesson), so the scan
       // term is the one scaling axis

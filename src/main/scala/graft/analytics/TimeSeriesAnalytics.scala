@@ -567,7 +567,74 @@ object TimeSeriesAnalytics {
        |GROUP BY i.spike_start, i.spike_end
        |ORDER BY i.spike_start""".stripMargin
 
+  // ---- ticks_corr: cross-series co-moment matrix ------------------------
+  /** Pairwise CROSS-series statistics — the correlation-heatmap input a
+    * multi-asset dashboard reads, and the one time-series family the
+    * board lacked (every other entry is within-series). For each symbol
+    * pair, the exact integer co-moments (n, Σx, Σy, Σxy, Σx², Σy²) of
+    * the two series' minute-bucketed mean prices over their COMMON
+    * minutes; Pearson/covariance/OLS are one double expression
+    * downstream (the [[ticksBeta]] determinism rule: exact associative
+    * moments cross engines, float math only at the edge — here the edge
+    * is the consumer).
+    *
+    * Alignment: per (symbol, minute) mean price in integer
+    * ten-thousandths — `floor(10⁴·Σprice / n)`, exact in both engines
+    * because the DECIMAL(12,4) sum times 10⁴ is an exact integer — then
+    * an equi-join on the minute key. Inner join = pairwise-complete
+    * observations, the standard correlation-matrix convention.
+    *
+    * Scale (100 TB): the minute roll-up is one partial-aggregable
+    * shuffle; the pair join is minute-keyed with per-minute fan-out
+    * bounded by the SYMBOL DOMAIN (≤ S²/2 pair rows per minute — S is a
+    * value domain, not a corpus axis), and the output is ≤ S(S-1)/2
+    * cells. Long bounds: p ≤ 10⁴·max_price and Σxy ≤ minutes·p² — at
+    * max_price 560 and a month of minutes that is ~1.2×10¹⁸, 7× inside
+    * Long; longer windows shard by calendar period and merge moments
+    * (they are associative).
+    */
+  def ticksCorr(spark: SparkSession, dir: String): DataFrame =
+    ticksCorrOn(Tables.ticks(spark, dir))
+
+  private[graft] def ticksCorrOn(ticks: DataFrame): DataFrame = {
+    val m = ticks
+      .groupBy(col("symbol"),
+        date_trunc("minute", col("event_time")).as("minute"))
+      .agg(expr("CAST(sum(price) * 10000 AS BIGINT)").as("sp"),
+        count(lit(1)).as("cnt"))
+      .select(col("symbol"), col("minute"), expr("sp div cnt").as("p"))
+    m.as("a")
+      .join(m.as("b"),
+        col("a.minute") === col("b.minute") && col("a.symbol") < col("b.symbol"))
+      .groupBy(col("a.symbol").as("symbol_a"), col("b.symbol").as("symbol_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.p")).as("sx"), sum(col("b.p")).as("sy"),
+        sum(col("a.p") * col("b.p")).as("sxy"),
+        sum(col("a.p") * col("a.p")).as("sxx"),
+        sum(col("b.p") * col("b.p")).as("syy"))
+      .orderBy("symbol_a", "symbol_b")
+  }
+
+  val ticksCorrSql: String =
+    s"""${Tables.TICKS_CTE},
+       |m AS (
+       |  SELECT symbol, date_trunc('minute', event_time) AS minute,
+       |         CAST(sum(price) * 10000 AS BIGINT)
+       |           // CAST(count(*) AS BIGINT) AS p
+       |  FROM ticks GROUP BY 1, 2)
+       |SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(a.p) AS BIGINT) AS sx,
+       |       CAST(sum(b.p) AS BIGINT) AS sy,
+       |       CAST(sum(a.p * b.p) AS BIGINT) AS sxy,
+       |       CAST(sum(a.p * a.p) AS BIGINT) AS sxx,
+       |       CAST(sum(b.p * b.p) AS BIGINT) AS syy
+       |FROM m a JOIN m b
+       |  ON a.minute = b.minute AND a.symbol < b.symbol
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "ticks_corr"             -> (ticksCorr _, ticksCorrSql),
     "ticks_asof_bars"        -> (ticksAsofBars _, ticksAsofBarsSql),
     "spike_ticks"            -> (spikeTicks _, spikeTicksSql),
     "ticks_anomaly"          -> (ticksAnomaly _, ticksAnomalySql),
