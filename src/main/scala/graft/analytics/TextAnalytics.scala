@@ -2354,21 +2354,48 @@ object TextAnalytics {
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     assocRulesOn(Tables.documents(spark, dir))
 
-  private[graft] def assocRulesOn(docs: DataFrame): DataFrame = {
-    // presence stream: one row per (doc, distinct token)
-    val pres = docs.select(col("doc_id"),
+  /** presence stream: one row per (doc, distinct token) */
+  private[graft] def assocPresence(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("token"))
-    val vocab = pres.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** the frozen item domain: top-[[AssocVocab]] tokens by document
+    * frequency (count desc, token asc at the cut)
+    */
+  private[graft] def assocVocab(docs: DataFrame): DataFrame =
+    assocPresence(docs).groupBy("token").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(AssocVocab)
-    val items = pres.join(broadcast(vocab), Seq("token"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      .select(col("token"))
+
+  /** per-basket pair counts over a given vocabulary — the one additive
+    * partial the streaming tier lands per batch
+    */
+  private[graft] def assocPairCounts(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val items = assocPresence(docs).join(broadcast(vocab.select("token")), Seq("token"))
     items.as("a")
       .join(items.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.token") < col("b.token"))
-      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"),
-        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .groupBy(col("a.token").as("token_a"), col("b.token").as("token_b"))
       .agg(count(lit(1)).as("support"))
+  }
+
+  /** in-vocabulary document frequencies — the second additive partial */
+  private[graft] def assocDf(docs: DataFrame, vocab: DataFrame): DataFrame =
+    assocPresence(docs).join(broadcast(vocab.select("token")), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** measures from the three additive frames — support/confidence/lift
+    * in exact integer ppm; both the batch entry and the streaming
+    * reader end here, so streamed ≡ batch is definitional
+    */
+  private[graft] def assocMeasures(pairCounts: DataFrame, df: DataFrame,
+      nDocs: DataFrame): DataFrame =
+    pairCounts
+      .join(broadcast(df.select(col("token").as("token_a"), col("df").as("df_a"))),
+        Seq("token_a"))
+      .join(broadcast(df.select(col("token").as("token_b"), col("df").as("df_b"))),
+        Seq("token_b"))
       .crossJoin(broadcast(nDocs))
       .select(col("token_a"), col("token_b"), col("support"),
         col("df_a"), col("df_b"),
@@ -2376,6 +2403,11 @@ object TextAnalytics {
         expr("(support * 1000000L) div df_b").as("conf_ba_ppm"),
         expr("(support * n_docs * 1000000L) div (df_a * df_b)").as("lift_ppm"))
       .orderBy(col("support").desc, col("token_a"), col("token_b"))
+
+  private[graft] def assocRulesOn(docs: DataFrame): DataFrame = {
+    val vocab = assocVocab(docs)
+    assocMeasures(assocPairCounts(docs, vocab), assocDf(docs, vocab),
+      docs.agg(count(lit(1)).as("n_docs")))
   }
 
   val assocRulesSql: String =

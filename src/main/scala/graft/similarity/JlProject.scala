@@ -129,11 +129,12 @@ object JlProject {
   def knnJl(spark: SparkSession, dir: String): DataFrame =
     knnJlOn(Tables.embeddings(spark, dir))
 
-  private[graft] def knnJlOn(raw: DataFrame): DataFrame = {
+  private[graft] def knnJlOn(raw: DataFrame,
+      projDims: Int = ProjDims): DataFrame = {
     graft.GraftExtensions.register(raw.sparkSession)
     def pdot(a: String, b: String) = expr(
-      s"aggregate(sequence(1, $ProjDims), 0L, (s, i) -> s + element_at($a, i) * element_at($b, i))")
-    val pr = projectedOn(raw)
+      s"aggregate(sequence(1, $projDims), 0L, (s, i) -> s + element_at($a, i) * element_at($b, i))")
+    val pr = projectedOn(raw, projDims)
       .select(col("vec_id"), col("p"))
       .withColumn("pn2", pdot("p", "p"))
     val qq = pr.filter(col("vec_id") % QueryMod === 0)

@@ -28,7 +28,20 @@ object JlSweep {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.Tables.embeddings(spark, sfDir)
+    val geom = sys.env.getOrElse("JL_GEOM", "corpus")
+    // materialize the corpus once: the synthetic clustered frame is an
+    // expression chain, and referencing it across the sweep's joins
+    // would re-derive the hash vectors per element (the HOF re-inline
+    // gotcha) — checkpointing makes it a table like the parquet path
+    val emb =
+      (if (geom == "clustered") RecallProbe.clusteredEmb(spark, 2000, 16)
+       else graft.Tables.embeddings(spark, sfDir)).localCheckpoint()
+    // exact-cosine ground truth for the recall column (knn_brute's own
+    // definition over the same corpus)
+    val truth = graft.similarity.Similarity
+      .knnBruteOn(graft.similarity.Similarity.withNorms(emb))
+      .select(col("query_id"), col("neighbor_id")).cache()
+    val denom = truth.count()
     ps.foreach { p =>
       val errs = JlProject.jlDistortionOn(emb, p)
         .filter(col("nsq1_q") > 0 && col("nsq2_q") > 0 &&
@@ -41,9 +54,13 @@ object JlSweep {
         expr("percentile(err, 0.9)").as("p90"),
         max(col("err")).as("max"),
         count(lit(1)).as("pairs")).collect()(0)
-      println(f"JLSWEEP p=$p%d mean=${row.getDouble(0)}%.3f " +
+      val hits = JlProject.knnJlOn(emb, p)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      println(f"JLSWEEP geom=$geom%s p=$p%d mean=${row.getDouble(0)}%.3f " +
         f"p90=${row.getDouble(1)}%.3f max=${row.getDouble(2)}%.3f " +
-        f"pairs=${row.getLong(3)}%d theory=${1.0 / math.sqrt(p)}%.3f")
+        f"pairs=${row.getLong(3)}%d theory=${1.0 / math.sqrt(p)}%.3f " +
+        f"recall10=${hits.toDouble / denom}%.3f")
     }
     spark.stop()
   }

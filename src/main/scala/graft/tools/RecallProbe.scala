@@ -23,6 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object RecallProbe {
 
+  /** The planted-cluster twin corpus (deterministic, hash-derived): 16
+    * true clusters, vector = 0.9·unit-center + 0.436·unit-noise —
+    * E[cos to own center] ≈ 0.9, within-cluster cosines 0.8+,
+    * cross-cluster ≈ 0. Shared with [[JlSweep]]'s clustered-geometry
+    * recall measurement.
+    */
+  private[tools] def clusteredEmb(spark: SparkSession, n: Int, k: Int): DataFrame = {
+    GraftExtensions.register(spark)
+    spark.range(0, n).toDF("vec_id")
+      .withColumn("cl", pmod(col("vec_id"), lit(k)))
+      .withColumn("c", expr(
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(cl, d), 2001) - 1000 as double) / 1000.0D)"))
+      .withColumn("g", expr(
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(vec_id, d, 7), 2001) - 1000 as double) / 1000.0D)"))
+      .withColumn("cn", expr("sqrt(aggregate(c, 0D, (s, x) -> s + x * x))"))
+      .withColumn("gn", expr("sqrt(aggregate(g, 0D, (s, x) -> s + x * x))"))
+      .select(col("vec_id"),
+        expr("zip_with(c, g, (a, b) -> cast(0.9D * a / cn + 0.436D * b / gn as float))")
+          .as("embedding"))
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
   private def truthFor(emb: DataFrame, queryPred: Column): DataFrame = {
     GraftExtensions.register(emb.sparkSession)
     val qv = emb.select(col("vec_id"),
@@ -64,25 +86,10 @@ object RecallProbe {
     // query's true top-10 live in its own cluster and a trained cell
     // that TRACKS the cluster captures them with a 1-2 cell probe.
     val geom = sys.env.getOrElse("RECALL_GEOM", "corpus")
-    def clusteredEmb(n: Int, k: Int): DataFrame = {
-      GraftExtensions.register(spark)
-      spark.range(0, n).toDF("vec_id")
-        .withColumn("cl", pmod(col("vec_id"), lit(k)))
-        .withColumn("c", expr(
-          "transform(sequence(0, 63), d -> cast(pmod(xxhash64(cl, d), 2001) - 1000 as double) / 1000.0D)"))
-        .withColumn("g", expr(
-          "transform(sequence(0, 63), d -> cast(pmod(xxhash64(vec_id, d, 7), 2001) - 1000 as double) / 1000.0D)"))
-        .withColumn("cn", expr("sqrt(aggregate(c, 0D, (s, x) -> s + x * x))"))
-        .withColumn("gn", expr("sqrt(aggregate(g, 0D, (s, x) -> s + x * x))"))
-        .select(col("vec_id"),
-          expr("zip_with(c, g, (a, b) -> cast(0.9D * a / cn + 0.436D * b / gn as float))")
-            .as("embedding"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    }
 
     scales.foreach { copies =>
       val (emb, queryPred) =
-        if (geom == "clustered") (clusteredEmb(2000 * copies, 16),
+        if (geom == "clustered") (clusteredEmb(spark, 2000 * copies, 16),
           col("vec_id") % 100 === 0)
         else if (copies == 1) (Tables.embeddings(spark, sfDir),
           col("vec_id") % 100 === 0)

@@ -45,6 +45,60 @@ class LinkageSpec extends SparkSpec {
     assert(!got.exists(r => r._1 == 7L && r._2 == 8L), "ab/ba is distance 2")
   }
 
+  private def rows2(df: DataFrame): Seq[(Long, Long, Long)] =
+    df.select("a_id", "b_id", "dist").as[(Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+  private def brute2(df: DataFrame, idCol: String, nameCol: String): Seq[(Long, Long, Long)] = {
+    val base = df.filter(col(nameCol).isNotNull)
+      .select(col(idCol).cast("long").as("k_id"), col(nameCol).as("k_name"))
+    base.as("a").join(base.as("b"), col("a.k_id") < col("b.k_id"))
+      .select(col("a.k_id").as("a_id"), col("b.k_id").as("b_id"),
+        levenshtein(col("a.k_name"), col("b.k_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+  }
+
+  test("depth-2 blocking equals brute force on the supplier table") {
+    // sf0.01: the 10-supplier sf0.001 table only varies its LAST name
+    // digit, so every pair there is distance 1 — the 100-supplier table
+    // is the smallest with true distance-2 structure
+    val sup = Tables.supplier(spark, "/root/testdata/sf0.01")
+    val blocked = rows2(Linkage.fuzzyJoin2On(sup, "s_suppkey", "s_name"))
+    val brute = brute2(sup, "s_suppkey", "s_name")
+    assert(blocked.nonEmpty && blocked.exists(_._3 == 2L),
+      "fixture must contain true distance-2 pairs")
+    assert(blocked == brute)
+  }
+
+  test("depth-2 candidate generation is complete for every 2-edit type") {
+    val df = Seq(
+      1L -> "market", 2L -> "morket",   // 1 substitution
+      3L -> "mxrkyt",                   // 2 substitutions vs 1
+      4L -> "markets", 5L -> "marketss",// 1 and 2 insertions vs 1
+      6L -> "arket",  7L -> "rket",     // 1 and 2 deletions vs 1
+      8L -> "ab", 9L -> "ba",           // transposition = distance 2
+      10L -> "xarketz",                 // substitution + insertion vs 1
+      11L -> "zzzzzz"                   // distance > 2 from everything
+    ).toDF("id", "name")
+    val got = rows2(Linkage.fuzzyJoin2On(df, "id", "name"))
+    val exp = brute2(df, "id", "name")
+    assert(got == exp)
+    assert(got.contains((1L, 3L, 2L)))
+    assert(got.contains((1L, 5L, 2L)))
+    assert(got.contains((1L, 7L, 2L)))
+    assert(got.contains((8L, 9L, 2L)))
+    assert(got.contains((1L, 10L, 2L)))
+    assert(!got.exists(r => r._1 == 11L || r._2 == 11L))
+  }
+
+  test("depth-2 keys: short strings degrade to the depth-1 set") {
+    val keys = Seq("a", "").toDF("s")
+      .select(Linkage.deletionKeys2("s").as("k")).as[Seq[String]].collect()
+    assert(keys(0).toSet == Set("a", ""))
+    assert(keys(1).toSet == Set(""))
+  }
+
   test("deletion keys: self + distinct single-deletions, empty-safe") {
     val keys = Seq("aab", "").toDF("s")
       .select(Linkage.deletionKeys("s").as("k")).as[Seq[String]].collect()
