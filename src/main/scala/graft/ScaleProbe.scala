@@ -110,6 +110,13 @@ object ScaleProbe {
     * ordered stream (and so its island structure) is copied verbatim
     * into a fresh user id, so interval output grows exactly linearly
     * and per-user window partitions stay their natural size.
+    *
+    * Cache-path contract: the on-disk replica cache is written under a
+    * VERSIONED name (`events_v2_`) because the schema grew a `value`
+    * column in r12 — a `_SUCCESS`-only existence check against the old
+    * unversioned path would happily serve a stale, column-missing cache
+    * to scd2_lookup/ticks_corr (r12 ADVICE). Bump the suffix whenever
+    * this projection changes shape.
     */
   def bigEvents(base: DataFrame, copies: Int): DataFrame =
     base.withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
@@ -808,7 +815,7 @@ object ScaleProbe {
               .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2"))))
       }
       if (wanted("scd2_intervals")) {
-        val evPath = s"$tmp/events_$copies"
+        val evPath = s"$tmp/events_v2_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
           bigEvents(Tables.events(spark, sfDir), copies)
             .repartition(par).write.mode("overwrite").parquet(evPath)
@@ -822,7 +829,7 @@ object ScaleProbe {
       // point-in-time enrichment: facts AND dimension both grow with the
       // replicated stream; per-user merge partitions stay natural-sized
       if (wanted("scd2_lookup")) {
-        val evPath = s"$tmp/events_$copies"
+        val evPath = s"$tmp/events_v2_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
           bigEvents(Tables.events(spark, sfDir), copies)
             .repartition(par).write.mode("overwrite").parquet(evPath)
@@ -846,7 +853,7 @@ object ScaleProbe {
       // x copies) — output constant 10 pair cells, wall = the roll-up
       // scan term; the S²-bounded pair join never grows
       if (wanted("ticks_corr")) {
-        val evPath = s"$tmp/events_$copies"
+        val evPath = s"$tmp/events_v2_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
           bigEvents(Tables.events(spark, sfDir), copies)
             .repartition(par).write.mode("overwrite").parquet(evPath)
@@ -869,7 +876,7 @@ object ScaleProbe {
       // replica), so the state-machine pass parallelizes over users and
       // kept output grows exactly ×copies
       if (wanted("events_debounce")) {
-        val evPath = s"$tmp/events_$copies"
+        val evPath = s"$tmp/events_v2_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
           bigEvents(Tables.events(spark, sfDir), copies)
             .repartition(par).write.mode("overwrite").parquet(evPath)

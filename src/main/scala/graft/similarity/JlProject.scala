@@ -134,9 +134,16 @@ object JlProject {
     graft.GraftExtensions.register(raw.sparkSession)
     def pdot(a: String, b: String) = expr(
       s"aggregate(sequence(1, $projDims), 0L, (s, i) -> s + element_at($a, i) * element_at($b, i))")
+    // pn2 = 0 is possible even for a nonzero input (sign cancellation
+    // across the projected dims, and always when the row is all-zero):
+    // Spark's Divide would yield NULL (silently dropped by topk_by_score)
+    // while DuckDB's IEEE division yields inf/NaN which ranks FIRST under
+    // ORDER BY ascore DESC — so zero-projection rows are excluded from
+    // BOTH engines' stage-1 scoring explicitly (r12 ADVICE).
     val pr = projectedOn(raw, projDims)
       .select(col("vec_id"), col("p"))
       .withColumn("pn2", pdot("p", "p"))
+      .filter(col("pn2") > 0)
     val qq = pr.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("p").as("pa"),
         col("pn2").as("qpn2"))
@@ -190,10 +197,11 @@ object JlProject {
        |             q[i] * $signCaseSql), (a, b) -> a + b)) AS p
        |  FROM q),
        |pn AS (
-       |  SELECT vec_id, p,
-       |         list_reduce(list_transform(list_zip(p, p), z -> z[1] * z[2]),
-       |                     (a, b) -> a + b) AS pn2
-       |  FROM p),
+       |  SELECT * FROM (
+       |    SELECT vec_id, p,
+       |           list_reduce(list_transform(list_zip(p, p), z -> z[1] * z[2]),
+       |                       (a, b) -> a + b) AS pn2
+       |    FROM p) WHERE pn2 > 0),
        |approx AS (
        |  SELECT pa.vec_id AS query_id, pb.vec_id AS neighbor_id,
        |         CAST(list_reduce(list_transform(list_zip(pa.p, pb.p),
