@@ -106,6 +106,47 @@ object ScaleProbe {
           expr("cast((c div 10 + c % 10) % 10 as string)"),
           col("c_name")).as("name"))
 
+  /** Replicated names with a PROVABLY-Levenshtein-≥3 replica code — the
+    * depth-2 probe corpus the r12 analysis called for (PLANS.md: the
+    * Hamming-2 checksum code of [[bigNames]] admits cross-replica pairs
+    * at exactly distance 2, so the ≤2 fuzzy graph was quadratic in
+    * replicas by corpus construction, not by operator behavior).
+    *
+    * The tag is a 4-symbol [4,2,3] MDS code over GF(11): replica
+    * c = 10·d1 + d2 encodes as (d1, d2, d1+d2 mod 11, d1+2·d2 mod 11) —
+    * any two distinct (d1, d2) messages differ in ≥ 3 of the 4 positions
+    * (both checksum maps are injective in each digit, and gcd(2,11)=1
+    * separates the two checksums when both digits change).
+    *
+    * Hamming ≥ 3 lifts to LEVENSHTEIN ≥ 3 — the shift-alignment hole the
+    * depth-1 analysis warned about — because the four positions draw
+    * from MUTUALLY DISJOINT alphabets that are also disjoint from the
+    * name charset ({S,C,u,p,l,i,e,r,s,t,o,m,#,0-9}): in any edit trace,
+    * a tag character can align cost-free ONLY with the same position of
+    * the other tag (every cross-position or tag-vs-name alignment is a
+    * mismatch by construction). With H ≥ 3 tag positions unequal, at
+    * least 2H of the 8 tag characters are non-free, and every edit op
+    * covers at most two of them — so any trace costs ≥ H ≥ 3.
+    * `FuzzyProbeCodeSpec` verifies the bound exhaustively over all
+    * C(100,2) replica pairs on real names.
+    */
+  def bigNames3(base: DataFrame, copies: Int): DataFrame = {
+    val p1 = "abcdfghjknq"
+    val p2 = "vwxyzABDEFG"
+    val p3 = "HIJKLMNOPQR"
+    val p4 = "TUVWXYZ!%&+"
+    base.select(col("s_suppkey"), col("s_name"))
+      .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      .select(
+        (col("s_suppkey") + col("c") * 10000000L).as("id"),
+        concat(
+          expr(s"substring('$p1', c div 10 + 1, 1)"),
+          expr(s"substring('$p2', c % 10 + 1, 1)"),
+          expr(s"substring('$p3', (c div 10 + c % 10) % 11 + 1, 1)"),
+          expr(s"substring('$p4', (c div 10 + 2 * (c % 10)) % 11 + 1, 1)"),
+          col("s_name")).as("name"))
+  }
+
   /** Replicated events with per-replica user-id shifts: each user's
     * ordered stream (and so its island structure) is copied verbatim
     * into a fresh user id, so interval output grows exactly linearly
@@ -884,6 +925,19 @@ object ScaleProbe {
           graft.operators.Debounce.eventsDebounceOn(
             spark.read.parquet(evPath), graft.operators.Debounce.GapSec)))
       }
+      // the depth-2 fuzzy join over the ≥3-code replica corpus: the MDS
+      // tag keeps even distance-2 pairs per-replica, so verified-pair
+      // output grows exactly ×copies — the honest independent-shards
+      // probe the r12 row explained was impossible under the ≥2 code
+      if (wanted("fuzzy_join2")) {
+        val names3Path = s"$tmp/names3_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$names3Path/_SUCCESS")))
+          bigNames3(Tables.supplier(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(names3Path)
+        time(spark, copies, "fuzzy_join2")(guard(
+          graft.dedup.Linkage.fuzzyJoin2On(
+            spark.read.parquet(names3Path), "id", "name")))
+      }
       // per-replica triangle structure is identical (checksum replica
       // codes keep the pair graph per-replica), so triangle volume and
       // the wedge axis both grow exactly linearly in replicas
@@ -897,6 +951,63 @@ object ScaleProbe {
           graft.dedup.Linkage.graphTrianglesOn(
             graft.dedup.Linkage.fuzzyJoinOn(names, "id", "name")
               .select(col("a_id"), col("b_id")))))
+      }
+      // served SCD2 lookup: the dimension store is maintained by ingest
+      // (built untimed here); the timed object reads purchases + the
+      // interval store — dim cost scales with STATE CHANGES, not events
+      if (wanted("scd2_lookup_served")) {
+        val evPath = s"$tmp/events_v2_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
+          bigEvents(Tables.events(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(evPath)
+        val ev = spark.read.parquet(evPath)
+        val key = graft.analytics.RetrievalAnalytics.storeKey(evPath)
+        def served = graft.analytics.StarAnalytics
+          .scd2LookupServedFrames(spark, key, ev)
+        served.count() // builds the store; serve-only is the timed object
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, "scd2_lookup_served")(guard(served))
+      }
+      // served PQ ANN: train/encode/pack paid untimed (the build pass);
+      // the timed serve reads Q·nprobe cells of 16 B/vector codes +
+      // fetch·Q full vectors — queries pin to the base id range
+      if (wanted("knn_served_pq")) {
+        val key = graft.analytics.RetrievalAnalytics.storeKey(embPath)
+        def served = graft.analytics.RetrievalAnalytics.knnServedPqFrames(
+          spark, key, docs, spark.read.parquet(embPath),
+          q => q % 100 === 0 && q < 10000000L)
+        served.count() // builds the store; serve-only is the timed object
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, "knn_served_pq")(guard(served))
+      }
+      // the materialized linkage tier: store built UNTIMED (the one-time
+      // corpus pass), then the timed object is the serve-side work only —
+      // incremental probe = O(new batch) keys against co-located buckets;
+      // served graph entries start at stored edges so the wedge/loop
+      // term, not the pair-graph rebuild, is what the row prices
+      if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))) {
+        val namesPath = s"$tmp/names_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
+          bigNames(Tables.customer(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(namesPath)
+        val names = spark.read.parquet(namesPath)
+        val key = graft.analytics.RetrievalAnalytics.storeKey(namesPath)
+        // build (or reuse) the store once, outside every timed pass
+        graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name").count()
+        if (wanted("link_served_incremental"))
+          time(spark, copies, "link_served_incremental")(guard(
+            graft.dedup.Linkage.fuzzyJoinIncrementalFrames(
+              spark, key, names, "id", "name")))
+        if (wanted("link_served_components"))
+          time(spark, copies, "link_served_components")(guard(
+            Dedup.componentsOn(
+              graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
+                .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))))
+        if (wanted("link_served_triangles"))
+          time(spark, copies, "link_served_triangles")(guard(
+            graft.dedup.Linkage.graphTrianglesOn(
+              graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
+                .select(col("a_id"), col("b_id")))))
       }
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {

@@ -822,6 +822,131 @@ object RetrievalAnalytics {
        |         WHERE vec_id % $DelMod <> $DelRes),
        |${graft.similarity.Similarity.ivfScoredSqlFrom("live")}""".stripMargin
 
+  // ---- knn_served_pq: ADC search off the persisted 16 B/vector codes ----
+
+  /** PQ serving artifacts beside the trained-cell store: the corpus
+    * codes packed into TWO LONGS per vector (16 × 8-bit codes = exactly
+    * 16 bytes of payload — the compression the PQ256 tier prices),
+    * partitioned by the SHARED trained-cell assignment so a query's
+    * nprobe cells read as a static partition filter, plus the M·K-row
+    * codebook the query-side ADC tables broadcast against.
+    */
+  private final case class PqStores(codesPath: String, codebookPath: String)
+
+  /** Build-once resolution of the PQ artifacts — [[servedStores]]'
+    * memoization contract (key names the corpus content). Packing is
+    * sum-of-disjoint-bitfields (each code occupies its own 8 bits, so
+    * the group sum IS the bitwise OR; the top field may wrap the sign
+    * bit, which `shiftrightunsigned` unpacking is immune to).
+    */
+  private def pqStores(spark: SparkSession, key: String,
+      st: graft.sources.HybridStore.Stores, emb: => DataFrame): PqStores =
+    buildLock.synchronized {
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
+      val s = PqStores(base + "/pqcodes", base + "/pqcodebook")
+      val built = new java.io.File(s.codesPath + "/_SUCCESS").exists() &&
+        new java.io.File(s.codebookPath + "/_SUCCESS").exists()
+      if (!built) {
+        val (enc, cb) = graft.similarity.PqAnn.pqArtifacts(emb)
+        val packed = enc.groupBy(col("vec_id")).agg(
+          sum(expr("if(sub < 8,  shiftleft(cast(code as bigint), 8 * sub), 0L)"))
+            .as("codes_lo"),
+          sum(expr("if(sub >= 8, shiftleft(cast(code as bigint), 8 * (sub - 8)), 0L)"))
+            .as("codes_hi"))
+        packed
+          .join(spark.read.parquet(st.vectorsPath).select("vec_id", "centroid_id"),
+            "vec_id")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(s.codesPath)
+        cb.coalesce(1).write.mode("overwrite").parquet(s.codebookPath)
+      }
+      s
+    }
+
+  /** `knn_ivf_pq_rerank`'s contract (query_id, rank, vec_id, d2) served
+    * from PERSISTED PQ artifacts instead of the in-plan train + encode —
+    * the r12 review's #3 ask, and the FAISS deployment shape: queries
+    * route against the broadcast centroid table, ADC-scan ONLY their
+    * nprobe cells' packed codes (static partition pruning — 16 B/vector
+    * moves, a 16× payload cut vs the int8 vector store and 256× vs the
+    * float store), over-fetch 128 by table-lookup distance, and only
+    * those survivors fetch full vectors for the exact integer rerank.
+    *
+    * Bit-exactness: training/encode run the in-plan entry's own
+    * [[graft.similarity.PqAnn.pqArtifacts]] at build, routing shares
+    * [[knnServed]]'s store assignment (= `knn_ivf_trained`'s, the proven
+    * law), and the query-side tables share
+    * [[graft.similarity.PqAnn.dtabFor]] — so the served ranking equals
+    * `knn_ivf_pq_rerank` bit-for-bit and shares its oracle verbatim
+    * (`PqServedSpec` pins frame equality + the partition-filter and
+    * 16-byte-payload laws).
+    *
+    * Scale (100 TB): the build pass is corpus-linear and PAID ONCE; a
+    * served batch reads Q·nprobe cells × 16 bytes/member + fetch·Q full
+    * vectors. At 10⁹ vectors the packed code index is 16 GB — cacheable
+    * where the 4 TB float store is not; that is the serving economics
+    * this entry exists to demonstrate.
+    */
+  def knnServedPq(spark: SparkSession, dir: String): DataFrame =
+    knnServedPqFrames(spark, storeKey(dir),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** Frame-based served-PQ entry (`ScaleProbe` feeds the replica corpus
+    * under its own store key; the registry path passes the sf tables).
+    * `queryIds` pins the query batch at replica scales — the
+    * bounded-batch contract.
+    */
+  private[graft] def knnServedPqFrames(spark: SparkSession, key: String,
+      docs: => DataFrame, emb: => DataFrame,
+      queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val st = servedStores(spark, key, docs, emb)
+    val pq = pqStores(spark, key, st, emb)
+    val cents = spark.read.parquet(st.centroidsPath)
+    val rawQ = emb.filter(queryIds(col("vec_id")))
+    val probes = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents,
+        graft.similarity.IvfTrained.NProbe)
+      .localCheckpoint(eager = false)
+    val probeIds = probes.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val dtab = graft.similarity.PqAnn.dtabFor(rawQ,
+      spark.read.parquet(pq.codebookPath))
+    val fetch = graft.similarity.PqAnn.IvfRerankFetch
+    val shortlist = spark.read.parquet(pq.codesPath)
+      .filter(col("centroid_id").isin(probeIds: _*))
+      .join(broadcast(probes), "centroid_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      // unpack the 16 codes back to enc's (sub, code) layout — the same
+      // row volume the in-plan ADC joins, from 1/16th the scan bytes
+      .select(col("query_id"), col("vec_id"), col("codes_lo"), col("codes_hi"),
+        explode(expr("sequence(0, 15)")).as("sub"))
+      .select(col("query_id"), col("vec_id"), col("sub"),
+        expr("cast(shiftrightunsigned(if(sub < 8, codes_lo, codes_hi), 8 * (sub % 8)) & 255 as bigint)")
+          .as("code"))
+      .join(broadcast(dtab), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, $fetch)").as("top"))
+      .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    val sv = graft.similarity.PqAnn.qScaledVectors(
+      spark.read.parquet(st.vectorsPath).select(col("vec_id"), col("v")), "v")
+    val qq = graft.similarity.PqAnn.qScaledVectors(rawQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+    shortlist
+      .join(sv, "vec_id")
+      .join(broadcast(qq), "query_id")
+      .withColumn("d2", expr("sq_dist_i64(qv, qq)"))
+      .groupBy(col("query_id"))
+      .agg(expr("topk_by_score(CAST(-d2 AS DOUBLE), vec_id, 10)").as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"),
+        (-col("col.score")).cast("long").as("d2"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The served oracle: the lexical CTEs verbatim (stored scores ≡
     * recomputed scores), the vector leg over the trained-routing member
     * chain ([[graft.similarity.IvfTrained]]'s kmeans + assignment +
@@ -850,6 +975,7 @@ object RetrievalAnalytics {
     "hybrid_rrf_served" -> (hybridRrfServed _, hybridRrfServedSql),
     "knn_served"        -> (knnServed _, knnServedSql),
     "knn_served_del"    -> (knnServedDel _, knnServedDelSql),
+    "knn_served_pq"     -> (knnServedPq _, graft.similarity.PqAnn.knnIvfPqRerankSql),
     "bm25_search_served" -> (bm25SearchServed _, bm25SearchServedSql),
   )
 }

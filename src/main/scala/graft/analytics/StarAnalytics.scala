@@ -944,6 +944,82 @@ object StarAnalytics {
       | AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
       |ORDER BY f.user_id, f.ts, f.event_id""".stripMargin
 
+  // ---- scd2_lookup_served: point-in-time read off the MAINTAINED store --
+  /** [[scd2Lookup]] served from the [[graft.streaming.Scd2Ingest]]-
+    * maintained dimension store instead of rebuilding the interval
+    * dimension in-plan per run — the serving-economics precedent
+    * (`knn_served` vs `knn_ivf_trained`) applied to the warehouse tier,
+    * the r12 review's #2 ask. Build (memoized per corpus key): the
+    * non-purchase event stream is replayed through
+    * `Scd2Ingest.processBatch` as calendar-month micro-batches — a
+    * GLOBAL time split, so each user's events arrive in time order and
+    * the ingest tier's watermark contract holds by construction — then
+    * compacted to one generation. Serve: purchases as-of join the
+    * store's `current` view through the native [[graft.plans.AsofJoin]],
+    * the in-plan entry's own read shape.
+    *
+    * Bit-exactness: `Scd2IngestSpec`'s law (streamed store ≡ batch
+    * rebuild after any batch prefix, bit-for-bit) makes the served
+    * dimension EQUAL [[scd2IntervalsOn]]'s output, so this entry shares
+    * `scd2_lookup`'s oracle verbatim; `Scd2ServedSpec` additionally pins
+    * frame equality with the in-plan entry and the one-events-scan plan
+    * law (the dim side reads the store, never the raw events).
+    *
+    * Scale (100 TB): the in-plan entry re-windows the FULL event history
+    * every run; served, the dimension costs |interval rows| (state
+    * changes only — orders of magnitude below events) and maintenance is
+    * `Scd2Ingest`'s O(touched users) per batch. The facts side still
+    * scans only purchases.
+    */
+  def scd2LookupServed(spark: SparkSession, dir: String): DataFrame =
+    scd2LookupServedFrames(spark,
+      RetrievalAnalytics.storeKey(dir), Tables.events(spark, dir))
+
+  private val scd2BuildLock = new Object
+
+  /** Build-once-serve-many resolution of the ingest-maintained dimension
+    * store — the `servedStores` memoization contract: `key` names the
+    * corpus content; same key ⇒ memoized store BY DESIGN.
+    */
+  private[graft] def scd2LookupServedFrames(spark: SparkSession, key: String,
+      events: => DataFrame): DataFrame = {
+    val ev = events
+    val store = scd2BuildLock.synchronized {
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_scd2_store/" + key
+      val s = graft.streaming.Scd2Ingest.Scd2Store(base + "/intervals")
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
+      if (!fs.exists(marker)) {
+        // a partial build (no marker) is garbage from a killed run: wipe
+        if (fs.exists(root)) fs.delete(root, true)
+        val dimEvents = ev.filter(col("event_type") =!= "purchase")
+        // calendar months are a deterministic, ts-monotone batch split:
+        // later batches never deliver earlier events for any user
+        val months = dimEvents
+          .select(date_trunc("month", col("ts")).as("m"))
+          .distinct().orderBy("m").collect().map(_.get(0))
+        months.zipWithIndex.foreach { case (m, i) =>
+          graft.streaming.Scd2Ingest.processBatch(
+            dimEvents.filter(date_trunc("month", col("ts")) === lit(m)),
+            i.toLong, s)
+        }
+        graft.streaming.Scd2Ingest.compact(spark, s)
+        fs.create(marker, true).close()
+      }
+      s
+    }
+    val dim = graft.streaming.Scd2Ingest.current(spark, store)
+      .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+      .select(col("user_id"), col("valid_from"), col("version"), col("state"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin.asofJoin(facts, dim, "user_id", "ts", "valid_from")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("version"), col("state"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   // ---- event_cube: full grouping-sets lattice ---------------------------
   /** CUBE over (event_type, weekday) — the grouping-sets completion of
     * event_rollup's ROLLUP: all four lattice levels (both, each, grand
@@ -1695,6 +1771,7 @@ object StarAnalytics {
     "event_transitions" -> (eventTransitions _, eventTransitionsSql),
     "scd2_intervals" -> (scd2Intervals _, scd2IntervalsSql),
     "scd2_lookup" -> (scd2Lookup _, scd2LookupSql),
+    "scd2_lookup_served" -> (scd2LookupServed _, scd2LookupSql),
     "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),

@@ -2347,9 +2347,10 @@ object TextAnalytics {
     * <= V(V-1)/2 pairs per basket (never corpus x corpus), and the rule
     * table is <= V(V-1)/2 cells at ANY corpus size. df/support counts are
     * partial-aggregable; the corpus total joins in as a 1-row broadcast.
-    * Integer range: lift_ppm's numerator support*n_docs*10^6 <=
-    * n_docs^2 * 10^6 stays inside Long up to ~3 * 10^6 baskets per
-    * mining run — shard the corpus (or drop to per-mille) beyond that.
+    * Integer range: confidences stay in Long (support*10^6 safe to
+    * ~9*10^12 baskets); lift runs in DECIMAL(38,0) / HUGEINT with an
+    * exact floor-division spelling (see [[assocMeasures]]), safe to
+    * ~3*10^15 baskets — no per-run shard caveat at any real scale.
     */
   def assocRules(spark: SparkSession, dir: String): DataFrame =
     assocRulesOn(Tables.documents(spark, dir))
@@ -2401,7 +2402,18 @@ object TextAnalytics {
         col("df_a"), col("df_b"),
         expr("(support * 1000000L) div df_a").as("conf_ab_ppm"),
         expr("(support * 1000000L) div df_b").as("conf_ba_ppm"),
-        expr("(support * n_docs * 1000000L) div (df_a * df_b)").as("lift_ppm"))
+        // lift's numerator support·n·10⁶ ≤ n²·10⁶ leaves Long at ~3M
+        // baskets — so it runs in DECIMAL(38,0) (the oracle mirrors with
+        // HUGEINT), with floor division spelled exactly for non-negative
+        // operands as (S - S mod D) / D: the subtraction makes S exactly
+        // divisible, so the decimal divide is exact whatever scale Spark
+        // assigns the quotient. Ceiling now ~3·10¹⁵ baskets per run (the
+        // decimal38 domain) — no shard-the-run caveat at any real scale.
+        expr("""cast((cast(support as decimal(38,0)) * n_docs * 1000000
+               |  - (cast(support as decimal(38,0)) * n_docs * 1000000)
+               |      % (cast(df_a as decimal(38,0)) * df_b))
+               | / (cast(df_a as decimal(38,0)) * df_b) as bigint)""".stripMargin)
+          .as("lift_ppm"))
       .orderBy(col("support").desc, col("token_a"), col("token_b"))
 
   private[graft] def assocRulesOn(docs: DataFrame): DataFrame = {
@@ -2433,8 +2445,8 @@ object TextAnalytics {
        |       CAST(df_a AS BIGINT) AS df_a, CAST(df_b AS BIGINT) AS df_b,
        |       CAST((support * 1000000) // df_a AS BIGINT) AS conf_ab_ppm,
        |       CAST((support * 1000000) // df_b AS BIGINT) AS conf_ba_ppm,
-       |       CAST((support * n_docs * 1000000) // (df_a * df_b) AS BIGINT)
-       |         AS lift_ppm
+       |       CAST((support::HUGEINT * n_docs * 1000000)
+       |            // (df_a::HUGEINT * df_b) AS BIGINT) AS lift_ppm
        |FROM p, n
        |ORDER BY support DESC, token_a, token_b""".stripMargin
 

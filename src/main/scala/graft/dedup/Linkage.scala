@@ -53,15 +53,22 @@ object Linkage {
 
   private[graft] def deletionKeys(c: String): Column = expr(deletionKeys1Sql(c))
 
+  /** The (k_id, k_name, bk) deletion-key index frame — the blocking rows
+    * [[fuzzyJoinOn]] self-joins, and the artifact
+    * [[graft.sources.LinkStore]] persists for incremental probing.
+    */
+  private[graft] def deletionKeyIndex(df: DataFrame, idCol: String,
+      nameCol: String): DataFrame =
+    df.filter(col(nameCol).isNotNull)
+      .select(col(idCol).cast("long").as("k_id"), col(nameCol).as("k_name"))
+      .select(col("k_id"), col("k_name"), explode(deletionKeys("k_name")).as("bk"))
+
   /** Blocked fuzzy self-join of (`idCol`, `nameCol`): all unordered pairs
     * at Levenshtein distance ≤ 1, via shared deletion keys + exact verify.
     * Output: (a_id, a_name, b_id, b_name, dist) with a_id < b_id.
     */
   private[graft] def fuzzyJoinOn(df: DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val keyed = df
-      .filter(col(nameCol).isNotNull)
-      .select(col(idCol).cast("long").as("k_id"), col(nameCol).as("k_name"))
-      .select(col("k_id"), col("k_name"), explode(deletionKeys("k_name")).as("bk"))
+    val keyed = deletionKeyIndex(df, idCol, nameCol)
     keyed.as("a")
       .join(keyed.as("b"), col("a.bk") === col("b.bk") && col("a.k_id") < col("b.k_id"))
       .select(
@@ -308,9 +315,137 @@ object Linkage {
       |FROM nodes GROUP BY 1
       |ORDER BY n_triangles DESC, s_suppkey ASC LIMIT 20""".stripMargin
 
+  // ---- the materialized linkage tier: LinkStore-backed entries ----------
+  /** "New batch" rule for the incremental entry: s_suppkey ≡ [[NewRem]]
+    * (mod [[NewMod]]) — the same 10% crawl-delta split `dedup_incremental`
+    * uses, so the two incremental tiers tell one story.
+    */
+  private val NewMod = 10
+  private val NewRem = 3
+
+  private val LinkBuckets = 8
+  private val buildLock = new Object
+
+  /** Build-once-serve-many store resolution — the `servedStores`
+    * memoization contract verbatim: `key` names the corpus CONTENT
+    * (derive via [[graft.analytics.RetrievalAnalytics.storeKey]] for
+    * directory corpora; probe/spec callers pass a key unique to their
+    * frames). Re-calling with the same key serves the memoized store BY
+    * DESIGN — that is the serve economics — so mutate the key when the
+    * corpus changes.
+    */
+  private[graft] def linkStores(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String = "id",
+      nameCol: String = "name"): graft.sources.LinkStore.Stores =
+    buildLock.synchronized {
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_link_store/" + key
+      val s = graft.sources.LinkStore.Stores(s"link_keys_$key", base + "/edges")
+      val built = spark.catalog.tableExists(s.keysTable) &&
+        new java.io.File(s.edgesPath).exists()
+      if (!built) {
+        // per-JVM catalog vs persistent warehouse: a prior process may
+        // have left the managed table's LOCATION behind with no catalog
+        // entry, which saveAsTable refuses — drop both (Hadoop FS API,
+        // the warehouse may not be local).
+        spark.sql(s"DROP TABLE IF EXISTS ${s.keysTable}")
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, s.keysTable)
+        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+        val n = names
+        graft.sources.LinkStore.write(
+          deletionKeyIndex(n, idCol, nameCol),
+          fuzzyJoinOn(n, idCol, nameCol), s, LinkBuckets)
+      }
+      s
+    }
+
+  /** Incremental linkage — `dedup_incremental`'s shape applied to the
+    * fuzzy tier: a new crawl batch (id ≡ 3 mod 10) probes the PERSISTED
+    * deletion-key index instead of re-deriving the corpus side, then
+    * verifies candidates with the exact levenshtein. Output: every
+    * (new, corpus) pair at distance ≤ 1.
+    *
+    * Scale (100 TB): the stored index never crosses an exchange (the
+    * bucketed-probe plan law, `LinkStoreSpec`); per batch the work is
+    * |batch|·(L+1) probe keys against value-domain-bounded buckets —
+    * O(new batch), independent of corpus size. The batch's OWN pairs are
+    * the ordinary in-plan [[fuzzyJoinOn]] over the batch (tiny), and
+    * appending the batch's keys to the index is one bucketed write —
+    * both outside this entry, as in `dedup_incremental`.
+    */
+  def fuzzyJoinIncremental(spark: SparkSession, dir: String): DataFrame =
+    fuzzyJoinIncrementalFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir),
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+
+  private[graft] def fuzzyJoinIncrementalFrames(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val n = names
+    val st = linkStores(spark, key, n, idCol, nameCol)
+    val newKeyed = deletionKeyIndex(
+      n.filter(col(idCol) % NewMod === NewRem), idCol, nameCol)
+    graft.sources.LinkStore
+      .candidates(spark, st.keysTable, newKeyed, col("k_id") % NewMod =!= NewRem)
+      .withColumn("dist",
+        levenshtein(col("new_name"), col("corpus_name")).cast("long"))
+      // verify BEFORE distinct — the depth-1 trade (pairs share 1-2 keys)
+      .filter(col("dist") <= 1)
+      .distinct()
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val fuzzyJoinIncrementalSql: String =
+    s"""SELECT a.s_suppkey AS new_id, a.s_name AS new_name,
+       |       b.s_suppkey AS corpus_id, b.s_name AS corpus_name,
+       |       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+       |FROM supplier a JOIN supplier b
+       |  ON a.s_suppkey % $NewMod = $NewRem AND b.s_suppkey % $NewMod <> $NewRem
+       |WHERE levenshtein(a.s_name, b.s_name) <= 1
+       |ORDER BY new_id, corpus_id""".stripMargin
+
+  /** [[entityGroups]] read from the persisted edge graph: the components
+    * loop starts at the stored verified pairs — zero key-join/verify
+    * work per run (the r12 probe measured that rebuild at 78% of the
+    * composed arm's wall). Bit-identical to the in-plan entry because
+    * the store IS [[fuzzyJoinOn]]'s output (`LinkStoreSpec` law); the
+    * oracle is shared verbatim.
+    */
+  def entityGroupsServed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsOn(
+      storedEdges(spark, graft.analytics.RetrievalAnalytics.storeKey(dir),
+          Tables.supplier(spark, dir), "s_suppkey", "s_name")
+        .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+      .select(col("doc_id").as("s_suppkey"), col("component_id").as("entity_id"),
+        col("is_canonical"))
+      .orderBy("s_suppkey")
+
+  /** [[graphTriangles]] over the stored edges — same serving economics
+    * as [[entityGroupsServed]]: the probe-dominant term becomes the
+    * wedge join, not the pair-graph rebuild.
+    */
+  def graphTrianglesServed(spark: SparkSession, dir: String): DataFrame =
+    graphTrianglesOn(
+      storedEdges(spark, graft.analytics.RetrievalAnalytics.storeKey(dir),
+          Tables.supplier(spark, dir), "s_suppkey", "s_name")
+        .select(col("a_id"), col("b_id")))
+
+  /** The persisted verified pair graph for a corpus (building the store
+    * on first touch) — the frame every served graph consumer starts from.
+    */
+  private[graft] def storedEdges(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val st = linkStores(spark, key, names, idCol, nameCol)
+    spark.read.parquet(st.edgesPath)
+  }
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql),
     "fuzzy_join2" -> (fuzzyJoin2 _, fuzzyJoin2Sql),
+    "fuzzy_join_incremental" -> (fuzzyJoinIncremental _, fuzzyJoinIncrementalSql),
     "entity_groups" -> (entityGroups _, entityGroupsSql),
-    "graph_triangles" -> (graphTriangles _, graphTrianglesSql))
+    "entity_groups_served" -> (entityGroupsServed _, entityGroupsSql),
+    "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
+    "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql))
 }

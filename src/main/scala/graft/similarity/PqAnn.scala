@@ -125,6 +125,43 @@ object PqAnn {
     */
   private def pqEncode(emb: DataFrame, queryPred: Column,
       tier: Tier): (DataFrame, DataFrame) = {
+    val (enc, cb) = pqArtifacts(emb, tier)
+    (enc, dtabFor(emb.filter(queryPred), cb, tier))
+  }
+
+  /** Query-side ADC distance tables against a GIVEN codebook — the
+    * build/serve split point: the serving tier reads the persisted
+    * codebook and feeds only the query batch here (Q·M sub-vector rows),
+    * never re-deriving the training pass. Row-wise identical to slicing
+    * the corpus-wide sub-vector frame by the query predicate, so
+    * in-plan and served ADC tables match bit-for-bit.
+    */
+  private[graft] def dtabFor(embQ: DataFrame, cb: DataFrame,
+      tier: Tier = K256): DataFrame = {
+    graft.GraftExtensions.register(embQ.sparkSession)
+    subVectors(embQ, tier)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        expr("sq_dist_i64(qs, cv)").as("dt"))
+  }
+
+  /** (vec_id, qv) integer-quantized vectors at the PQ fixed point — the
+    * exact-rerank frame ([[knnPqRerankOn]]'s inline spelling, shared so
+    * the serving tier reranks from its vector store bit-identically).
+    */
+  private[graft] def qScaledVectors(df: DataFrame,
+      inCol: String = "embedding"): DataFrame =
+    df.select(col("vec_id"),
+      expr(s"transform($inCol, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+        .as("qv"))
+
+  /** The one-time PQ training + corpus-encode pass: (codes =
+    * (vec_id, sub, code), codebook = (sub, code, cv)) — what a serving
+    * store persists (the codebook is M·K rows; the codes are the
+    * 16 B/vector payload).
+    */
+  private[graft] def pqArtifacts(emb: DataFrame,
+      tier: Tier = K256): (DataFrame, DataFrame) = {
     graft.GraftExtensions.register(emb.sparkSession)
     val subv = subVectors(emb, tier)
     // codebook init: seed sub-vectors, already at the fixed-point scale
@@ -167,12 +204,7 @@ object PqAnn {
     }
     val enc = assign(c).select(col("vec_id"), col("sub"), col("code"))
       .localCheckpoint(eager = false)
-    // ADC distance tables for the query subset
-    val dtab = subv.filter(queryPred)
-      .join(broadcast(c), Seq("sub"))
-      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-        expr("sq_dist_i64(qs, cv)").as("dt"))
-    (enc, dtab)
+    (enc, c)
   }
 
   // ---- knn_ivf_pq: the IVF-ADC composition -----------------------------
@@ -211,8 +243,18 @@ object PqAnn {
       membersOf: DataFrame => DataFrame = Similarity.ivfMembersOn): DataFrame = {
     val (enc, dtab) = pqEncode(emb, queryPred, tier)
     val members = membersOf(emb)
-    // members is |queries|·(nprobe·N/C) — query-batch-bounded, broadcast
-    // into the code stream so only routed (query, vector) pairs score
+    // BROADCAST CONTRACT (applies to every in-plan ANN tier that ships
+    // its routed member stream this way): |members| = |Q|·nprobe·(N/C).
+    // That is broadcastable ONLY under a bounded query batch — the
+    // production regime, where Q is a fixed per-request batch (the
+    // served tiers pin exactly this; ScaleProbe pins queries to the
+    // base id range for the same reason). The registry's QueryMod rule
+    // makes Q a corpus FRACTION, so at some corpus size the oracle-gate
+    // spelling would hit the broadcast ceiling — at that point swap
+    // `broadcast(members)` for a plain shuffle equi-join (bit-identical
+    // output; the hint changes strategy, not semantics). Deliberately a
+    // documented contract rather than an auto-fallback: the threshold
+    // is a deployment property (executor memory), not a plan property.
     enc.join(broadcast(members), "vec_id")
       .join(broadcast(dtab), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -305,6 +347,9 @@ object PqAnn {
     val f = if (fetch > 0) fetch else tier.fetch
     val (enc, dtab) = pqEncode(emb, queryPred, tier)
     val members = mkMembers(emb)
+    // broadcast(members) carries the bounded-query-batch contract
+    // documented at [[knnIvfPqOn]]: fine under pinned batches (served
+    // tiers, probes), shuffle-join above the ceiling, same results
     val shortlist = enc.join(broadcast(members), "vec_id")
       .join(broadcast(dtab), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -616,7 +661,10 @@ object PqAnn {
       .join(broadcast(c), Seq("sub"))
       .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
         expr("sq_dist_i64(qs, cv)").as("dt"))
-    // members WITH their cell: the table join is per (query, cell)
+    // members WITH their cell: the table join is per (query, cell).
+    // broadcast(cmembers) carries the bounded-query-batch contract
+    // documented at [[knnIvfPqOn]] — |Q|·nprobe·(N/C) rows fit the
+    // broadcast ceiling only for pinned batches; shuffle-join otherwise
     val cmembers = probes.join(asg, "centroid_id")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("centroid_id"), col("vec_id"))

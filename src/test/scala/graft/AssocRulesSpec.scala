@@ -66,4 +66,29 @@ class AssocRulesSpec extends SparkSpec {
       assert(lift == sup * n * 1000000L / (dfa * dfb))
     }
   }
+
+  test("lift is exact beyond the old Long ceiling (decimal spelling)") {
+    // synthetic counts where support·n·10⁶ overflows Long (n = 10¹⁰):
+    // the decimal38 floor-division must match BigInt math exactly
+    val cases = Seq(
+      // (support, df_a, df_b, n_docs)
+      (4999999999L, 5000000000L, 6000000000L, 10000000000L),
+      (1L, 1L, 1L, 10000000000L),
+      (2500000000L, 2500000001L, 9999999999L, 10000000000L),
+      (7L, 9999999999L, 3L, 10000000000L))
+    val pc = cases.zipWithIndex.map { case ((s, _, _, _), i) =>
+      (s"a$i", s"b$i", s) }.toDF("token_a", "token_b", "support")
+    val df = cases.zipWithIndex.flatMap { case ((_, da, db, _), i) =>
+      Seq((s"a$i", da), (s"b$i", db)) }.toDF("token", "df")
+    val n = Seq(cases.head._4).toDF("n_docs")
+    val got = rules(TextAnalytics.assocMeasures(pc, df, n))
+    got.foreach { case (a, _, sup, dfa, dfb, _, _, lift) =>
+      val expected = (BigInt(sup) * BigInt(cases.head._4) * 1000000 /
+        (BigInt(dfa) * BigInt(dfb))).toLong
+      assert(lift == expected, s"lift($a): got $lift want $expected")
+      assert(BigInt(sup) * cases.head._4 * 1000000 > BigInt(Long.MaxValue)
+        || sup <= 7L, "the large-support cases must exercise the overflow regime")
+    }
+    assert(got.size == cases.size)
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.analytics.RetrievalAnalytics
+import graft.similarity.PqAnn
+
+/** Laws for the PQ-code serving tier (r12 review's #3 ask):
+  *  1. served ≡ `knn_ivf_pq_rerank` bit-for-bit (shared training,
+  *     shared cell assignment, shared ADC tables);
+  *  2. the code store's payload really is 16 bytes/vector — two packed
+  *     longs — and the pack/unpack round-trips every code;
+  *  3. the serve plan reads the code store through a static partition
+  *     filter (the `knn_served` pruning law).
+  */
+class PqServedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("knn_served_pq ≡ knn_ivf_pq_rerank bit-for-bit; pruned 16 B scan") {
+    GraftExtensions.register(spark)
+    val served = RetrievalAnalytics.knnServedPq(spark, dir)
+    val inPlan = PqAnn.knnIvfPqRerank(spark, dir)
+    val s = served.collect().map(_.toString).toSeq
+    val p = inPlan.collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == p)
+    // partition-filter law: the codes scan carries a centroid_id
+    // partition filter (static pruning, never a full-store read)
+    val plan = served.queryExecution.executedPlan.toString
+    val codeScan = plan.linesIterator
+      .filter(l => l.contains("pqcodes") && l.contains("FileScan"))
+      .mkString("\n")
+    assert(codeScan.contains("PartitionFilters: [centroid_id"),
+      "codes scan must be partition-pruned:\n" + codeScan)
+  }
+
+  test("packed codes: 2 longs/vector, unpack ≡ enc") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val (enc, _) = PqAnn.pqArtifacts(emb)
+    val packed = enc.groupBy(col("vec_id")).agg(
+      sum(expr("if(sub < 8,  shiftleft(cast(code as bigint), 8 * sub), 0L)")).as("codes_lo"),
+      sum(expr("if(sub >= 8, shiftleft(cast(code as bigint), 8 * (sub - 8)), 0L)")).as("codes_hi"))
+    val unpacked = packed
+      .select(col("vec_id"), col("codes_lo"), col("codes_hi"),
+        explode(expr("sequence(0, 15)")).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        expr("cast(shiftrightunsigned(if(sub < 8, codes_lo, codes_hi), 8 * (sub % 8)) & 255 as bigint)")
+          .as("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val expected = enc.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty && unpacked == expected)
+  }
+}
