@@ -1008,7 +1008,34 @@ object ScaleProbe {
             graft.dedup.Linkage.graphTrianglesOn(
               graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
                 .select(col("a_id"), col("b_id")))))
+        // k-core peel over stored edges: per-replica core structure is
+        // identical, edge stream shrinks per round — the loop term is
+        // what the row prices
+        if (wanted("link_served_kcore"))
+          time(spark, copies, "link_served_kcore")(guard(
+            graft.dedup.Linkage.graphKcoreOn(
+              graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
+                .select(col("a_id"), col("b_id")))))
       }
+      // per-language length quantiles: the exact-audit side prices the
+      // per-language sort as streams grow ×copies; the sample side's
+      // state stays ≤ k rows per language anywhere (lang carried over
+      // from the base corpus by base id, lengths from the wrapped text)
+      if (wanted("len_quantiles")) {
+        val langs = Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("base_id"), col("lang"))
+        time(spark, copies, "len_quantiles")(guard(
+          graft.analytics.TextAnalytics.lenQuantilesOn(
+            docs.withColumn("base_id", pmod(col("doc_id"), lit(10000000L)))
+              .join(broadcast(langs), "base_id")
+              .withColumn("n_chars", length(col("text")).cast("long")))))
+      }
+      // phrase search: the bigram stream and per-phrase tf lists grow
+      // ×copies (replica token tags keep phrases per-replica; the top-5
+      // cut stays 5 phrases, output constant 100 rows)
+      if (wanted("phrase_search"))
+        time(spark, copies, "phrase_search")(guard(
+          graft.analytics.RetrievalAnalytics.phraseSearchOn(docs)))
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

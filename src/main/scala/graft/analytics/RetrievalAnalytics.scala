@@ -822,6 +822,129 @@ object RetrievalAnalytics {
        |         WHERE vec_id % $DelMod <> $DelRes),
        |${graft.similarity.Similarity.ivfScoredSqlFrom("live")}""".stripMargin
 
+  // ---- phrase_search: exact-phrase ranking over adjacent positions ------
+  private val PhraseQueries = 5
+  private val PhraseTopDocs = 20
+
+  /** Exact-PHRASE search — the positional half of the lexical tier
+    * (BM25 ranks bags of words; a phrase query demands terms at ADJACENT
+    * positions, the classic positional-postings operator). Query set:
+    * the corpus' top-[[PhraseQueries]] bigrams by total frequency
+    * (count desc / phrase asc — the deterministic-cut rule), each
+    * answered with its top-[[PhraseTopDocs]] documents by phrase tf
+    * (tf desc / doc_id asc).
+    *
+    * Plan shape — Spark-first, not a literal positional index: the
+    * adjacency self-join over (doc_id, term, pos) postings materializes
+    * exactly the adjacent-bigram stream after one extra exchange, so the
+    * entry emits that stream DIRECTLY with a per-row transform over the
+    * token array (zero shuffles until the tf aggregate — the same
+    * narrow-pass spelling the shingle tier uses; k-term phrases are the
+    * k-wide window of the same transform). Per-phrase ranking rides the
+    * bounded `topk_by_score` aggregate, never a corpus-wide window
+    * partition (a top phrase's posting list is corpus-sized at 100 TB;
+    * the aggregate holds ≤ 20 rows of state per phrase per task).
+    */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchOn(Tables.documents(spark, dir))
+
+  /** (phrase, doc_id, tf) over adjacent token pairs — the positional
+    * index frame both the per-batch entry and the served store build
+    * from (one definition ⇒ served ≡ in-plan is structural).
+    */
+  private[graft] def phraseTf(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.TextFeatures.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("phrase"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-phrase top-docs ranking tail shared by in-plan and served. */
+  private def phraseRank(tf: DataFrame, queries: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(tf.sparkSession)
+    tf.join(broadcast(queries), "phrase")
+      .groupBy(col("phrase"))
+      .agg(expr(s"topk_by_score(cast(tf as double), doc_id, $PhraseTopDocs)").as("top"))
+      .select(col("phrase"), posexplode(col("top")))
+      .select(col("phrase"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("tf"))
+      .orderBy("phrase", "rank")
+  }
+
+  private[graft] def phraseSearchOn(docs: DataFrame): DataFrame = {
+    val tf = phraseTf(docs)
+    val queries = tf.groupBy(col("phrase"))
+      .agg(sum(col("tf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase").asc)
+      .limit(PhraseQueries)
+      .select(col("phrase"))
+    phraseRank(tf, queries)
+  }
+
+  /** [[phraseSearch]] served from a PERSISTED phrase-postings store —
+    * the positional tier's `bm25_search_served` twin: the (phrase,
+    * doc_id, tf) index is written ONCE as a phrase-bucketed catalog
+    * table (BandStore mechanics — query-phrase probes never reshuffle
+    * the index; a small query set broadcasts), with the corpus'
+    * top-phrase query set persisted beside it. Serving reads |probed
+    * posting lists|, never the corpus; bit-identical to the in-plan
+    * entry because store build and entry share [[phraseTf]] verbatim,
+    * so the oracle is shared too.
+    */
+  def phraseSearchServed(spark: SparkSession, dir: String): DataFrame = {
+    val key = storeKey(dir)
+    val (table, qPath) = buildLock.synchronized {
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_phrase_store/" + key
+      val t = s"phrase_postings_$key"
+      val q = base + "/queries"
+      val built = spark.catalog.tableExists(t) &&
+        new java.io.File(q + "/_SUCCESS").exists()
+      if (!built) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val warehouse = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, t)
+        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+        val tf = phraseTf(Tables.documents(spark, dir))
+        tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .bucketBy(ServedBuckets, "phrase").sortBy("phrase")
+          .format("parquet").saveAsTable(t)
+        tf.groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
+          .orderBy(col("cnt").desc, col("phrase").asc)
+          .limit(PhraseQueries).select(col("phrase"))
+          .coalesce(1).write.mode("overwrite").parquet(q)
+      }
+      (t, q)
+    }
+    phraseRank(spark.table(table), spark.read.parquet(qPath))
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS phrase
+       |  FROM toks),
+       |tf AS (SELECT phrase, doc_id, count(*) AS tf FROM bg GROUP BY 1, 2),
+       |q AS (SELECT phrase FROM (
+       |  SELECT phrase, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1
+       |  ORDER BY cnt DESC, phrase ASC LIMIT $PhraseQueries)),
+       |r AS (
+       |  SELECT tf.phrase, doc_id, tf,
+       |         row_number() OVER (PARTITION BY tf.phrase
+       |                            ORDER BY tf DESC, doc_id ASC) AS rank
+       |  FROM tf JOIN q USING (phrase))
+       |SELECT phrase, CAST(rank AS INT) AS rank, doc_id, CAST(tf AS BIGINT) AS tf
+       |FROM r WHERE rank <= $PhraseTopDocs
+       |ORDER BY phrase, rank""".stripMargin
+
   // ---- knn_served_pq: ADC search off the persisted 16 B/vector codes ----
 
   /** PQ serving artifacts beside the trained-cell store: the corpus
@@ -977,5 +1100,7 @@ object RetrievalAnalytics {
     "knn_served_del"    -> (knnServedDel _, knnServedDelSql),
     "knn_served_pq"     -> (knnServedPq _, graft.similarity.PqAnn.knnIvfPqRerankSql),
     "bm25_search_served" -> (bm25SearchServed _, bm25SearchServedSql),
+    "phrase_search"     -> (phraseSearch _, phraseSearchSql),
+    "phrase_search_served" -> (phraseSearchServed _, phraseSearchSql),
   )
 }

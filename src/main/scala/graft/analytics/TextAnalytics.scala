@@ -2272,6 +2272,115 @@ object TextAnalytics {
        |SELECT lang, doc_id FROM r WHERE rn <= $StratKeep
        |ORDER BY lang, doc_id""".stripMargin
 
+  // ---- len_quantiles: the "how distributed" sketch + its exact audit ----
+  private val QuantK = 64
+  private val QuantPcts = Seq(25, 50, 90, 99)
+
+  /** Per-language length quantiles, sketched AND exact — the fourth
+    * member of the sketch quartet (CMS "how often", Misra-Gries "which
+    * are heaviest", KMV "how many distinct", now "how DISTRIBUTED"), the
+    * distribution read a corpus-quality dashboard runs per language
+    * before setting length gates.
+    *
+    * Sketch: a bottom-[[QuantK]] uniform sample per language by the
+    * content-derived md5 order (hash60(doc_id) — no RNG, replayable,
+    * and MERGEABLE by the same union-retrim law as KMV: the bottom-k of
+    * a union is the retrimmed union of bottom-ks, so the sample is one
+    * bounded `topk_by_score` partial aggregate, ≤ k rows of state per
+    * language per task). The p-quantile estimate is the sample's exact
+    * rank statistic: value at 1-based rank (k−1)·p/100 + 1 under
+    * (n_chars, doc_id) order — rank error O(1/√k), the measured
+    * property (`LenQuantilesSpec`), while the VALUES are deterministic,
+    * so the estimate itself is oracle-checked bit-for-bit (the sketch
+    * quartet's strongest gate: even the approximation replays exactly).
+    *
+    * Exact audit: the same rank statistic over the full per-language
+    * stream — a per-language sort, the calibration-cadence price
+    * (`kmv_distinct`'s economics: production reads the sample, the
+    * audit runs when re-calibrating k). At 100 TB the audit's
+    * per-language window partitions are corpus-sized; the sample side
+    * never holds more than k rows per language anywhere.
+    */
+  def lenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    lenQuantilesOn(Tables.documents(spark, dir))
+
+  /** The p-quantile rank statistic per language: value at 1-based rank
+    * (n−1)·p/100 + 1 under (n_chars, doc_id) order, one row per
+    * (lang, pct) — shared by the exact audit, the sample estimate, and
+    * the streamed reader, so streamed ≡ batch is definitional.
+    */
+  private[graft] def lenRankStat(rows: DataFrame, outCol: String): DataFrame = {
+    val pcts = explode(array(QuantPcts.map(p => lit(p)): _*)).as("pct")
+    val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+    rows
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("n_chars"), col("rn"), col("n"), pcts)
+      .filter(col("rn") === expr("((n - 1) * pct) div 100 + 1"))
+      .select(col("lang"), col("pct"), col("n_chars").as(outCol))
+  }
+
+  /** Per-language bottom-[[QuantK]] sample by the md5 DOUBLE order of
+    * doc_id — the quantile sketch's bounded state (`v` = (lang, doc_id,
+    * n_chars) rows). Mergeable by union-retrim; the double image is
+    * what both engines (and the streamed re-trim) order.
+    */
+  private[graft] def lenSampleOn(v: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(v.sparkSession)
+    v.withColumn("h", hash60(col("doc_id").cast("string")))
+      .groupBy(col("lang"))
+      .agg(expr(s"topk_by_score(cast(-h as double), doc_id, $QuantK)").as("top"))
+      .select(col("lang"), explode(expr("transform(top, t -> t.id)")).as("doc_id"))
+      .join(v.select(col("doc_id"), col("n_chars")), "doc_id")
+  }
+
+  private[graft] def lenQuantilesOn(docs: DataFrame): DataFrame = {
+    val v = docs.select(col("lang"), col("doc_id"), col("n_chars"))
+    lenRankStat(v, "exact_chars")
+      .join(lenRankStat(lenSampleOn(v), "est_chars"), Seq("lang", "pct"))
+      .orderBy("lang", "pct")
+  }
+
+  val lenQuantilesSql: String = {
+    val pctList = QuantPcts.mkString(", ")
+    s"""WITH v AS (SELECT lang, doc_id, n_chars FROM documents),
+       |pcts AS (SELECT CAST(unnest([$pctList]) AS INT) AS pct),
+       |rk AS (
+       |  SELECT lang, n_chars,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM v),
+       |exact AS (
+       |  SELECT lang, pct, n_chars AS exact_chars
+       |  FROM rk JOIN pcts ON rn = ((n - 1) * pct) // 100 + 1),
+       |h AS (
+       |  SELECT lang, doc_id, n_chars,
+       |         ${hash60Sql("doc_id::VARCHAR")} AS h
+       |  FROM v),
+       |samp AS (
+       |  -- ORDER BY the DOUBLE image of h, matching the Spark side's
+       |  -- topk_by_score double scores exactly (h > 2^53 rounds in
+       |  -- double; ordering raw BIGINTs here could disagree at the
+       |  -- k-th-minimum boundary)
+       |  SELECT lang, doc_id, n_chars FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY lang
+       |                                 ORDER BY CAST(h AS DOUBLE), doc_id) AS srn
+       |    FROM h) WHERE srn <= $QuantK),
+       |srk AS (
+       |  SELECT lang, n_chars,
+       |         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |  FROM samp),
+       |est AS (
+       |  SELECT lang, pct, n_chars AS est_chars
+       |  FROM srk JOIN pcts ON rn = ((n - 1) * pct) // 100 + 1)
+       |SELECT e.lang, e.pct,
+       |       CAST(e.exact_chars AS BIGINT) AS exact_chars,
+       |       CAST(s.est_chars AS BIGINT) AS est_chars
+       |FROM exact e JOIN est s ON e.lang = s.lang AND e.pct = s.pct
+       |ORDER BY e.lang, e.pct""".stripMargin
+  }
+
   // ---- weighted_sample: A-ES weighted reservoir sampling ---------------
   /** WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES,
     * IPL '06) — the [[stratifiedSampleOn]] twin with inclusion
@@ -2475,6 +2584,7 @@ object TextAnalytics {
     "heavy_hitters"   -> (heavyHitters _, heavyHittersSql),
     "cms_sketch"      -> (cmsSketch _, cmsSketchSql),
     "kmv_distinct"    -> (kmvDistinct _, kmvDistinctSql),
+    "len_quantiles"   -> (lenQuantiles _, lenQuantilesSql),
     "kmv_overlap"     -> (kmvOverlap _, kmvOverlapSql),
     "doc_fingerprint" -> (docFingerprint _, docFingerprintSql),
     "corpus_curation" -> (corpusCuration _, corpusCurationSql),

@@ -315,6 +315,123 @@ object Linkage {
       |FROM nodes GROUP BY 1
       |ORDER BY n_triangles DESC, s_suppkey ASC LIMIT 20""".stripMargin
 
+  // ---- graph_kcore: iterative core decomposition ------------------------
+  private[graft] val KCoreRounds = 8
+
+  /** Per-node k-core membership (k ∈ {2, 3}) of the fuzzy ≤1 pair graph
+    * — the fourth graph-analytics member beside components, PageRank and
+    * triangles. The k-core (maximal subgraph where every node keeps ≥ k
+    * in-subgraph neighbors) is the robustness read a linkage pipeline
+    * wants AFTER triangles: a 3-core survives any single spurious-edge
+    * deletion, so core membership separates structurally-confirmed
+    * duplicate clusters from ones held together by one noisy match.
+    *
+    * Plan: the textbook peel — drop degree-<k nodes, recompute, repeat —
+    * as [[KCoreRounds]] FIXED rounds of (degree aggregate + two
+    * left-semi edge filters), each round checkpointed (the components
+    * loop's plan-growth discipline). Fixed rounds, not convergence
+    * detection, so the oracle unrolls the IDENTICAL peel as CTE rounds
+    * and the gate holds bit-for-bit even mid-convergence; that the
+    * fixpoint is reached by round [[KCoreRounds]]−1 on these corpora is
+    * `KcoreSpec`'s law (typo graphs peel shallow — their cores are
+    * digit-neighborhood cliques), and the spec's brute fixpoint check is
+    * engine-independent.
+    *
+    * Scale (100 TB): every round is one partial-aggregable degree count
+    * + hash-partitioned semi-joins — no adjacency lists, no pair
+    * blowup; the edge stream only SHRINKS round over round. Peel depth
+    * is the price knob: true core DECOMPOSITION (all k at once) runs
+    * this loop ~k_max times, and a production run reads edges from the
+    * [[graft.sources.LinkStore]] store rather than re-deriving them
+    * (the `link_served_kcore` probe arm prices exactly that).
+    */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    graphKcoreOn(fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
+
+  private[graft] def graphKcoreOn(pairs: DataFrame,
+      rounds: Int = KCoreRounds): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val base = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    def coreNodes(k: Int): DataFrame = {
+      var edges = base
+      // componentsOn's block discipline: each round's checkpoint replaces
+      // the previous one, whose blocks unpersist immediately — at most
+      // TWO edge generations live at any moment (the r13 probe OOM'd at
+      // the 26M-edge 100× tier retaining all 16)
+      var prevRound: scala.collection.Set[Int] = Set.empty[Int]
+      for (_ <- 1 to rounds) {
+        val deg = edges.select(col("u").as("id"))
+          .unionAll(edges.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select("id")
+        val before = sc.getPersistentRDDs.keySet
+        edges = edges
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val thisRound = sc.getPersistentRDDs.keySet -- before
+        prevRound.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        prevRound = thisRound
+      }
+      // the node set (tiny) materializes eagerly, after which the last
+      // round's edge blocks are dead too
+      val out = edges
+        .select(explode(array(col("u"), col("v"))).as("s_suppkey")).distinct()
+        .localCheckpoint()
+      prevRound.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      out
+    }
+    val nodes = base.select(explode(array(col("u"), col("v"))).as("s_suppkey")).distinct()
+    nodes
+      .join(coreNodes(2).withColumn("c2", lit(true)), Seq("s_suppkey"), "left")
+      .join(coreNodes(3).withColumn("c3", lit(true)), Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"),
+        coalesce(col("c2"), lit(false)).as("core2"),
+        coalesce(col("c3"), lit(false)).as("core3"))
+      .orderBy("s_suppkey")
+  }
+
+  private def peelSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k${k}_deg$r AS MATERIALIZED (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT u AS id FROM k${k}_e${r - 1}
+         |    UNION ALL SELECT v FROM k${k}_e${r - 1}) GROUP BY 1),
+         |k${k}_e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM k${k}_e${r - 1} e
+         |  JOIN k${k}_deg$r da ON e.u = da.id AND da.d >= $k
+         |  JOIN k${k}_deg$r db ON e.v = db.id AND db.d >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""k${k}_e0 AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM fp),
+       |$steps,
+       |k${k}_core AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT u AS id FROM k${k}_e$rounds
+       |    UNION ALL SELECT v FROM k${k}_e$rounds))""".stripMargin
+  }
+
+  val graphKcoreSql: String =
+    s"""WITH fp AS MATERIALIZED (
+       |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+       |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+       |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+       |${peelSql(2, KCoreRounds)},
+       |${peelSql(3, KCoreRounds)},
+       |nodes AS (
+       |  SELECT DISTINCT id AS s_suppkey FROM (
+       |    SELECT a_id AS id FROM fp UNION ALL SELECT b_id FROM fp))
+       |SELECT n.s_suppkey,
+       |       c2.id IS NOT NULL AS core2,
+       |       c3.id IS NOT NULL AS core3
+       |FROM nodes n
+       |LEFT JOIN k2_core c2 ON n.s_suppkey = c2.id
+       |LEFT JOIN k3_core c3 ON n.s_suppkey = c3.id
+       |ORDER BY n.s_suppkey""".stripMargin
+
   // ---- the materialized linkage tier: LinkStore-backed entries ----------
   /** "New batch" rule for the incremental entry: s_suppkey ≡ [[NewRem]]
     * (mod [[NewMod]]) — the same 10% crawl-delta split `dedup_incremental`
@@ -431,6 +548,16 @@ object Linkage {
           Tables.supplier(spark, dir), "s_suppkey", "s_name")
         .select(col("a_id"), col("b_id")))
 
+  /** [[graphKcore]] over the stored edges — completing the served-graph
+    * trio (components, triangles, cores all read the persisted pair
+    * graph; only the loop term is paid per run).
+    */
+  def graphKcoreServed(spark: SparkSession, dir: String): DataFrame =
+    graphKcoreOn(
+      storedEdges(spark, graft.analytics.RetrievalAnalytics.storeKey(dir),
+          Tables.supplier(spark, dir), "s_suppkey", "s_name")
+        .select(col("a_id"), col("b_id")))
+
   /** The persisted verified pair graph for a corpus (building the store
     * on first touch) — the frame every served graph consumer starts from.
     */
@@ -447,5 +574,7 @@ object Linkage {
     "entity_groups" -> (entityGroups _, entityGroupsSql),
     "entity_groups_served" -> (entityGroupsServed _, entityGroupsSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
-    "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql))
+    "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
+    "graph_kcore" -> (graphKcore _, graphKcoreSql),
+    "graph_kcore_served" -> (graphKcoreServed _, graphKcoreSql))
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.analytics.RetrievalAnalytics
+import org.apache.spark.sql.functions._
+
+/** Laws for exact-phrase search (`phrase_search`). */
+class PhraseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand fixture: phrase tf, top-phrase cut, rank order") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // "a b" ×2, "b a" ×1, "b c" ×1
+      (2L, "a b x y"),     // "a b" ×1
+      (3L, "x y x y x y")) // "x y" ×3, "y x" ×2
+      .toDF("doc_id", "text")
+    val got = RetrievalAnalytics.phraseSearchOn(docs)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // corpus totals: "a b"=3, "x y"=4, "y x"=2, "b a"=1, "b c"=1 — top-5
+    // keeps all; ranking within phrase is tf desc, doc_id asc
+    val byPhrase = got.groupBy(_._1)
+    assert(byPhrase("x y").toSeq.sortBy(_._2) ==
+      Seq(("x y", 1, 3L, 3L), ("x y", 2, 2L, 1L)))
+    assert(byPhrase("a b").toSeq.sortBy(_._2) ==
+      Seq(("a b", 1, 1L, 2L), ("a b", 2, 2L, 1L)))
+    assert(byPhrase("y x").toSeq == Seq(("y x", 1, 3L, 2L)))
+  }
+
+  test("served ≡ in-plan bit-for-bit; store side never hash-exchanges") {
+    val dir = "/root/testdata/sf0.001"
+    val served = RetrievalAnalytics.phraseSearchServed(spark, dir)
+    // plan law BEFORE collect (AQE prints initial+final after execution):
+    // the bucketed postings scan feeds the probe join with no
+    // hashpartitioning exchange on the store side — the 5-phrase query
+    // set broadcasts, so the only exchanges are the final agg/sort's
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(phrase"),
+      "postings must not reshuffle on the probe join:\n" + plan.take(2000))
+    val s = served.collect().map(_.toString).toSeq
+    val p = RetrievalAnalytics.phraseSearch(spark, dir).collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == p)
+  }
+
+  test("bigram stream ≡ positional-postings adjacency join (the index spelling)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // the literal positional-index formulation: (doc, term, pos) self-join
+    // on pos_b = pos_a + 1 — the plan the entry's one-pass transform
+    // replaces; their per-(phrase, doc) counts must agree exactly
+    val pos = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    val viaIndex = pos.as("a")
+      .join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(concat(col("a.term"), lit(" "), col("b.term")).as("phrase"),
+        col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaStream = docs
+      .select(col("doc_id"),
+        graft.functions.TextFeatures.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+          .stripMargin)).as("phrase"))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaStream.nonEmpty && viaStream == viaIndex)
+  }
+}
