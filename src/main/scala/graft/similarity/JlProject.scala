@@ -140,8 +140,16 @@ object JlProject {
     // while DuckDB's IEEE division yields inf/NaN which ranks FIRST under
     // ORDER BY ascore DESC — so zero-projection rows are excluded from
     // BOTH engines' stage-1 scoring explicitly (r12 ADVICE).
+    // The projection is checkpointed BEFORE pn2/the zero filter touch
+    // it: pdot's 16 element_at(p, i) references — and the filter
+    // predicate — would otherwise each re-inline the whole q→p HOF
+    // chain under project collapse (measured: the r13 tape read 43 s
+    // for this entry with the filter on the raw chain, ~19 s with the
+    // checkpoint above the filter, 0.8 s with it below — the filter
+    // must see a MATERIALIZED array column).
     val pr = projectedOn(raw, projDims)
       .select(col("vec_id"), col("p"))
+      .localCheckpoint(eager = false)
       .withColumn("pn2", pdot("p", "p"))
       .filter(col("pn2") > 0)
     val qq = pr.filter(col("vec_id") % QueryMod === 0)
