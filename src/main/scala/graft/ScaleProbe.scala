@@ -1036,6 +1036,16 @@ object ScaleProbe {
       if (wanted("phrase_search"))
         time(spark, copies, "phrase_search")(guard(
           graft.analytics.RetrievalAnalytics.phraseSearchOn(docs)))
+      // served phrase search: postings store + query set built untimed;
+      // the timed serve reads |probed posting lists|, never the corpus
+      if (wanted("phrase_search_served")) {
+        def served = graft.analytics.RetrievalAnalytics
+          .phraseSearchServedFrames(spark,
+            graft.analytics.RetrievalAnalytics.storeKey(docsPath), docs)
+        served.count() // builds the store; serve-only is the timed object
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, "phrase_search_served")(guard(served))
+      }
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {
           val basePairs = Similarity

@@ -896,8 +896,15 @@ object RetrievalAnalytics {
     * entry because store build and entry share [[phraseTf]] verbatim,
     * so the oracle is shared too.
     */
-  def phraseSearchServed(spark: SparkSession, dir: String): DataFrame = {
-    val key = storeKey(dir)
+  def phraseSearchServed(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchServedFrames(spark, storeKey(dir), Tables.documents(spark, dir))
+
+  /** Frame-based served-phrase entry (`ScaleProbe` feeds replica corpora
+    * under their own store keys) — the `servedStores` memoization
+    * contract on `key`.
+    */
+  private[graft] def phraseSearchServedFrames(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
     val (table, qPath) = buildLock.synchronized {
       val base = sys.props("java.io.tmpdir").stripSuffix("/") +
         "/graft_phrase_store/" + key
@@ -912,7 +919,7 @@ object RetrievalAnalytics {
         val staleLoc = new org.apache.hadoop.fs.Path(warehouse, t)
         val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
-        val tf = phraseTf(Tables.documents(spark, dir))
+        val tf = phraseTf(docs)
         tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .bucketBy(ServedBuckets, "phrase").sortBy("phrase")
           .format("parquet").saveAsTable(t)
