@@ -131,6 +131,10 @@ object ScaleProbe {
     * C(100,2) replica pairs on real names.
     */
   def bigNames3(base: DataFrame, copies: Int): DataFrame = {
+    // the [4,2,3] code encodes two base-10 digits: d1 = c div 10 must
+    // stay inside the 11-symbol position alphabets (c ≤ 109); beyond
+    // that substring() degenerates to empty tags silently
+    require(copies <= 100, s"bigNames3 replica code covers ≤ 100 copies, got $copies")
     val p1 = "abcdfghjknq"
     val p2 = "vwxyzABDEFG"
     val p3 = "HIJKLMNOPQR"

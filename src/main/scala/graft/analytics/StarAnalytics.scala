@@ -1004,6 +1004,11 @@ object StarAnalytics {
             dimEvents.filter(date_trunc("month", col("ts")) === lit(m)),
             i.toLong, s)
         }
+        // zero non-purchase events ⇒ zero batches ⇒ no store files: land
+        // one EMPTY batch so the serve read sees an empty dimension (the
+        // correct all-NULL enrichment) instead of a missing-path error
+        if (months.isEmpty)
+          graft.streaming.Scd2Ingest.processBatch(dimEvents, 0L, s)
         graft.streaming.Scd2Ingest.compact(spark, s)
         fs.create(marker, true).close()
       }

@@ -32,4 +32,18 @@ class Scd2ServedSpec extends SparkSpec {
     val p = inPlan.collect().map(_.toString).toSeq
     assert(s.nonEmpty && s == p)
   }
+
+  test("empty dimension (all-purchase stream): all-NULL enrichment, no error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // purchases only — there is no dimension history at all
+    val ev = Seq((1L, 10L, "2024-01-05 10:00:00", "purchase", 5.0),
+        (1L, 11L, "2024-02-07 11:00:00", "purchase", 7.0))
+      .toDF("user_id", "event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    val got = StarAnalytics.scd2LookupServedFrames(spark, "spec_empty_dim", ev)
+      .collect()
+    assert(got.length == 2 && got.forall(r => r.isNullAt(4) && r.isNullAt(5)),
+      "purchases must survive with NULL version/state")
+  }
 }
