@@ -857,9 +857,14 @@ object RetrievalAnalytics {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         graft.functions.TextFeatures.tokens(col("text")).as("toks"))
+      // single-token guard: sequence(1, 0) counts DOWN to [1, 0] in Spark
+      // (element_at(toks, 0) throws), while the oracle's
+      // generate_series(1, 0) is empty — same gotcha deletionKeys1Sql
+      // documents; IF(size < 2, array(), ...) makes both sides empty.
       .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+        """IF(size(toks) < 2, array(),
+          |  transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
           .stripMargin)).as("phrase"))
       .groupBy(col("phrase"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))

@@ -2516,8 +2516,14 @@ object TextAnalytics {
         // HUGEINT), with floor division spelled exactly for non-negative
         // operands as (S - S mod D) / D: the subtraction makes S exactly
         // divisible, so the decimal divide is exact whatever scale Spark
-        // assigns the quotient. Ceiling now ~3·10¹⁵ baskets per run (the
-        // decimal38 domain) — no shard-the-run caveat at any real scale.
+        // assigns the quotient. Two ceilings: the decimal INTERMEDIATE is
+        // exact to ~3·10¹⁵ baskets (decimal38 domain), but the BIGINT
+        // output column caps sooner — a degenerate singleton pair
+        // (support=df_a=df_b=1) has lift_ppm = n_docs·10⁶, overflowing
+        // Long past ~9.2·10¹² baskets (Spark would yield NULL, DuckDB's
+        // HUGEINT→BIGINT cast errors). Exact-output guarantee: ~9·10¹²
+        // worst-case baskets per run; shard beyond that or widen the
+        // output to decimal.
         expr("""cast((cast(support as decimal(38,0)) * n_docs * 1000000
                |  - (cast(support as decimal(38,0)) * n_docs * 1000000)
                |      % (cast(df_a as decimal(38,0)) * df_b))

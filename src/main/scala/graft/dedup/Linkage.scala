@@ -457,8 +457,16 @@ object Linkage {
     buildLock.synchronized {
       val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_link_store/" + key
       val s = graft.sources.LinkStore.Stores(s"link_keys_$key", base + "/edges")
-      val built = spark.catalog.tableExists(s.keysTable) &&
-        new java.io.File(s.edgesPath).exists()
+      // built = BOTH artifacts landed: the keys table exists AND the edges
+      // write COMMITTED (`_SUCCESS`, via the Hadoop FS API — the warehouse
+      // may not be local). Write order is keys-then-edges, so a build
+      // killed mid-edges leaves the table but no `_SUCCESS`; a bare
+      // directory-exists check would then serve a partial pair graph to
+      // every *_served consumer forever (the stale-cache class the
+      // bigEvents probe cache documents).
+      val edgesSuccess = new org.apache.hadoop.fs.Path(s.edgesPath + "/_SUCCESS")
+      val efs = edgesSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val built = spark.catalog.tableExists(s.keysTable) && efs.exists(edgesSuccess)
       if (!built) {
         // per-JVM catalog vs persistent warehouse: a prior process may
         // have left the managed table's LOCATION behind with no catalog

@@ -11,10 +11,13 @@ class PhraseSearchSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b a b c"),   // "a b" ×2, "b a" ×1, "b c" ×1
       (2L, "a b x y"),     // "a b" ×1
-      (3L, "x y x y x y")) // "x y" ×3, "y x" ×2
+      (3L, "x y x y x y"), // "x y" ×3, "y x" ×2
+      (4L, "z"))           // single token: zero bigrams — the sequence(1,0)
+                           // count-down guard (ADVICE r13); must not crash
       .toDF("doc_id", "text")
     val got = RetrievalAnalytics.phraseSearchOn(docs)
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(!got.exists(_._3 == 4L), "a single-token doc has no phrases")
     // corpus totals: "a b"=3, "x y"=4, "y x"=2, "b a"=1, "b c"=1 — top-5
     // keeps all; ranking within phrase is tf desc, doc_id asc
     val byPhrase = got.groupBy(_._1)
