@@ -303,6 +303,39 @@ object ScaleProbe {
       if (wanted("dedup_components_altstar"))
         time(spark, copies, "dedup_components_altstar")(guard(
           Dedup.componentsAltStarOn(Dedup.dedupMinhashOn(Dedup.shingleSets(docs)))))
+      // the materialized dedup tier: the verified near-dup edge store is
+      // built UNTIMED (the one-time shingle → band → verify corpus pass),
+      // then the timed objects pay only the propagation / decision /
+      // remaining-screen terms — the rebuild term the r13 verdict asked
+      // to kill (components 14.4 s, ensemble 24.4 s at 100×)
+      if (wanted("dedup_components_served") || wanted("dedup_keep_best_served")
+          || wanted("dedup_ensemble_served")) {
+        val key = graft.analytics.RetrievalAnalytics.storeKey(docsPath)
+        Dedup.storedPairs(spark, key, docs).count() // build (or reuse) once
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        if (wanted("dedup_components_served"))
+          time(spark, copies, "dedup_components_served")(guard(
+            Dedup.componentsOn(Dedup.storedPairs(spark, key, docs))))
+        if (wanted("dedup_keep_best_served"))
+          time(spark, copies, "dedup_keep_best_served")(guard(
+            Dedup.keepBestFrom(Dedup.storedPairs(spark, key, docs),
+              docs.withColumn("n_chars", length(col("text")).cast("long")))))
+        // ensemble with the production centroid shape (the dedup_ensemble
+        // arm's semanticOf) AND the stored lexical screen: what remains
+        // is exact's fp aggregate + semantic's broadcast prune + verdict
+        // joins — no pair derivation anywhere in the timed plan
+        if (wanted("dedup_ensemble_served"))
+          time(spark, copies, "dedup_ensemble_served")(
+            Dedup.dedupEnsembleOn(docs, spark.read.parquet(embPath),
+              semanticOf = e => Similarity.dedupSemanticWith(e,
+                Similarity.withNorms(Tables.embeddings(spark, sfDir))
+                  .filter(col("vec_id") % 50 === 0)
+                  .select(col("vec_id").as("centroid_id"), col("v").as("vb"),
+                    col("n2").as("cn2"))),
+              lexPairsOf = _ => Dedup.storedPairs(spark, key, docs))
+              .filter(hash(col("keep"), col("lexical_dup"),
+                coalesce(col("semantic_dup"), lit(-7))) =!= lit(42)))
+      }
       // real-world shape: the eval suite stays FIXED while the corpus
       // grows — benchmark grams come from the base table only, training
       // grams from every replica PLUS one unperturbed base copy
@@ -1049,6 +1082,26 @@ object ScaleProbe {
         served.count() // builds the store; serve-only is the timed object
         Maintenance.releaseCachedBlocks(spark, blocking = true)
         time(spark, copies, "phrase_search_served")(guard(served))
+      }
+      // PageRank served off STORED edges — the linear shard-replicated
+      // edge model (doc_pagerank_iter's construction) written once
+      // untimed via storedEmbPairs' pluggable pair source; the timed
+      // object is the Pregel loop + one edge-parquet read, zero pair
+      // derivation (vs doc_pagerank_iter, which re-derives base pairs
+      // per run)
+      if (wanted("doc_pagerank_served")) {
+        def shardPairs = Similarity
+          .dedupEmbeddingOn(Similarity.withNorms(Tables.embeddings(spark, sfDir)))
+          .select("vec_id_1", "vec_id_2")
+          .withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+          .select((col("vec_id_1") + col("c") * 10000000L).as("vec_id_1"),
+            (col("vec_id_2") + col("c") * 10000000L).as("vec_id_2"))
+        val key = graft.analytics.RetrievalAnalytics.storeKey(embPath) + "_shard"
+        Similarity.storedEmbPairs(spark, key, emb, pairsOf = _ => shardPairs).count()
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, "doc_pagerank_served")(
+          Similarity.docPagerankFrom(emb,
+            Similarity.storedEmbPairs(spark, key, emb, pairsOf = _ => shardPairs)))
       }
       if (wanted("doc_pagerank_iter"))
         time(spark, copies, "doc_pagerank_iter") {

@@ -718,11 +718,18 @@ object Dedup {
     * doc-keyed left join plus a row_number window PARTITIONED by
     * component — frame bounded by component size, never corpus size.
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestFrom(dedupMinhash(spark, dir), Tables.documents(spark, dir))
+
+  /** Keep-best verdict off an explicit verified pair frame — the tail
+    * [[dedupKeepBest]] and its served twin share (one definition ⇒
+    * served ≡ in-plan is structural).
+    */
+  private[graft] def keepBestFrom(pairs: DataFrame, documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = componentsOn(dedupMinhash(spark, dir))
+    val comp = componentsOn(pairs)
       .select(col("doc_id"), col("component_id"))
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val docs = documents.select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy("component_id")
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     // the component map is pair-graph-sized (≪ corpus) — broadcast it so
@@ -757,6 +764,61 @@ object Dedup {
        |         ORDER BY d.n_chars DESC, d.doc_id ASC) = 1 AS keep
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- the materialized dedup tier: verified near-dup edge store --------
+
+  private val edgeStoreLock = new Object
+
+  /** Build-once resolution of the persisted VERIFIED near-dup pair graph
+    * — the [[graft.sources.LinkStore]] edges artifact applied to the
+    * MinHash tier (the r13 review's first ask): [[dedupMinhashOn]]'s
+    * output (doc_id_1, doc_id_2, jaccard) written ONCE per corpus, so
+    * graph consumers (components, keep-best, the ensemble's lexical
+    * screen, pagerank's production arm) start at stored edges instead of
+    * re-running shingle → band → candidate-join → verify per run — the
+    * term the 100× probes measured as dominant (components 14.4 s,
+    * ensemble 24.4 s re-running three screens).
+    *
+    * Mechanics match `linkStores`: memoized on `key` (the `servedStores`
+    * contract — key names corpus CONTENT, derive via
+    * [[graft.analytics.RetrievalAnalytics.storeKey]] for directory
+    * corpora), built = the write COMMITTED (`_SUCCESS` via the Hadoop FS
+    * API — a build killed mid-write must rebuild, never serve a partial
+    * graph). Plain parquet, no bucketing: every consumer is a full-graph
+    * reader (components/keep-best/screens), not a point-probe — near-dup
+    * graphs are sparse, so the store is edge-sized, ≪ corpus.
+    */
+  private[graft] def storedPairs(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_dedup_edges/" + key
+    edgeStoreLock.synchronized {
+      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        dedupMinhashOn(shingleSets(docs)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[dedupComponents]] off the persisted edge graph — zero
+    * shingle/band/verify work per run; bit-identical because the store
+    * IS [[dedupMinhashOn]]'s output, so the oracle is shared verbatim.
+    */
+  def dedupComponentsServed(spark: SparkSession, dir: String): DataFrame =
+    componentsOn(storedPairs(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir),
+      Tables.documents(spark, dir)))
+
+  /** [[dedupKeepBest]] off the persisted edge graph — same serving
+    * economics; shares [[keepBestFrom]] with the in-plan entry.
+    */
+  def dedupKeepBestServed(spark: SparkSession, dir: String): DataFrame =
+    keepBestFrom(
+      storedPairs(spark, graft.analytics.RetrievalAnalytics.storeKey(dir),
+        Tables.documents(spark, dir)),
+      Tables.documents(spark, dir))
 
   // ---- dedup_incremental: new-batch-vs-corpus MinHash dedup ------------
 
@@ -1192,6 +1254,19 @@ object Dedup {
     dedupEnsembleOn(Tables.documents(spark, dir),
       Tables.embeddings(spark, dir))
 
+  /** [[dedupEnsemble]] with the lexical screen read from the persisted
+    * edge graph — the ensemble's dominant 100× term was re-deriving the
+    * lexical pair stream per run; exact/semantic screens stay in-plan
+    * (exact is one fp aggregate, semantic is the broadcast-centroid
+    * prune — neither has a rebuild term worth storing).
+    */
+  def dedupEnsembleServed(spark: SparkSession, dir: String): DataFrame =
+    dedupEnsembleOn(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir),
+      lexPairsOf = _ => storedPairs(spark,
+        graft.analytics.RetrievalAnalytics.storeKey(dir),
+        Tables.documents(spark, dir)))
+
   /** @param semanticOf the semantic screen over the normed embedding
     *   frame. The registry default is the oracle-checked modulo-seeded
     *   `dedupSemanticOn` — whose K grows with N (fine for the oracle
@@ -1201,9 +1276,17 @@ object Dedup {
     *   measures (the 100× residual before this parameter existed was the
     *   modulo rule's 800M-row assignment, not the composition).
     */
+  /** @param lexPairsOf the lexical screen's verified pair stream over the
+    *   docs frame. Default: the in-plan AllPairs pipeline
+    *   ([[dedupJaccardOn]]); the served twin passes the persisted edge
+    *   graph ([[storedPairs]]) — oracle-identical streams (both check
+    *   against `jaccardOracleSql`), so the ensemble oracle is shared.
+    */
   private[graft] def dedupEnsembleOn(docs: DataFrame, emb: DataFrame,
       semanticOf: DataFrame => DataFrame =
-        graft.similarity.Similarity.dedupSemanticOn): DataFrame = {
+        graft.similarity.Similarity.dedupSemanticOn,
+      lexPairsOf: DataFrame => DataFrame =
+        d => dedupJaccardOn(shingleSets(d))): DataFrame = {
     val d = docs.select(col("doc_id"), md5(col("text")).as("fp"))
       .localCheckpoint(eager = false) // consumers: group agg + join-back
     val exGroups = d.groupBy("fp").agg(min(col("doc_id")).as("survivor"))
@@ -1211,7 +1294,7 @@ object Dedup {
       .select(col("doc_id"),
         when(col("doc_id") =!= col("survivor"), 1).otherwise(0)
           .cast("int").as("exact_dup"))
-    val lex = dedupJaccardOn(shingleSets(docs))
+    val lex = lexPairsOf(docs)
       .select(col("doc_id_2").as("doc_id")).distinct()
       .withColumn("lx", lit(1))
     val sem = semanticOf(graft.similarity.Similarity.withNorms(emb))
@@ -1264,8 +1347,11 @@ object Dedup {
     "dedup_cosine"  -> (dedupCosine _, dedupCosineSql),
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
     "dedup_components" -> (dedupComponents _, dedupComponentsSql),
+    "dedup_components_served" -> (dedupComponentsServed _, dedupComponentsSql),
     "dedup_components_altstar" -> (dedupComponentsAltstar _, dedupComponentsSql),
     "dedup_keep_best" -> (dedupKeepBest _, dedupKeepBestSql),
+    "dedup_keep_best_served" -> (dedupKeepBestServed _, dedupKeepBestSql),
+    "dedup_ensemble_served" -> (dedupEnsembleServed _, dedupEnsembleSql),
     "dedup_incremental" -> (dedupIncremental _, dedupIncrementalSql),
     "dedup_simhash" -> (dedupSimhash _, dedupSimhashSql),
   )

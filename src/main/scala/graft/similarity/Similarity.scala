@@ -1054,6 +1054,49 @@ object Similarity {
     pr.union(isolatedPr).orderBy("vec_id")
   }
 
+  private val prStoreLock = new Object
+
+  /** Build-once resolution of the persisted embedding near-dup edge
+    * graph — [[graft.dedup.Dedup.storedPairs]]' mechanics applied to the
+    * cosine tier: [[dedupEmbeddingOn]]'s verified (vec_id_1, vec_id_2,
+    * cosine) pairs written ONCE per corpus key, `_SUCCESS`-gated via the
+    * Hadoop FS API. The pair scan (quadratic in the oracle-verifiable
+    * baseline, banded in production) is the dominant term of every graph
+    * consumer; edges are sparse, so the store is the cheap artifact.
+    */
+  /** @param pairsOf the verified pair stream to persist. Default: the
+    *   exact oracle-verifiable scan ([[dedupEmbeddingOn]], quadratic —
+    *   paid once at build); production and the ScaleProbe arm pass the
+    *   banded / sharded linear source — same pluggability as
+    *   [[docPagerankFrom]], now at the STORE boundary.
+    */
+  private[graft] def storedEmbPairs(spark: SparkSession, key: String,
+      e: => DataFrame,
+      pairsOf: DataFrame => DataFrame = dedupEmbeddingOn): DataFrame = {
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_emb_edges/" + key
+    prStoreLock.synchronized {
+      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        pairsOf(e).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[docPagerank]] off the persisted embedding edge graph — the
+    * production arc the r13 review asked to close: the rank iteration
+    * (already pluggable via [[docPagerankFrom]]) starts at stored edges,
+    * so per run only the Pregel loop is paid, never the pair scan.
+    * Bit-identical to the in-plan entry (the store IS
+    * [[dedupEmbeddingOn]]'s output), so the oracle is shared verbatim.
+    */
+  def docPagerankServed(spark: SparkSession, dir: String): DataFrame =
+    docPagerankFrom(emb(spark, dir),
+      storedEmbPairs(spark,
+        graft.analytics.RetrievalAnalytics.storeKey(dir), emb(spark, dir)))
+
   private def prIterSql(k: Int): String =
     s"""pr$k AS (
        |  SELECT e.vec_id,
@@ -1158,6 +1201,7 @@ object Similarity {
     "dedup_semantic"  -> (dedupSemantic _, dedupSemanticSql),
     "decontam_semantic" -> (decontamSemantic _, decontamSemanticSql),
     "doc_pagerank"    -> (docPagerank _, docPagerankSql),
+    "doc_pagerank_served" -> (docPagerankServed _, docPagerankSql),
     "dup_triangles"   -> (dupTriangles _, dupTrianglesSql),
     "knn_join"        -> (knnJoin _, knnJoinSql),
     "knn_join_lsh"    -> (knnJoinLsh _, knnJoinLshSql),
