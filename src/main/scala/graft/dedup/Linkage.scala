@@ -575,12 +575,143 @@ object Linkage {
     spark.read.parquet(st.edgesPath)
   }
 
+  // ---- entity_groups_served_del: tombstoned deletes on the entity tier --
+
+  /** Deterministic tombstone rule for the oracle-checked deletion entry
+    * — `knn_served_del`'s rule (id ≡ 3 mod 7, ~14% of records) applied
+    * to the linkage tier, so the two deletion tiers tell one story.
+    */
+  private val DelMod = 7L
+  private val DelRes = 3L
+
+  /** The persisted ENTITY map beside the edge store: [[entityGroups]]'
+    * component assignment computed ONCE over the stored pair graph and
+    * written with the store's own `_SUCCESS` discipline. This is what
+    * makes deletion a BOUNDED operation (see [[entityGroupsServedDel]])
+    * — without it, every delete pays a full component recompute.
+    */
+  private[graft] def storedEntityMap(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val st = linkStores(spark, key, names, idCol, nameCol)
+    val path = st.edgesPath.stripSuffix("/edges") + "/entities"
+    buildLock.synchronized {
+      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        Dedup.componentsOn(spark.read.parquet(st.edgesPath)
+            .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+          .select(col("doc_id").as("s_suppkey"),
+            col("component_id").as("entity_id"), col("is_canonical"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** [[entityGroupsServed]] under DELETION — cashing in the
+    * [[graft.sources.LinkStore]] scaladoc's tombstone promise, and the
+    * HARDER half of the deletion story: `knn_served_del`'s anti-join
+    * suffices for a vector index because rankings are per-query, but
+    * component membership is NOT monotone under edge removal — deleting
+    * a bridge record SPLITS its entity group, so survivors' entity ids
+    * can change. The scale-safe shape is a bounded recompute: tombstones
+    * land beside the index (idempotent batch overwrite, the
+    * `knn_served_del` contract); entity groups containing NO deleted
+    * record pass through from the persisted entity map UNTOUCHED; only
+    * the AFFECTED groups (bounded by the deletion volume between index
+    * builds × group size — near-dup/typo groups are small by
+    * construction) re-run min-label propagation over their surviving
+    * edges. Survivors that lose their last edge drop out, exactly as a
+    * from-scratch rebuild over surviving records drops them.
+    *
+    * The law (`LinkDeleteSpec` + this entry's oracle): output ≡
+    * [[entityGroups]] recomputed from scratch over the SURVIVING
+    * records — including splits, canonical-survivor changes, and
+    * edge-orphaned drops. Exactness argument: fuzzy pairs are PAIRWISE
+    * predicates (lev(a,b) ≤ 1 doesn't depend on other records), so the
+    * survivor pair graph IS the stored graph minus tombstone-incident
+    * edges; and component recompute restricted to affected groups is
+    * exact because edge removal never merges groups.
+    *
+    * Scale (100 TB): the tombstone batch broadcasts; the entity map is
+    * group-graph-sized (≪ corpus); the per-delete work is the affected
+    * groups' edge lists — never the full graph, never the corpus. At
+    * the next index rebuild the tombstones fold to zero, as in the
+    * vector tier.
+    */
+  def entityGroupsServedDel(spark: SparkSession, dir: String): DataFrame =
+    entityGroupsServedDelFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir),
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+
+  private[graft] def entityGroupsServedDelFrames(spark: SparkSession,
+      key: String, names: => DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val n = names
+    val st = linkStores(spark, key, n, idCol, nameCol)
+    val entities = storedEntityMap(spark, key, n, idCol, nameCol)
+    // the deletion batch lands beside the index and is read back as a
+    // store — the serve path never sees the rule, only ids
+    val tombPath = st.edgesPath.stripSuffix("/edges") + "/tombstones"
+    n.filter(col(idCol) % DelMod === DelRes)
+      .select(col(idCol).cast("long").as("dead_id"))
+      .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+    val dead = spark.read.parquet(tombPath).select("dead_id")
+    // affected = entity ids with ≥1 tombstoned member (bounded by the
+    // deletion volume; broadcast both the batch and the affected set)
+    val affected = entities
+      .join(broadcast(dead), col("s_suppkey") === col("dead_id"), "left_semi")
+      .select(col("entity_id").as("aff_id")).distinct()
+    val untouched = entities
+      .join(broadcast(affected), col("entity_id") === col("aff_id"), "left_anti")
+    // surviving edges of affected groups only: membership of a_id decides
+    // the group (both endpoints share it by definition of a component)
+    val memb = entities.select(col("s_suppkey").as("a_id"),
+      col("entity_id").as("m_id"))
+    val affEdges = spark.read.parquet(st.edgesPath)
+      .select(col("a_id"), col("b_id"))
+      .join(memb, Seq("a_id"))
+      .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
+      .join(broadcast(dead), col("a_id") === col("dead_id"), "left_anti")
+      .join(broadcast(dead), col("b_id") === col("dead_id"), "left_anti")
+    val recomputed = Dedup.componentsOn(
+        affEdges.select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+      .select(col("doc_id").as("s_suppkey"),
+        col("component_id").as("entity_id"), col("is_canonical"))
+    untouched.unionByName(recomputed).orderBy("s_suppkey")
+  }
+
+  /** [[entityGroupsSql]] over the surviving records — the from-scratch
+    * rebuild the served-deletion law demands.
+    */
+  val entityGroupsServedDelSql: String =
+    s"""WITH RECURSIVE fpairs AS (
+       |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+       |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+       |  WHERE a.s_suppkey % $DelMod <> $DelRes
+       |    AND b.s_suppkey % $DelMod <> $DelRes
+       |    AND levenshtein(a.s_name, b.s_name) <= 1),
+       |edges AS (
+       |  SELECT a_id AS a, b_id AS b FROM fpairs
+       |  UNION
+       |  SELECT b_id, a_id FROM fpairs),
+       |reach(v, u) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.v, e.b FROM reach r JOIN edges e ON r.u = e.a)
+       |SELECT v AS s_suppkey,
+       |       least(v, min(u)) AS entity_id,
+       |       v = least(v, min(u)) AS is_canonical
+       |FROM reach
+       |GROUP BY v
+       |ORDER BY s_suppkey""".stripMargin
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql),
     "fuzzy_join2" -> (fuzzyJoin2 _, fuzzyJoin2Sql),
     "fuzzy_join_incremental" -> (fuzzyJoinIncremental _, fuzzyJoinIncrementalSql),
     "entity_groups" -> (entityGroups _, entityGroupsSql),
     "entity_groups_served" -> (entityGroupsServed _, entityGroupsSql),
+    "entity_groups_served_del" -> (entityGroupsServedDel _, entityGroupsServedDelSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
     "graph_kcore" -> (graphKcore _, graphKcoreSql),

@@ -1,0 +1,70 @@
+package graft
+
+import graft.dedup.{Dedup, Linkage}
+import org.apache.spark.sql.functions._
+
+/** Laws for tombstone deletion on the served entity tier (r13 review's
+  * #2 ask — cashing in LinkStore's scaladoc promise):
+  *  1. the served deletion entry ≡ entity groups recomputed FROM SCRATCH
+  *     over the surviving records (the law the verdict demands);
+  *  2. deleting a bridge record SPLITS its entity group — the property
+  *     that makes graph deletion harder than the vector tier's anti-join
+  *     (component membership is not monotone under edge removal);
+  *  3. untouched groups pass through from the persisted entity map
+  *     bit-identical (the bounded-recompute contract: no global rework).
+  */
+class LinkDeleteSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("served deletion ≡ from-scratch rebuild over survivors (sf0.001)") {
+    val sup = Tables.supplier(spark, dir)
+    val served = Linkage.entityGroupsServedDel(spark, dir)
+      .collect().map(_.toString).toSeq
+    val survivors = sup.filter(col("s_suppkey") % 7 =!= 3)
+    val scratch = Dedup.componentsOn(
+        Linkage.fuzzyJoinOn(survivors, "s_suppkey", "s_name")
+          .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+      .select(col("doc_id").as("s_suppkey"), col("component_id").as("entity_id"),
+        col("is_canonical"))
+      .orderBy("s_suppkey")
+      .collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == scratch)
+    // the tombstone rule really deleted someone who had edges, or the
+    // test proves nothing: assert some survivor set differs from the
+    // undeleted served entry
+    val undeleted = Linkage.entityGroupsServed(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(served != undeleted)
+  }
+
+  test("deleting a bridge record splits its entity group") {
+    import spark.implicits._
+    // a 5-node Levenshtein path 1-2-3-4-5 (consecutive names at distance
+    // 1, non-consecutive ≥ 2); id 3 ≡ 3 (mod 7) is tombstoned — the
+    // bridge. From-scratch over survivors: {1,2} and {4,5}.
+    val names = Seq(
+      (1L, "aaaa"), (2L, "aaab"), (3L, "aabb"), (4L, "abbb"), (5L, "bbbb"))
+      .toDF("s_suppkey", "s_name")
+    val key = "specdel_" + System.nanoTime()
+    val got = Linkage.entityGroupsServedDelFrames(
+        spark, key, names, "s_suppkey", "s_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false),
+      (4L, 4L, true), (5L, 4L, false)))
+  }
+
+  test("a survivor orphaned by deletion drops out, as from-scratch does") {
+    import spark.implicits._
+    // pair (3, 9): 3 is tombstoned, 9 loses its only edge and must
+    // vanish from the output; group {1, 2} is untouched and passes through
+    val names = Seq(
+      (1L, "xxxx"), (2L, "xxxy"), (3L, "qqqq"), (9L, "qqqr"))
+      .toDF("s_suppkey", "s_name")
+    val key = "specorph_" + System.nanoTime()
+    val got = Linkage.entityGroupsServedDelFrames(
+        spark, key, names, "s_suppkey", "s_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 1L, false)))
+  }
+}
