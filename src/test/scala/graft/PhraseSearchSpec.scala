@@ -43,6 +43,46 @@ class PhraseSearchSpec extends SparkSpec {
     assert(s.nonEmpty && s == p)
   }
 
+  test("k-window transform ≡ position-chaining join, k ∈ {2, 3, 4}") {
+    // the generalized law (r13 ask #3): the in-plan k-wide window stream
+    // and the positional-index chain (terms at start, start+1, …,
+    // start+k−1) produce the SAME (phrase, doc, tf) frame — including
+    // overlapping matches and repeated-term phrases ("a a a" in doc 5)
+    val docs = Seq(
+      (1L, "a b c a b c a b"),
+      (2L, "a b c"),
+      (3L, "c b a c b a"),
+      (4L, "x"),            // shorter than every k: zero phrases, no crash
+      (5L, "a a a a"))      // repeated-term phrases, overlapping starts
+      .toDF("doc_id", "text")
+    val postings = RetrievalAnalytics.positionalPostings(docs)
+    for (k <- Seq(2, 3, 4)) {
+      val viaWindow = RetrievalAnalytics.phraseTfK(docs, k)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // chain EVERY distinct phrase of that length (not just a query cut)
+      val allPhrases = RetrievalAnalytics.phraseTfK(docs, k)
+        .select("phrase").distinct()
+      val viaChain = RetrievalAnalytics.phraseChainTf(postings, allPhrases)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(viaWindow.nonEmpty && viaChain == viaWindow, s"k=$k")
+    }
+    // spot-check the overlap arithmetic: "a a a" in "a a a a" = 2 starts
+    val t3 = RetrievalAnalytics.phraseTfK(docs, 3)
+      .filter(col("phrase") === "a a a").collect()
+    assert(t3.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((5L, 2L)))
+  }
+
+  test("phrase_search_k served ≡ in-plan; postings probe never reshuffles on term") {
+    val dir = "/root/testdata/sf0.001"
+    val served = RetrievalAnalytics.phraseSearchKServed(spark, dir)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(term"),
+      "postings must not reshuffle on the probe join:\n" + plan.take(2000))
+    val s = served.collect().map(_.toString).toSeq
+    val p = RetrievalAnalytics.phraseSearchK(spark, dir).collect().map(_.toString).toSeq
+    assert(s.nonEmpty && s == p)
+  }
+
   test("bigram stream ≡ positional-postings adjacency join (the index spelling)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // the literal positional-index formulation: (doc, term, pos) self-join
