@@ -1025,6 +1025,81 @@ object StarAnalytics {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  // ---- scd2_lookup_live: base store + in-flight delta, composed at read -
+  /** [[scd2LookupServed]] with FRESHNESS — the r13 review's #4 ask: the
+    * vector and lexical serving tiers both compose a live delta over
+    * their base stores (`knnServedLive` / `hybridRrfLive`), but the
+    * warehouse tier's served entry read a landed store only, so an
+    * in-flight month of dimension changes was invisible until ingest.
+    * Here the base store holds every calendar month EXCEPT the last;
+    * the last month rides [[graft.streaming.Scd2Ingest.liveCurrent]] as
+    * the in-flight delta — merged at READ time through the ingest
+    * tier's own `mergedRows` (one definition, so composed-at-read ≡
+    * landed is structural), never written.
+    *
+    * Bit-exactness: `Scd2LiveSpec` pins liveCurrent(prefix store,
+    * remainder delta) ≡ the batch rebuild over all events for EVERY
+    * prefix split, so this entry equals [[scd2Lookup]] frame-for-frame
+    * and shares its oracle verbatim.
+    *
+    * Scale (100 TB): the read-time composition costs the delta's merge
+    * — O(users touched this month), the ingest bound — on top of the
+    * store read; the base store is never rewritten. The facts side is
+    * unchanged (purchases only).
+    */
+  def scd2LookupLive(spark: SparkSession, dir: String): DataFrame =
+    scd2LookupLiveFrames(spark,
+      RetrievalAnalytics.storeKey(dir) + "_livebase", Tables.events(spark, dir))
+
+  private[graft] def scd2LookupLiveFrames(spark: SparkSession, key: String,
+      events: => DataFrame): DataFrame = {
+    val ev = events
+    val dimEvents = ev.filter(col("event_type") =!= "purchase")
+    // the deterministic month split: all but the last month are LANDED
+    // (the base store); the last month is the in-flight delta (bounded
+    // calendar-month collect, as in the served build)
+    val months = dimEvents
+      .select(date_trunc("month", col("ts")).as("m"))
+      .distinct().orderBy("m").collect().map(_.get(0))
+    val baseMonths = months.dropRight(1)
+    val store = scd2BuildLock.synchronized {
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_scd2_store/" + key
+      val s = graft.streaming.Scd2Ingest.Scd2Store(base + "/intervals")
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
+      if (!fs.exists(marker)) {
+        if (fs.exists(root)) fs.delete(root, true)
+        baseMonths.zipWithIndex.foreach { case (m, i) =>
+          graft.streaming.Scd2Ingest.processBatch(
+            dimEvents.filter(date_trunc("month", col("ts")) === lit(m)),
+            i.toLong, s)
+        }
+        // an empty base (≤1 month of history) still needs a store root:
+        // land one empty batch so reads see an empty dimension
+        if (baseMonths.isEmpty)
+          graft.streaming.Scd2Ingest.processBatch(
+            dimEvents.filter(lit(false)), 0L, s)
+        graft.streaming.Scd2Ingest.compact(spark, s)
+        fs.create(marker, true).close()
+      }
+      s
+    }
+    val deltaId = math.max(baseMonths.length.toLong, 1L)
+    val delta =
+      if (months.isEmpty) dimEvents
+      else dimEvents.filter(date_trunc("month", col("ts")) === lit(months.last))
+    val dim = graft.streaming.Scd2Ingest.liveCurrent(spark, store, delta, deltaId)
+      .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+      .select(col("user_id"), col("valid_from"), col("version"), col("state"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.plans.AsofJoin.asofJoin(facts, dim, "user_id", "ts", "valid_from")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("version"), col("state"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   // ---- event_cube: full grouping-sets lattice ---------------------------
   /** CUBE over (event_type, weekday) — the grouping-sets completion of
     * event_rollup's ROLLUP: all four lattice levels (both, each, grand
@@ -1777,6 +1852,7 @@ object StarAnalytics {
     "scd2_intervals" -> (scd2Intervals _, scd2IntervalsSql),
     "scd2_lookup" -> (scd2Lookup _, scd2LookupSql),
     "scd2_lookup_served" -> (scd2LookupServed _, scd2LookupSql),
+    "scd2_lookup_live" -> (scd2LookupLive _, scd2LookupSql),
     "event_cube"        -> (eventCube _, eventCubeSql),
     "events_funnel"     -> (eventsFunnel _, eventsFunnelSql),
     "events_retention"  -> (eventsRetention _, eventsRetentionSql),

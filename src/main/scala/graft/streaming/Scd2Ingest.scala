@@ -82,11 +82,15 @@ object Scd2Ingest {
           storeSchema(tsType))
     }
 
-  /** One micro-batch: fold each touched user's open interval into the
-    * batch stream as a carry event, recompute islands with the batch
-    * entry's own code, shift versions, land under `batch_id=id`.
+  /** The per-batch merge as a PURE frame (the write side of
+    * [[processBatch]] and the read side of [[liveCurrent]] share it —
+    * one definition, so landed ≡ composed-at-read is structural): each
+    * touched user's open interval folds into the batch stream as a
+    * carry event, islands recompute with the batch entry's own code,
+    * versions shift by the carry version.
     */
-  def processBatch(batch: DataFrame, id: Long, store: Scd2Store): Unit = {
+  private[graft] def mergedRows(batch: DataFrame, id: Long,
+      store: Scd2Store): DataFrame = {
     val spark = batch.sparkSession
     val events = batch.select(col("user_id").cast("long").as("user_id"),
       col("event_id").cast("long").as("event_id"), col("ts"), col("event_type"))
@@ -112,8 +116,15 @@ object Scd2Ingest {
         (col("n_events") + when(col("version") === 1,
           coalesce(col("c_extra"), lit(0L))).otherwise(lit(0L))).as("n_events"),
         lit(id).as("gen"))
-      .write.mode("overwrite").parquet(s"${store.intervalsPath}/batch_id=$id")
   }
+
+  /** One micro-batch: fold each touched user's open interval into the
+    * batch stream as a carry event, recompute islands with the batch
+    * entry's own code, shift versions, land under `batch_id=id`.
+    */
+  def processBatch(batch: DataFrame, id: Long, store: Scd2Store): Unit =
+    mergedRows(batch, id, store)
+      .write.mode("overwrite").parquet(s"${store.intervalsPath}/batch_id=$id")
 
   /** The streaming wiring: event stream → per-batch interval merge. */
   def run(events: DataFrame, store: Scd2Store, checkpoint: String,
@@ -137,6 +148,32 @@ object Scd2Ingest {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("gen", "batch_id")
       .orderBy("user_id", "version")
+
+  /** The LIVE dimension: the landed store plus an IN-FLIGHT delta batch
+    * composed at read time — the freshness composition the vector
+    * (`knnServedLive`) and lexical (`hybridRrfLive`) tiers carry,
+    * warehouse side: dimension changes of the current (not-yet-landed)
+    * micro-batch are visible to point-in-time lookups immediately,
+    * without writing anything. `deltaId` is the id the delta WOULD land
+    * under (> every landed batch — the ingest contract's next id); the
+    * delta rides [[mergedRows]] verbatim and wins resolution exactly as
+    * its landed self would, so the law is structural: liveCurrent(store,
+    * delta) ≡ current(store after processBatch(delta)) ≡ the batch
+    * rebuild over all events (`Scd2LiveSpec`, any prefix split).
+    *
+    * Scale: the composition adds ZERO store mutation and the delta's
+    * merge cost — O(touched users), the ingest tier's own bound; the
+    * base store is never rewritten, only union-resolved at read.
+    */
+  def liveCurrent(spark: SparkSession, store: Scd2Store, delta: DataFrame,
+      deltaId: Long): DataFrame = {
+    val tsType = delta.schema("ts").dataType
+    resolve(tryStore(spark, store.intervalsPath, deltaId - 1, tsType)
+        .unionByName(mergedRows(delta, deltaId, store)))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("gen", "batch_id")
+      .orderBy("user_id", "version")
+  }
 
   /** Store compaction: resolve latest-per-key, keep ONE generation.
     * Rows keep their `gen`, so later batches still win on read and the
