@@ -395,6 +395,129 @@ object Linkage {
       .orderBy("s_suppkey")
   }
 
+  // ---- graph_coreness: full core decomposition ---------------------------
+  private[graft] val CorenessMaxK = 10
+
+  /** Per-node CORENESS (the max k with the node inside the k-core) — the
+    * r13 review's #6 ask: `graph_kcore` answers "is this node in the 2-
+    * and 3-cores"; a robustness read over a linkage graph wants the full
+    * decomposition (a supplier group's coreness is how many concurrent
+    * spurious-edge deletions its duplicate cluster survives).
+    *
+    * Plan: SUCCESSIVE peeling — the (k+1)-core is a subgraph of the
+    * k-core, so each threshold's [[KCoreRounds]] fixed peel rounds start
+    * from the PREVIOUS threshold's edge fixpoint, not from the full
+    * graph (the textbook incremental decomposition; most thresholds see
+    * an already-tiny or empty edge stream). Fixed rounds per threshold,
+    * so the oracle unrolls the IDENTICAL peel chain and the gate holds
+    * bit-for-bit even mid-convergence; that the fixpoint IS reached on
+    * these corpora is `CorenessSpec`'s engine-independent brute law.
+    * [[CorenessMaxK]] = 10 bounds the loop above the corpus' degeneracy
+    * (digit-neighborhood cliques cap at 10 members = coreness 9; the
+    * empty 10-core peels to nothing in one round).
+    *
+    * Scale (100 TB): inherits the kcore economics — per round one
+    * partial-aggregable degree count + two semi-joins over a stream
+    * that only SHRINKS, with the two-generation checkpoint discipline;
+    * the final coreness fold is one union of ≤ k_max node sets + a
+    * max aggregate. k_max is the price knob and is data-bounded
+    * (degeneracy), not corpus-bounded.
+    */
+  def graphCoreness(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessOn(fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
+
+  private[graft] def graphCorenessOn(pairs: DataFrame,
+      kMax: Int = CorenessMaxK, rounds: Int = KCoreRounds): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    val nodes = edges
+      .select(explode(array(col("u"), col("v"))).as("s_suppkey")).distinct()
+      .localCheckpoint()
+    // per-threshold core node sets, each eagerly checkpointed (small —
+    // they shrink with k) so edge generations can release underneath
+    var coreSets = List.empty[DataFrame]
+    var prevRound: scala.collection.Set[Int] = Set.empty[Int]
+    for (k <- 2 to kMax) {
+      for (_ <- 1 to rounds) {
+        val deg = edges.select(col("u").as("id"))
+          .unionAll(edges.select(col("v").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select("id")
+        val before = sc.getPersistentRDDs.keySet
+        edges = edges
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val thisRound = sc.getPersistentRDDs.keySet -- before
+        prevRound.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        prevRound = thisRound
+      }
+      coreSets ::= edges
+        .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+        .withColumn("k", lit(k))
+        .localCheckpoint()
+    }
+    prevRound.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val cores = coreSets.reduce(_ unionAll _)
+    nodes
+      .join(cores, col("s_suppkey") === col("id"), "left")
+      .groupBy(col("s_suppkey"))
+      .agg(coalesce(max(col("k")), lit(1)).cast("int").as("coreness"))
+      .orderBy("s_suppkey")
+  }
+
+  /** [[peelSql]] generalized to an arbitrary source edge CTE — the
+    * successive-decomposition chain starts threshold k from threshold
+    * k−1's fixpoint, exactly as the Spark loop does.
+    */
+  private def peelSqlFrom(k: Int, rounds: Int, src: String): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""k${k}_deg$r AS MATERIALIZED (
+         |  SELECT id, count(*) AS d FROM (
+         |    SELECT u AS id FROM k${k}_e${r - 1}
+         |    UNION ALL SELECT v FROM k${k}_e${r - 1}) GROUP BY 1),
+         |k${k}_e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v FROM k${k}_e${r - 1} e
+         |  JOIN k${k}_deg$r da ON e.u = da.id AND da.d >= $k
+         |  JOIN k${k}_deg$r db ON e.v = db.id AND db.d >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""k${k}_e0 AS MATERIALIZED (SELECT u, v FROM $src),
+       |$steps,
+       |k${k}_core AS (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT u AS id FROM k${k}_e$rounds
+       |    UNION ALL SELECT v FROM k${k}_e$rounds))""".stripMargin
+  }
+
+  val graphCorenessSql: String = {
+    val chain = (2 to CorenessMaxK).map { k =>
+      val src = if (k == 2) "fp0" else s"k${k - 1}_e$KCoreRounds"
+      peelSqlFrom(k, KCoreRounds, src)
+    }.mkString(",\n")
+    val unions = (2 to CorenessMaxK)
+      .map(k => s"SELECT id, $k AS k FROM k${k}_core").mkString("\n  UNION ALL ")
+    s"""WITH fp AS MATERIALIZED (
+       |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+       |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+       |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+       |fp0 AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM fp),
+       |$chain,
+       |nodes AS (
+       |  SELECT DISTINCT id AS s_suppkey FROM (
+       |    SELECT a_id AS id FROM fp UNION ALL SELECT b_id FROM fp)),
+       |cores AS (
+       |  $unions)
+       |SELECT n.s_suppkey,
+       |       CAST(coalesce(max(c.k), 1) AS INT) AS coreness
+       |FROM nodes n LEFT JOIN cores c ON n.s_suppkey = c.id
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   private def peelSql(k: Int, rounds: Int): String = {
     val steps = (1 to rounds).map { r =>
       s"""k${k}_deg$r AS MATERIALIZED (
@@ -715,5 +838,6 @@ object Linkage {
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
     "graph_kcore" -> (graphKcore _, graphKcoreSql),
-    "graph_kcore_served" -> (graphKcoreServed _, graphKcoreSql))
+    "graph_kcore_served" -> (graphKcoreServed _, graphKcoreSql),
+    "graph_coreness" -> (graphCoreness _, graphCorenessSql))
 }

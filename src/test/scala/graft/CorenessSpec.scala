@@ -1,0 +1,71 @@
+package graft
+
+import graft.dedup.Linkage
+import org.apache.spark.sql.functions._
+
+/** Laws for the full core decomposition (`graph_coreness`). */
+class CorenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def coreness(pairs: Seq[(Long, Long)],
+      kMax: Int = Linkage.CorenessMaxK,
+      rounds: Int = Linkage.KCoreRounds): Map[Long, Int] =
+    Linkage.graphCorenessOn(pairs.toDF("a_id", "b_id"), kMax, rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  /** Engine-independent brute decomposition: peel to CONVERGENCE at each
+    * threshold, coreness = max k whose core retains the node.
+    */
+  private def brute(pairs: Seq[(Long, Long)], kMax: Int): Map[Long, Int] = {
+    def core(k: Int): Set[Long] = {
+      var edges = pairs.toSet
+      var done = false
+      while (!done) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        done = next == edges
+        edges = next
+      }
+      edges.flatMap(e => Seq(e._1, e._2))
+    }
+    val all = pairs.flatMap(e => Seq(e._1, e._2)).toSet
+    all.map(n => n -> (1 to kMax).filter(k => core(k)(n)).max).toMap
+  }
+
+  test("fixtures: K4 with tail, nested cliques") {
+    // K4 {1,2,3,4} + tail 5: clique coreness 3, tail 1
+    val k4 = coreness(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)))
+    assert(k4 == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1))
+    // K5 bridged to a triangle: the decomposition separates 4 / 2 / 1
+    val k5 = (1L to 5L).flatMap(a => (a + 1 to 5L).map(b => (a, b)))
+    val tri = Seq((6L, 7L), (6L, 8L), (7L, 8L))
+    val got = coreness(k5 ++ tri ++ Seq((5L, 6L)))
+    assert(got == Map(1L -> 4, 2L -> 4, 3L -> 4, 4L -> 4, 5L -> 4,
+      6L -> 2, 7L -> 2, 8L -> 2))
+  }
+
+  test("fixed-round decomposition ≡ brute fixpoint on the real graph") {
+    val pairs = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSeq
+    val got = coreness(pairs)
+    val want = brute(pairs, Linkage.CorenessMaxK)
+    assert(got.nonEmpty && got == want)
+    assert(got.values.max >= 2, "fixture graph must have nontrivial cores")
+  }
+
+  test("coreness is consistent with graph_kcore membership") {
+    val dir = "/root/testdata/sf0.001"
+    val kc = Linkage.graphKcore(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    val cn = Linkage.graphCoreness(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cn.keySet == kc.keySet)
+    cn.foreach { case (n, c) =>
+      assert(kc(n)._1 == (c >= 2) && kc(n)._2 == (c >= 3), s"node $n")
+    }
+  }
+}
