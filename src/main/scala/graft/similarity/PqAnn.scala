@@ -604,9 +604,22 @@ object PqAnn {
   def knnIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
     knnIvfPqResidualOn(Tables.embeddings(spark, dir))
 
-  private[graft] def knnIvfPqResidualOn(emb: DataFrame,
-      queryPred: Column = col("vec_id") % QueryMod === 0,
-      nprobe: Int = IvfTrained.NProbe): DataFrame = {
+  /** The residual tier's shared definitions — one bundle, so the in-plan
+    * entry and the served store BUILD train/encode identically by
+    * construction (the serve-tier exactness argument).
+    */
+  private[graft] final case class ResArtifacts(sq: DataFrame, cents: DataFrame,
+      asg: DataFrame, enc: DataFrame, codebook: DataFrame)
+
+  private def resSubSlices(rv: String, tier: Tier): Column = expr(
+    s"""transform(sequence(0, ${tier.m - 1}), s ->
+       |  named_struct('sub', s, 'qs', slice($rv, s * ${tier.d} + 1, ${tier.d})))""".stripMargin)
+
+  /** The residual training + corpus-encode pass (coarse cells, residual
+    * sub-vectors, PQ Lloyd rounds, final codes) — everything the serving
+    * store persists, and the front half of [[knnIvfPqResidualOn]].
+    */
+  private[graft] def pqResidualArtifacts(emb: DataFrame): ResArtifacts = {
     graft.GraftExtensions.register(emb.sparkSession)
     val tier = K256
     val sq = IvfTrained.scaledQuantized(emb)
@@ -615,13 +628,10 @@ object PqAnn {
     val cents = KMeansExact.centroidsPacked(emb).localCheckpoint(eager = false)
     val asg = IvfTrained.assignOn(sq, cents)
       .localCheckpoint(eager = false) // consumers: residuals, member stream
-    def subSlices(rv: String) = expr(
-      s"""transform(sequence(0, ${tier.m - 1}), s ->
-         |  named_struct('sub', s, 'qs', slice($rv, s * ${tier.d} + 1, ${tier.d})))""".stripMargin)
     // residual sub-vectors, already at the shared fixed-point scale
     val subv = sq.join(asg, "vec_id").join(broadcast(cents), "centroid_id")
       .select(col("vec_id"), expr("zip_with(sqv, cv, (a, b) -> a - b)").as("rv"))
-      .select(col("vec_id"), explode(subSlices("rv")).as("t"))
+      .select(col("vec_id"), explode(resSubSlices("rv", tier)).as("t"))
       .select(col("vec_id"), col("t.sub").as("sub"), col("t.qs").as("qs"))
       .localCheckpoint(eager = false)
     var c = subv.filter(col("vec_id") % tier.seedMod === 0 && col("vec_id") < tier.seedMax)
@@ -645,22 +655,41 @@ object PqAnn {
             .as("cv"))
         .localCheckpoint(eager = false)
     }
-    val enc = assign(c)
-    // query side: probes, then PER-CELL residual distance tables
-    val probes = IvfTrained.probesOn(sq.filter(queryPred), cents, nprobe)
-      .localCheckpoint(eager = false) // consumers: tables + member stream
-    val dtab = probes
-      .join(sq.filter(queryPred).select(col("vec_id").as("query_id"), col("sqv")),
-        "query_id")
+    ResArtifacts(sq, cents, asg, assign(c), c)
+  }
+
+  /** PER-(query, probed cell) residual distance tables — the residual
+    * tier's honest query-side price (the query's residual differs per
+    * cell). `qSq` is the (query_id, sqv) batch; shared by the in-plan
+    * entry and the serve path (one definition ⇒ tables bit-equal).
+    */
+  private[graft] def residualDtab(probes: DataFrame, qSq: DataFrame,
+      cents: DataFrame, cb: DataFrame, tier: Tier = K256): DataFrame = {
+    graft.GraftExtensions.register(probes.sparkSession)
+    probes
+      .join(qSq, "query_id")
       .join(broadcast(cents), "centroid_id")
       .select(col("query_id"), col("centroid_id"),
         expr("zip_with(sqv, cv, (a, b) -> a - b)").as("rv"))
-      .select(col("query_id"), col("centroid_id"), explode(subSlices("rv")).as("t"))
+      .select(col("query_id"), col("centroid_id"),
+        explode(resSubSlices("rv", tier)).as("t"))
       .select(col("query_id"), col("centroid_id"),
         col("t.sub").as("sub"), col("t.qs").as("qs"))
-      .join(broadcast(c), Seq("sub"))
+      .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("centroid_id"), col("sub"), col("code"),
         expr("sq_dist_i64(qs, cv)").as("dt"))
+  }
+
+  private[graft] def knnIvfPqResidualOn(emb: DataFrame,
+      queryPred: Column = col("vec_id") % QueryMod === 0,
+      nprobe: Int = IvfTrained.NProbe): DataFrame = {
+    val ResArtifacts(sq, cents, asg, enc, c) = pqResidualArtifacts(emb)
+    // query side: probes, then PER-CELL residual distance tables
+    val probes = IvfTrained.probesOn(sq.filter(queryPred), cents, nprobe)
+      .localCheckpoint(eager = false) // consumers: tables + member stream
+    val dtab = residualDtab(probes,
+      sq.filter(queryPred).select(col("vec_id").as("query_id"), col("sqv")),
+      cents, c)
     // members WITH their cell: the table join is per (query, cell).
     // broadcast(cmembers) carries the bounded-query-batch contract
     // documented at [[knnIvfPqOn]] — |Q|·nprobe·(N/C) rows fit the
