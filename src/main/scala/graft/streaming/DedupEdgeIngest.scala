@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.Maintenance
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming maintenance for the dedup-side verified near-dup edge
+  * graph — the [[LinkIngest]] twin for the MinHash tier, closing the
+  * same symmetry the r14 batch store ([[graft.dedup.Dedup.storedPairs]])
+  * opened: that store is built once per corpus; a continuous crawl
+  * needs the per-batch incremental derivation so graph consumers
+  * (components, keep-best, the ensemble's lexical screen) stay fresh
+  * without ever re-running shingle → band → verify over the
+  * accumulated corpus.
+  *
+  * Store layout (the house batch-store protocol, three stores under
+  * idempotent `batch_id=N` partitions):
+  *  - sets: each batch's hashed shingle sets (doc_id, sh) — the verify
+  *    side's feature store;
+  *  - bands: each batch's LSH band index (doc_id, band, band_hash) —
+  *    the candidate-probe side;
+  *  - edges: the verified near-dup pairs FIRST DERIVABLE at batch N —
+  *    in-batch candidates (the batch's band self-join) plus cross
+  *    candidates (the batch's bands probed against the bands
+  *    accumulated THROUGH batch N−1, an as-of read so replay sees the
+  *    original state and lands the identical partition).
+  *
+  * Every unordered pair {u, v} is derivable exactly once — at
+  * max(batch(u), batch(v)); in-batch and cross candidate sets are
+  * disjoint by construction — so the edge store is duplicate-free and
+  * the reader is a plain union: after ANY prefix of batches the stored
+  * edges equal the one-shot [[graft.dedup.Dedup.dedupMinhashOn]] over
+  * all documents seen, as a set (`DedupEdgeIngestSpec`'s law). Banding
+  * recall is PREFIX-INVARIANT because band keys are per-document: a
+  * pair collides in the streamed probe iff it collides in the one-shot
+  * index. Documents are assumed doc_id-unique across the stream (the
+  * dedup-after-exact contract).
+  *
+  * Scale (100 TB): per batch the work is |batch|·32 band rows probed
+  * against the accumulated band store plus the in-batch self-join —
+  * candidates O(new batch), never corpus × corpus — and the verify
+  * joins fetch only the candidates' sets (the accumulated sets store
+  * is read through a semi-join-sized equi-join, not scanned). The
+  * batch-partitioned band store is the freshness-optimized tier; the
+  * bucketed read-optimized [[graft.sources.BandStore]] catalog table
+  * is republished from the folded bands at compaction cadence — the
+  * same write-fresh/read-optimized split as the postings and linkage
+  * tiers. Graph consumers read the edge union directly.
+  */
+object DedupEdgeIngest {
+
+  final case class EdgeStores(setsPath: String, bandsPath: String,
+      edgesPath: String)
+
+  private val setsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(LongType))))
+
+  private val bandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("band_hash", LongType)))
+
+  private def tryRead(spark: SparkSession, path: String, maxBatch: Long,
+      schema: StructType): DataFrame =
+    try Maintenance.readAsOf(spark, path, maxBatch)
+      .select(schema.fieldNames.map(col): _*)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+    }
+
+  /** One micro-batch of (doc_id, text) documents: derive the batch's
+    * new verified edges (in-batch + cross-vs-accumulated), land sets,
+    * bands and edges under `batch_id=id`.
+    */
+  def processBatch(batch: DataFrame, id: Long, store: EdgeStores): Unit = {
+    val spark = batch.sparkSession
+    // hashedSets already lazily checkpoints — one materialization for
+    // the three consumers (bands, verify, landing)
+    val sets = Dedup.hashedSets(Dedup.shingleSets(batch))
+    val bands = Dedup.bandIndex(sets)
+      .localCheckpoint(eager = false) // consumers: both candidate joins, landing
+    val priorBands = tryRead(spark, store.bandsPath, id - 1, bandsSchema)
+    val priorSets  = tryRead(spark, store.setsPath,  id - 1, setsSchema)
+    val inBatch = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    val cross = bands.as("a")
+      .join(priorBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
+    val candidates = inBatch.unionByName(cross).distinct()
+    Dedup.verifyJaccard(candidates, sets.unionByName(priorSets))
+      .write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
+    bands.write.mode("overwrite").parquet(s"${store.bandsPath}/batch_id=$id")
+    sets.write.mode("overwrite").parquet(s"${store.setsPath}/batch_id=$id")
+  }
+
+  /** The streaming wiring: document stream → per-batch edge derivation. */
+  def run(docs: DataFrame, store: EdgeStores, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        processBatch(batch, id, store)
+        ()
+      }
+      .start()
+
+  /** The live verified near-dup graph: a plain union of batch
+    * partitions (duplicate-free by the first-derivable-once
+    * construction) — the frame components/keep-best/screens consume.
+    */
+  def edges(spark: SparkSession, store: EdgeStores): DataFrame =
+    spark.read.parquet(store.edgesPath)
+      .select("doc_id_1", "doc_id_2", "jaccard")
+
+  /** Store compaction: all three stores are append-only sets, so
+    * compaction is the plain partition fold (crash-safe plan/commit
+    * protocol); the graph is bit-identical before and after.
+    * Republishing the bucketed read-optimized band table from the
+    * folded bands is [[graft.sources.BandStore.write]] — run at
+    * whatever cadence incremental probing wants.
+    */
+  def compact(spark: SparkSession, store: EdgeStores): Unit = {
+    Maintenance.compactBatchStore(spark, store.edgesPath)
+    Maintenance.compactBatchStore(spark, store.bandsPath)
+    Maintenance.compactBatchStore(spark, store.setsPath)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.DedupEdgeIngest
+import graft.streaming.DedupEdgeIngest.EdgeStores
+import org.apache.spark.sql.functions._
+
+/** Laws for streaming near-dup edge maintenance: after any prefix of
+  * batches the stored edge graph equals the one-shot MinHash-LSH dedup
+  * over all documents seen (as a set — banding recall is
+  * prefix-invariant because band keys are per-document), replay is a
+  * no-op, and compaction preserves the graph bit-for-bit.
+  */
+class DedupEdgeIngestSpec extends SparkSpec {
+
+  private def store(tag: String) = {
+    val base = java.nio.file.Files.createTempDirectory(s"dedup_ingest_$tag").toString
+    EdgeStores(s"$base/sets", s"$base/bands", s"$base/edges")
+  }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("doc_id_1", "doc_id_2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("streamed edges ≡ one-shot MinHash dedup after every batch prefix; replay no-op; compaction identity") {
+    GraftExtensions.register(spark)
+    val s = store("law")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    // three arbitrary doc-atomic batches (id mod 3)
+    val batches = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    var seen = docs.filter(lit(false))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupEdgeIngest.processBatch(b, i.toLong, s)
+      seen = seen.unionByName(b)
+      val expected = edgeSet(Dedup.dedupMinhashOn(Dedup.shingleSets(seen)))
+      val got = edgeSet(DedupEdgeIngest.edges(spark, s))
+      assert(expected.nonEmpty && got == expected, s"prefix through batch $i")
+    }
+    val before = edgeSet(DedupEdgeIngest.edges(spark, s))
+    // replay the middle batch: as-of reads reproduce the original state
+    DedupEdgeIngest.processBatch(batches(1), 1L, s)
+    assert(edgeSet(DedupEdgeIngest.edges(spark, s)) == before, "replay must be a no-op")
+    // compaction: same graph, one generation
+    DedupEdgeIngest.compact(spark, s)
+    assert(edgeSet(DedupEdgeIngest.edges(spark, s)) == before, "compaction identity")
+    // cross-batch pairs genuinely exercised: the one-shot graph is
+    // larger than the union of per-batch in-batch graphs
+    val inBatchOnly = batches.map(b =>
+      edgeSet(Dedup.dedupMinhashOn(Dedup.shingleSets(b)))).reduce(_ ++ _)
+    assert(inBatchOnly.size < before.size, "fixture must produce cross-batch edges")
+  }
+}
