@@ -689,6 +689,16 @@ object Linkage {
           Tables.supplier(spark, dir), "s_suppkey", "s_name")
         .select(col("a_id"), col("b_id")))
 
+  /** [[graphCoreness]] over the stored edges — the full decomposition
+    * joins the served-graph family: only the successive threshold-peel
+    * loop is paid per run, never the pair derivation.
+    */
+  def graphCorenessServed(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessOn(
+      storedEdges(spark, graft.analytics.RetrievalAnalytics.storeKey(dir),
+          Tables.supplier(spark, dir), "s_suppkey", "s_name")
+        .select(col("a_id"), col("b_id")))
+
   /** The persisted verified pair graph for a corpus (building the store
     * on first touch) — the frame every served graph consumer starts from.
     */
@@ -839,5 +849,6 @@ object Linkage {
     "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
     "graph_kcore" -> (graphKcore _, graphKcoreSql),
     "graph_kcore_served" -> (graphKcoreServed _, graphKcoreSql),
-    "graph_coreness" -> (graphCoreness _, graphCorenessSql))
+    "graph_coreness" -> (graphCoreness _, graphCorenessSql),
+    "graph_coreness_served" -> (graphCorenessServed _, graphCorenessSql))
 }
