@@ -675,13 +675,15 @@ object Dedup {
     (out, iters)
   }
 
-  /** Oracle: transitive closure of the exact-Jaccard pair graph via a
-    * recursive CTE (tractable at oracle scale; the component id is the
-    * min reachable doc_id, which the min-label fixpoint also computes).
+  /** Transitive closure of a Jaccard pair CTE via a recursive CTE
+    * (tractable at oracle scale; the component id is the min reachable
+    * doc_id, which the min-label fixpoint also computes). Shared by the
+    * base components oracle and the deletion twin (which feeds a
+    * survivor-filtered pair CTE).
     */
-  val dedupComponentsSql: String =
+  private def componentsClosureOver(pairsSql: String): String =
     s"""WITH RECURSIVE pairs AS (
-       |  ${jaccardOracleSql.replace("\n", "\n  ")}),
+       |  ${pairsSql.replace("\n", "\n  ")}),
        |edges AS (
        |  SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
        |  UNION
@@ -695,6 +697,9 @@ object Dedup {
        |       v = least(v, min(u)) AS is_canonical
        |FROM reach
        |GROUP BY v""".stripMargin
+
+  /** Oracle: the exact-Jaccard pair closure over the full corpus. */
+  val dedupComponentsSql: String = componentsClosureOver(jaccardOracleSql)
 
   /** [[componentsAltStarOn]] over the MinHash pair graph — the
     * adversarial-diameter variant oracle-checked against the SAME
@@ -819,6 +824,99 @@ object Dedup {
       storedPairs(spark, graft.analytics.RetrievalAnalytics.storeKey(dir),
         Tables.documents(spark, dir)),
       Tables.documents(spark, dir))
+
+  // ---- dedup_components_served_del: tombstones on the dedup graph ------
+
+  private[graft] val DocDelMod = 9L
+  private[graft] val DocDelRes = 4L
+
+  /** The persisted component map over [[storedPairs]] — the dedup-side
+    * entity map the deletion path's untouched groups pass through from
+    * (the `storedEntityMap` twin; built once beside the edge store).
+    */
+  private[graft] def storedDocComponents(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    val path = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_dedup_edges/" + key + "_components"
+    edgeStoreLock.synchronized {
+      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(success))
+        componentsOn(storedPairs(spark, key, docs)).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Tombstone deletion for the DEDUP graph tier — the
+    * `entity_groups_served_del` symmetry on the MinHash side: documents
+    * matching the tombstone rule (doc_id ≡ [[DocDelRes]] mod
+    * [[DocDelMod]], standing in for a takedown/opt-out batch) land
+    * beside the edge store; near-dup components containing NO deleted
+    * document pass through from the persisted component map UNTOUCHED;
+    * only the AFFECTED components re-run min-label propagation over
+    * their surviving edges (splits are possible — membership is not
+    * monotone under edge removal; survivors that lose their last edge
+    * drop out, exactly as a from-scratch rebuild drops them).
+    *
+    * The law (`DedupDeleteSpec` + this entry's oracle): output ≡
+    * [[dedupComponents]] recomputed from scratch over the SURVIVING
+    * documents. Exactness argument: LSH band keys and the Jaccard
+    * verify are PER-DOCUMENT / PER-PAIR (no other document influences
+    * whether {u, v} is an edge), so the survivor pair graph IS the
+    * stored graph minus tombstone-incident edges; and component
+    * recompute restricted to affected groups is exact because edge
+    * removal never merges groups.
+    *
+    * Scale (100 TB): the tombstone batch broadcasts; the component map
+    * is paired-docs-sized (≪ corpus); the per-delete work is the
+    * affected components' edge lists — never the full graph. At the
+    * next store rebuild the tombstones fold to zero, as in the vector
+    * and linkage tiers.
+    */
+  def dedupComponentsServedDel(spark: SparkSession, dir: String): DataFrame =
+    dedupComponentsServedDelFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir),
+      Tables.documents(spark, dir))
+
+  private[graft] def dedupComponentsServedDelFrames(spark: SparkSession,
+      key: String, docs: => DataFrame): DataFrame = {
+    val d = docs
+    val pairs = storedPairs(spark, key, d)
+    val comp  = storedDocComponents(spark, key, d)
+      .select(col("doc_id"), col("component_id"), col("is_canonical"))
+    // the deletion batch lands beside the store and is read back — the
+    // serve path never sees the rule, only ids
+    val tombPath = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_dedup_edges/" + key + "_tombstones"
+    d.filter(col("doc_id") % DocDelMod === DocDelRes)
+      .select(col("doc_id").cast("long").as("dead_id"))
+      .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+    val dead = spark.read.parquet(tombPath).select("dead_id")
+    val affected = comp
+      .join(broadcast(dead), col("doc_id") === col("dead_id"), "left_semi")
+      .select(col("component_id").as("aff_id")).distinct()
+    val untouched = comp
+      .join(broadcast(affected), col("component_id") === col("aff_id"), "left_anti")
+    // surviving edges of affected components only: doc_id_1's membership
+    // decides the component (both endpoints share it by definition)
+    val memb = comp.select(col("doc_id").as("doc_id_1"),
+      col("component_id").as("m_id"))
+    val affEdges = pairs.select(col("doc_id_1"), col("doc_id_2"))
+      .join(memb, Seq("doc_id_1"))
+      .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
+      .join(broadcast(dead), col("doc_id_1") === col("dead_id"), "left_anti")
+      .join(broadcast(dead), col("doc_id_2") === col("dead_id"), "left_anti")
+    val recomputed = componentsOn(affEdges.select("doc_id_1", "doc_id_2"))
+    untouched.unionByName(recomputed).orderBy("doc_id")
+  }
+
+  /** [[dedupComponentsSql]] over the surviving documents — the
+    * from-scratch rebuild the served-deletion law demands.
+    */
+  val dedupComponentsServedDelSql: String = componentsClosureOver(
+    jaccardOracleSql.replace("AS toks FROM documents)",
+      s"AS toks FROM documents WHERE doc_id % $DocDelMod <> $DocDelRes)"))
 
   // ---- dedup_incremental: new-batch-vs-corpus MinHash dedup ------------
 
@@ -1348,6 +1446,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _, jaccardOracleSql),
     "dedup_components" -> (dedupComponents _, dedupComponentsSql),
     "dedup_components_served" -> (dedupComponentsServed _, dedupComponentsSql),
+    "dedup_components_served_del" -> (dedupComponentsServedDel _, dedupComponentsServedDelSql),
     "dedup_components_altstar" -> (dedupComponentsAltstar _, dedupComponentsSql),
     "dedup_keep_best" -> (dedupKeepBest _, dedupKeepBestSql),
     "dedup_keep_best_served" -> (dedupKeepBestServed _, dedupKeepBestSql),
