@@ -309,7 +309,8 @@ object ScaleProbe {
       // remaining-screen terms — the rebuild term the r13 verdict asked
       // to kill (components 14.4 s, ensemble 24.4 s at 100×)
       if (wanted("dedup_components_served") || wanted("dedup_keep_best_served")
-          || wanted("dedup_ensemble_served")) {
+          || wanted("dedup_ensemble_served")
+          || wanted("dedup_components_served_del")) {
         val key = graft.analytics.RetrievalAnalytics.storeKey(docsPath)
         Dedup.storedPairs(spark, key, docs).count() // build (or reuse) once
         Maintenance.releaseCachedBlocks(spark, blocking = true)
@@ -320,6 +321,15 @@ object ScaleProbe {
           time(spark, copies, "dedup_keep_best_served")(guard(
             Dedup.keepBestFrom(Dedup.storedPairs(spark, key, docs),
               docs.withColumn("n_chars", length(col("text")).cast("long")))))
+        // deletion-aware served components: edge store + component map
+        // built untimed; the timed object is the tombstone land +
+        // affected-component recompute + untouched pass-through
+        if (wanted("dedup_components_served_del")) {
+          def served = Dedup.dedupComponentsServedDelFrames(spark, key, docs)
+          served.count() // builds the component map; serve is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "dedup_components_served_del")(guard(served))
+        }
         // ensemble with the production centroid shape (the dedup_ensemble
         // arm's semanticOf) AND the stored lexical screen: what remains
         // is exact's fp aggregate + semantic's broadcast prune + verdict
