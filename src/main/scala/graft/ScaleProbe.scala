@@ -1061,7 +1061,8 @@ object ScaleProbe {
       // incremental probe = O(new batch) keys against co-located buckets;
       // served graph entries start at stored edges so the wedge/loop
       // term, not the pair-graph rebuild, is what the row prices
-      if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))) {
+      if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))
+          || wanted("entity_groups_served_del")) {
         val namesPath = s"$tmp/names_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
           bigNames(Tables.customer(spark, sfDir), copies)
