@@ -310,7 +310,8 @@ object ScaleProbe {
       // to kill (components 14.4 s, ensemble 24.4 s at 100×)
       if (wanted("dedup_components_served") || wanted("dedup_keep_best_served")
           || wanted("dedup_ensemble_served")
-          || wanted("dedup_components_served_del")) {
+          || wanted("dedup_components_served_del")
+          || wanted("dedup_components_live")) {
         val key = graft.analytics.RetrievalAnalytics.storeKey(docsPath)
         Dedup.storedPairs(spark, key, docs).count() // build (or reuse) once
         Maintenance.releaseCachedBlocks(spark, blocking = true)
@@ -329,6 +330,15 @@ object ScaleProbe {
           served.count() // builds the component map; serve is timed
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "dedup_components_served_del")(guard(served))
+        }
+        // live components: landed slices built untimed; the timed read
+        // pays the in-flight delta's derivation (O(delta) band probes
+        // against the accumulated store) + propagation
+        if (wanted("dedup_components_live")) {
+          def live = Dedup.dedupComponentsLiveFrames(spark, key + "_live", docs)
+          live.count() // lands the base slices; the live read is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "dedup_components_live")(guard(live))
         }
         // ensemble with the production centroid shape (the dedup_ensemble
         // arm's semanticOf) AND the stored lexical screen: what remains

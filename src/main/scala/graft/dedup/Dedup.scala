@@ -825,6 +825,57 @@ object Dedup {
         Tables.documents(spark, dir)),
       Tables.documents(spark, dir))
 
+  // ---- dedup_components_live: base store + in-flight delta at read -----
+
+  /** [[dedupComponentsServed]] with FRESHNESS — the live base+delta
+    * composition the vector (`knnServedLive`), lexical (`hybridRrfLive`)
+    * and warehouse (`scd2LookupLive`) tiers carry, completing it on the
+    * dedup graph: the landed edge store holds every crawl slice except
+    * the last; the last slice's edges derive at READ time through the
+    * ingest tier's own
+    * [[graft.streaming.DedupEdgeIngest.batchFrames]] (one definition,
+    * so composed-at-read ≡ landed is structural) — an in-flight crawl
+    * batch's near-dup links are visible to components immediately,
+    * without writing anything.
+    *
+    * Bit-exactness: `DedupEdgeIngestSpec` pins liveEdges(prefix store,
+    * remainder delta) ≡ the one-shot MinHash dedup over all documents
+    * for every prefix split, so this entry equals [[dedupComponents]]
+    * frame-for-frame and shares its oracle verbatim.
+    *
+    * Scale (100 TB): the read-time term is the delta's derivation —
+    * O(new batch) probe keys against the accumulated band store, the
+    * ingest bound — plus the graph propagation; the landed store is
+    * never rewritten.
+    */
+  def dedupComponentsLive(spark: SparkSession, dir: String): DataFrame =
+    dedupComponentsLiveFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_livebase",
+      Tables.documents(spark, dir))
+
+  private[graft] def dedupComponentsLiveFrames(spark: SparkSession,
+      key: String, docs: => DataFrame): DataFrame = {
+    val d = docs
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_dedup_ingest/" + key
+    val store = graft.streaming.DedupEdgeIngest.EdgeStores(
+      base + "/sets", base + "/bands", base + "/edges")
+    edgeStoreLock.synchronized {
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
+      if (!fs.exists(marker)) {
+        if (fs.exists(root)) fs.delete(root, true)
+        (0 to 1).foreach(r =>
+          graft.streaming.DedupEdgeIngest.processBatch(
+            d.filter(col("doc_id") % 3 === r), r.toLong, store))
+        fs.create(marker, true).close()
+      }
+    }
+    componentsOn(graft.streaming.DedupEdgeIngest.liveEdges(
+      spark, store, d.filter(col("doc_id") % 3 === 2), 2L))
+  }
+
   // ---- dedup_components_served_del: tombstones on the dedup graph ------
 
   private[graft] val DocDelMod = 9L
@@ -1447,6 +1498,7 @@ object Dedup {
     "dedup_components" -> (dedupComponents _, dedupComponentsSql),
     "dedup_components_served" -> (dedupComponentsServed _, dedupComponentsSql),
     "dedup_components_served_del" -> (dedupComponentsServedDel _, dedupComponentsServedDelSql),
+    "dedup_components_live" -> (dedupComponentsLive _, dedupComponentsSql),
     "dedup_components_altstar" -> (dedupComponentsAltstar _, dedupComponentsSql),
     "dedup_keep_best" -> (dedupKeepBest _, dedupKeepBestSql),
     "dedup_keep_best_served" -> (dedupKeepBestServed _, dedupKeepBestSql),

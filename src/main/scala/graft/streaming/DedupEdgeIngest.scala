@@ -73,11 +73,17 @@ object DedupEdgeIngest {
           schema)
     }
 
-  /** One micro-batch of (doc_id, text) documents: derive the batch's
-    * new verified edges (in-batch + cross-vs-accumulated), land sets,
-    * bands and edges under `batch_id=id`.
+  /** A batch's derivation as PURE frames (the write side of
+    * [[processBatch]] and the read side of [[liveEdges]] share it — one
+    * definition, so landed ≡ composed-at-read is structural): the
+    * batch's sets and bands, plus the verified edges first derivable at
+    * this batch (in-batch + cross-vs-accumulated-through-`id`−1).
     */
-  def processBatch(batch: DataFrame, id: Long, store: EdgeStores): Unit = {
+  private[graft] final case class BatchFrames(sets: DataFrame,
+      bands: DataFrame, edges: DataFrame)
+
+  private[graft] def batchFrames(batch: DataFrame, id: Long,
+      store: EdgeStores): BatchFrames = {
     val spark = batch.sparkSession
     // hashedSets already lazily checkpoints — one materialization for
     // the three consumers (bands, verify, landing)
@@ -97,10 +103,48 @@ object DedupEdgeIngest {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_id_1"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_id_2"))
     val candidates = inBatch.unionByName(cross).distinct()
-    Dedup.verifyJaccard(candidates, sets.unionByName(priorSets))
-      .write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
-    bands.write.mode("overwrite").parquet(s"${store.bandsPath}/batch_id=$id")
-    sets.write.mode("overwrite").parquet(s"${store.setsPath}/batch_id=$id")
+    BatchFrames(sets, bands,
+      Dedup.verifyJaccard(candidates, sets.unionByName(priorSets)))
+  }
+
+  /** One micro-batch of (doc_id, text) documents: derive the batch's
+    * new verified edges (in-batch + cross-vs-accumulated), land sets,
+    * bands and edges under `batch_id=id`.
+    */
+  def processBatch(batch: DataFrame, id: Long, store: EdgeStores): Unit = {
+    val f = batchFrames(batch, id, store)
+    f.edges.write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
+    f.bands.write.mode("overwrite").parquet(s"${store.bandsPath}/batch_id=$id")
+    f.sets.write.mode("overwrite").parquet(s"${store.setsPath}/batch_id=$id")
+  }
+
+  /** The LIVE verified graph: the landed store plus an IN-FLIGHT delta
+    * batch composed at read time — the freshness composition the
+    * vector (`knnServedLive`), lexical (`hybridRrfLive`) and warehouse
+    * (`scd2LookupLive`) tiers carry, dedup side: the current
+    * (not-yet-landed) crawl batch's near-dup edges are visible to graph
+    * consumers immediately, without writing anything. `deltaId` is the
+    * id the delta WOULD land under (> every landed batch); the delta
+    * rides [[batchFrames]] verbatim, so the law is structural:
+    * liveEdges(store, delta) ≡ edges(store after processBatch(delta)) ≡
+    * the one-shot dedup over all documents (`DedupEdgeIngestSpec`).
+    */
+  def liveEdges(spark: SparkSession, store: EdgeStores, delta: DataFrame,
+      deltaId: Long): DataFrame = {
+    // schema-safe base read: a store with NOTHING landed yet (the
+    // everything-in-flight split) serves the delta alone
+    val landed =
+      try edges(spark, store)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("doc_id_1", LongType),
+              StructField("doc_id_2", LongType),
+              StructField("jaccard", DoubleType))))
+      }
+    landed.unionByName(batchFrames(delta, deltaId, store).edges
+      .select("doc_id_1", "doc_id_2", "jaccard"))
   }
 
   /** The streaming wiring: document stream → per-batch edge derivation. */

@@ -52,4 +52,27 @@ class DedupEdgeIngestSpec extends SparkSpec {
       edgeSet(Dedup.dedupMinhashOn(Dedup.shingleSets(b)))).reduce(_ ++ _)
     assert(inBatchOnly.size < before.size, "fixture must produce cross-batch edges")
   }
+
+  test("live(base prefix + delta) ≡ one-shot dedup, for every prefix split") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val batches = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    val full = edgeSet(Dedup.dedupMinhashOn(Dedup.shingleSets(docs)))
+    // split k: batches [0, k) landed, batches [k, 3) folded into one
+    // in-flight delta — the composed read must equal the one-shot graph
+    (0 to 2).foreach { k =>
+      val s = store(s"live$k")
+      (0 until k).foreach(i => DedupEdgeIngest.processBatch(batches(i), i.toLong, s))
+      val delta = (k to 2).map(batches).reduce(_ unionByName _)
+      val live = edgeSet(
+        DedupEdgeIngest.liveEdges(spark, s, delta, k.toLong))
+      assert(live == full, s"split at $k")
+    }
+    // the delta is composed at read, never written: an empty store stays empty
+    val s = store("livero")
+    DedupEdgeIngest.liveEdges(spark, s, batches(0), 0L).count()
+    assert(!new java.io.File(s.edgesPath).exists, "live read must not write")
+  }
 }
