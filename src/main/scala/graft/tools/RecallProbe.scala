@@ -45,6 +45,19 @@ object RecallProbe {
       .repartition(spark.sparkContext.defaultParallelism)
   }
 
+  /** The decaying-spectrum twin: [[clusteredEmb]] with per-dim scale
+    * 1/(1 + d/8) — a PCA-like eigenvalue profile where dim ENERGY is
+    * ordered by index, so contiguous subspace slicing concentrates the
+    * whole spectrum head in the first codebooks (the OPQ paper's
+    * motivating worst case) while the balanced snake deal spreads it.
+    */
+  private[tools] def anisoEmb(spark: SparkSession, n: Int, k: Int): DataFrame =
+    clusteredEmb(spark, n, k)
+      .select(col("vec_id"), expr(
+        """zip_with(embedding, sequence(0, 63),
+          |  (x, d) -> cast(cast(x as double) / (1.0D + cast(d as double) / 8.0D) as float))"""
+          .stripMargin).as("embedding"))
+
   private def truthFor(emb: DataFrame, queryPred: Column): DataFrame = {
     GraftExtensions.register(emb.sparkSession)
     val qv = emb.select(col("vec_id"),
@@ -91,6 +104,8 @@ object RecallProbe {
       val (emb, queryPred) =
         if (geom == "clustered") (clusteredEmb(spark, 2000 * copies, 16),
           col("vec_id") % 100 === 0)
+        else if (geom == "aniso") (anisoEmb(spark, 2000 * copies, 16),
+          col("vec_id") % 100 === 0)
         else if (copies == 1) (Tables.embeddings(spark, sfDir),
           col("vec_id") % 100 === 0)
         else {
@@ -130,6 +145,7 @@ object RecallProbe {
         "knn_pq" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K16)),
         "knn_pq_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K16)),
         "knn_pq256" -> (() => PqAnn.knnPqOn(emb, queryPred, PqAnn.K256)),
+        "knn_pq256_balanced" -> (() => PqAnn.knnPqBalancedOn(emb, queryPred)),
         "knn_pq256_rerank" -> (() => PqAnn.knnPqRerankOn(emb, queryPred, PqAnn.K256)),
         "knn_ivf_pq" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256)),
         "knn_ivf_pq_sqrt" -> (() => PqAnn.knnIvfPqOn(emb, queryPred, PqAnn.K256,
