@@ -647,12 +647,13 @@ object PqAnn {
     * exact rerank — [[knnPqRerankSqlFor]]'s suffix over
     * [[IvfTrained.trainedMembersSqlChain]]'s members.
     */
-  private def knnIvfPqRerankSqlOver(routingChain: String): String =
+  private def knnIvfPqRerankSqlOver(routingChain: String,
+      membersCte: String = "members"): String =
     s"""WITH $routingChain,
        |${pqCoreSql(K256)},
        |scored AS MATERIALIZED (
        |  SELECT m.query_id, m.vec_id, CAST(sum(t.dt) AS BIGINT) AS d2
-       |  FROM members m
+       |  FROM $membersCte m
        |  JOIN aenc a ON a.vec_id = m.vec_id
        |  JOIN dtab t ON t.query_id = m.query_id AND t.sub = a.sub AND t.code = a.code
        |  GROUP BY 1, 2),
@@ -678,6 +679,23 @@ object PqAnn {
     knnIvfPqRerankSqlOver(IvfTrained.trainedMembersSqlChain)
   val knnIvfPqRerankSqrtSql: String =
     knnIvfPqRerankSqlOver(IvfTrained.trainedMembersSqrtSqlChain)
+
+  /** [[knnIvfPqRerankSql]] under a tombstone rule: dead vectors leave the
+    * member stream and dead queries leave the query set BEFORE the
+    * shortlist cut (both engines cut fetch-`IvfRerankFetch` over the
+    * SURVIVING candidates); training is untouched — deleted vectors
+    * still shaped the coarse cells and codebooks, exactly like the
+    * serving store until its next rebuild (`knn_served_del`'s contract
+    * on the PQ tier).
+    */
+  def knnIvfPqRerankDelSql(delMod: Long, delRes: Long): String =
+    knnIvfPqRerankSqlOver(
+      s"""${IvfTrained.trainedMembersSqlChain},
+         |live AS (
+         |  SELECT query_id, vec_id FROM members
+         |  WHERE vec_id % $delMod <> $delRes
+         |    AND query_id % $delMod <> $delRes)""".stripMargin,
+      "live")
 
   val knnPqSql: String          = knnPqSqlFor(K16)
   val knnPqRerankSql: String    = knnPqRerankSqlFor(K16)
