@@ -1193,12 +1193,21 @@ object RetrievalAnalytics {
   private[graft] def knnServedPqFrames(spark: SparkSession, key: String,
       docs: => DataFrame, emb: => DataFrame,
       queryIds: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        _ % 100 === 0): DataFrame = {
+        _ % 100 === 0,
+      dead: Option[DataFrame] = None): DataFrame = {
     graft.GraftExtensions.register(spark)
     val st = servedStores(spark, key, docs, emb)
     val pq = pqStores(spark, key, st, emb)
     val cents = spark.read.parquet(st.centroidsPath)
-    val rawQ = emb.filter(queryIds(col("vec_id")))
+    // tombstones (when present) leave the query batch and the member
+    // stream BEFORE the shortlist cut — `knn_served_del`'s contract on
+    // the PQ tier: both engines over-fetch among the SURVIVORS
+    def live(df: DataFrame): DataFrame = dead match {
+      case Some(d) =>
+        df.join(broadcast(d), df("vec_id") === d("dead_id"), "left_anti")
+      case None => df
+    }
+    val rawQ = live(emb.filter(queryIds(col("vec_id"))))
     val probes = graft.similarity.IvfTrained
       .probesOn(graft.similarity.IvfTrained.scaledQuantized(rawQ), cents,
         graft.similarity.IvfTrained.NProbe)
@@ -1208,8 +1217,8 @@ object RetrievalAnalytics {
     val dtab = graft.similarity.PqAnn.dtabFor(rawQ,
       spark.read.parquet(pq.codebookPath))
     val fetch = graft.similarity.PqAnn.IvfRerankFetch
-    val shortlist = spark.read.parquet(pq.codesPath)
-      .filter(col("centroid_id").isin(probeIds: _*))
+    val shortlist = live(spark.read.parquet(pq.codesPath)
+        .filter(col("centroid_id").isin(probeIds: _*)))
       .join(broadcast(probes), "centroid_id")
       .filter(col("vec_id") =!= col("query_id"))
       // unpack the 16 codes back to enc's (sub, code) layout — the same
@@ -1240,6 +1249,36 @@ object RetrievalAnalytics {
         col("col.id").as("vec_id"),
         (-col("col.score")).cast("long").as("d2"))
       .orderBy("query_id", "rank")
+  }
+
+  /** [[knnServedPq]] under DELETION — completing the PQ serving tier's
+    * freshness story ([[knnServedDel]]'s tombstone contract on the
+    * packed-code store): the deletion batch lands beside the codes
+    * (idempotent overwrite), dead vectors leave the member stream and
+    * dead queries leave the query set BEFORE the over-fetch cut, and the
+    * exact rerank runs over the survivors only. Codebooks, coarse cells
+    * and the packed codes are UNTOUCHED — deleted vectors still shaped
+    * training, exactly like the store until its next rebuild — so the
+    * oracle is [[graft.similarity.PqAnn.knnIvfPqRerankDelSql]]: the
+    * rerank chain with the tombstone filter on members and queries
+    * (previously an unconsumed SQL — r14 ADVICE — now this entry's gate).
+    *
+    * Scale (100 TB): [[knnServedPq]]'s serving economics plus one
+    * broadcast anti-join against a deletion batch bounded by the volume
+    * between index builds; partition pruning on the code store survives
+    * (the anti-join sits above the pruned scan).
+    */
+  def knnServedPqDel(spark: SparkSession, dir: String): DataFrame = {
+    val st = servedStores(spark, storeKey(dir),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+    val tombPath = st.vectorsPath + "_tombstones"
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % DelMod === DelRes)
+      .select(col("vec_id").as("dead_id"))
+      .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+    knnServedPqFrames(spark, storeKey(dir),
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      dead = Some(spark.read.parquet(tombPath).select("dead_id")))
   }
 
   // ---- knn_served_pq_residual: residual codes in the serving tier ------
@@ -1384,6 +1423,8 @@ object RetrievalAnalytics {
     "knn_served"        -> (knnServed _, knnServedSql),
     "knn_served_del"    -> (knnServedDel _, knnServedDelSql),
     "knn_served_pq"     -> (knnServedPq _, graft.similarity.PqAnn.knnIvfPqRerankSql),
+    "knn_served_pq_del" -> (knnServedPqDel _,
+      graft.similarity.PqAnn.knnIvfPqRerankDelSql(DelMod, DelRes)),
     "knn_served_pq_residual" -> (knnServedPqResidual _,
       graft.similarity.PqAnn.knnIvfPqResidualSql),
     "bm25_search_served" -> (bm25SearchServed _, bm25SearchServedSql),

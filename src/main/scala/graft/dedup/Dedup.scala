@@ -141,10 +141,16 @@ object Dedup {
 
   /** Shared oracle for the two Jaccard-output queries: exact n-gram Jaccard
     * over all pairs sharing ≥1 shingle (inverted-index SQL).
+    *
+    * `docsWhere` (e.g. `" WHERE doc_id % 9 <> 4"`, empty for the full
+    * corpus) restricts the docs CTE — the survivor-filter hook the
+    * deletion twin composes through, instead of textual surgery on the
+    * finished SQL (r14 ADVICE: a `.replace` that silently no-ops when
+    * the base text drifts reverts the oracle to the no-deletion query).
     */
-  val jaccardOracleSql: String =
+  private[graft] def jaccardOracleSqlOver(docsWhere: String): String =
     s"""WITH docs AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents$docsWhere),
        |sh AS (
        |  SELECT doc_id, unnest(${shinglesSql("toks")}) AS shingle FROM docs),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -157,6 +163,8 @@ object Dedup {
        |JOIN sizes s1 ON doc_id_1 = s1.doc_id
        |JOIN sizes s2 ON doc_id_2 = s2.doc_id
        |WHERE c::DOUBLE / (s1.n + s2.n - c) >= $JaccardThreshold""".stripMargin
+
+  val jaccardOracleSql: String = jaccardOracleSqlOver("")
 
   /** Char-13-gram twin of [[jaccardOracleSql]]. */
   val jaccardCharOracleSql: String =
@@ -966,8 +974,7 @@ object Dedup {
     * from-scratch rebuild the served-deletion law demands.
     */
   val dedupComponentsServedDelSql: String = componentsClosureOver(
-    jaccardOracleSql.replace("AS toks FROM documents)",
-      s"AS toks FROM documents WHERE doc_id % $DocDelMod <> $DocDelRes)"))
+    jaccardOracleSqlOver(s" WHERE doc_id % $DocDelMod <> $DocDelRes"))
 
   // ---- dedup_incremental: new-batch-vs-corpus MinHash dedup ------------
 

@@ -241,10 +241,13 @@ object PqAnn {
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")))
       .select((col("pos") + 1).as("i"), col("col").as("q"))
     // n·Σq² − (Σq)² exceeds BIGINT at replica scales (≈4·10²⁰ at 100×);
-    // DECIMAL(33,0) intermediates keep the ranking exact in both engines
+    // the ADDENDS pre-cast to decimal (not just the sums' results) so the
+    // whole statistic is overflow-proof: a BIGINT-internal Σq² would wrap
+    // silently at extreme corpus sizes while the oracle sums into HUGEINT
+    // (r14 ADVICE)
     val stat = eq.groupBy("i").agg(
-      (count(lit(1)).cast("decimal(12,0)") * sum(expr("q * q")).cast("decimal(20,0)")
-        - sum(col("q")).cast("decimal(16,0)") * sum(col("q")).cast("decimal(16,0)"))
+      (count(lit(1)).cast("decimal(12,0)") * sum(expr("CAST(q AS DECIMAL(20,0)) * q"))
+        - sum(col("q").cast("decimal(16,0)")) * sum(col("q").cast("decimal(16,0)")))
         .as("v"))
     // the 64-row global window is a bounded-constant frame (dim count),
     // not a per-row window — the plan-law exemption class
@@ -686,7 +689,8 @@ object PqAnn {
     * SURVIVING candidates); training is untouched — deleted vectors
     * still shaped the coarse cells and codebooks, exactly like the
     * serving store until its next rebuild (`knn_served_del`'s contract
-    * on the PQ tier).
+    * on the PQ tier). Consumed as `knn_served_pq_del`'s oracle
+    * ([[graft.analytics.RetrievalAnalytics.knnServedPqDel]]).
     */
   def knnIvfPqRerankDelSql(delMod: Long, delRes: Long): String =
     knnIvfPqRerankSqlOver(

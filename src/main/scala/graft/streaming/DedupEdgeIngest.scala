@@ -109,13 +109,17 @@ object DedupEdgeIngest {
 
   /** One micro-batch of (doc_id, text) documents: derive the batch's
     * new verified edges (in-batch + cross-vs-accumulated), land sets,
-    * bands and edges under `batch_id=id`.
+    * bands and edges under `batch_id=id`. Write order is inputs first,
+    * DERIVED artifact last (r14 ADVICE): edges landing last makes the
+    * edge partition the natural commit point — a crash mid-batch never
+    * leaves batch N's edges visible while the sets/bands that as-of
+    * reads of N expect exist only after replay.
     */
   def processBatch(batch: DataFrame, id: Long, store: EdgeStores): Unit = {
     val f = batchFrames(batch, id, store)
-    f.edges.write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
-    f.bands.write.mode("overwrite").parquet(s"${store.bandsPath}/batch_id=$id")
     f.sets.write.mode("overwrite").parquet(s"${store.setsPath}/batch_id=$id")
+    f.bands.write.mode("overwrite").parquet(s"${store.bandsPath}/batch_id=$id")
+    f.edges.write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
   }
 
   /** The LIVE verified graph: the landed store plus an IN-FLIGHT delta

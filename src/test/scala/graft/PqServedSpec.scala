@@ -32,6 +32,26 @@ class PqServedSpec extends SparkSpec {
       "codes scan must be partition-pruned:\n" + codeScan)
   }
 
+  test("knn_served_pq_del: survivors only, queries filtered, empty batch ≡ base") {
+    GraftExtensions.register(spark)
+    val del = RetrievalAnalytics.knnServedPqDel(spark, dir).collect()
+    assert(del.nonEmpty)
+    // the tombstone rule (vec_id ≡ 3 mod 7): no dead vector is returned
+    // and no dead query issues
+    assert(del.forall(r => r.getLong(2) % 7 != 3), "dead neighbor served")
+    assert(del.forall(r => r.getLong(0) % 7 != 3), "dead query issued")
+    // with an EMPTY tombstone set the del path is the base serve verbatim
+    import spark.implicits._
+    val none = Seq.empty[Long].toDF("dead_id")
+    val viaEmpty = RetrievalAnalytics.knnServedPqFrames(spark,
+      RetrievalAnalytics.storeKey(dir), Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), dead = Some(none))
+      .collect().map(_.toString).toSeq
+    val base = RetrievalAnalytics.knnServedPq(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(viaEmpty == base)
+  }
+
   test("packed codes: 2 longs/vector, unpack ≡ enc") {
     GraftExtensions.register(spark)
     import org.apache.spark.sql.functions._
