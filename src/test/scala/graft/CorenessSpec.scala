@@ -57,6 +57,37 @@ class CorenessSpec extends SparkSpec {
     assert(got.values.max >= 2, "fixture graph must have nontrivial cores")
   }
 
+  private def hindex(pairs: Seq[(Long, Long)],
+      rounds: Int = Linkage.HIndexRounds): Map[Long, Int] =
+    Linkage.graphCorenessHindexOn(pairs.toDF("a_id", "b_id"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("h-index propagation: fixtures, ≡ peel ≡ brute on the real graph") {
+    // K4 + tail, K5 bridged to a triangle — the peel fixtures verbatim
+    assert(hindex(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))) == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1))
+    val k5 = (1L to 5L).flatMap(a => (a + 1 to 5L).map(b => (a, b)))
+    val tri = Seq((6L, 7L), (6L, 8L), (7L, 8L))
+    assert(hindex(k5 ++ tri ++ Seq((5L, 6L))) ==
+      Map(1L -> 4, 2L -> 4, 3L -> 4, 4L -> 4, 5L -> 4,
+        6L -> 2, 7L -> 2, 8L -> 2))
+    // a path graph: coreness 1 everywhere, but degree-2 interiors force
+    // the propagation to actually iterate (h⁰ = 2 in the middle)
+    val path = (1L to 9L).map(i => (i, i + 1))
+    assert(hindex(path) == (1L to 10L).map(_ -> 1).toMap)
+    // the real fuzzy graph: h-index fixpoint ≡ the threshold peel ≡ the
+    // engine-independent brute decomposition, AND the fixpoint is
+    // reached strictly inside the fixed round budget (rounds − 1 ≡
+    // rounds, so the oracle's unrolled chain is already converged)
+    val pairs = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSeq
+    val got = hindex(pairs)
+    assert(got.nonEmpty && got == brute(pairs, Linkage.CorenessMaxK))
+    assert(got == hindex(pairs, Linkage.HIndexRounds - 1),
+      "fixpoint not reached inside the fixed round budget")
+  }
+
   test("coreness is consistent with graph_kcore membership") {
     val dir = "/root/testdata/sf0.001"
     val kc = Linkage.graphKcore(spark, dir)

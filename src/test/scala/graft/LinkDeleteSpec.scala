@@ -54,6 +54,40 @@ class LinkDeleteSpec extends SparkSpec {
       (4L, 4L, true), (5L, 4L, false)))
   }
 
+  test("coreness served-del ≡ full survivor peel; untouched pass through the map") {
+    val sup = Tables.supplier(spark, dir)
+    val served = Linkage.graphCorenessServedDel(spark, dir)
+      .collect().map(_.toString).toSeq
+    val scratch = Linkage.graphCorenessOn(
+        Linkage.fuzzyJoinOn(sup.filter(col("s_suppkey") % 7 =!= 3),
+          "s_suppkey", "s_name").select(col("a_id"), col("b_id")))
+      .orderBy("s_suppkey")
+      .collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == scratch)
+    // deletion must actually change the decomposition for the law to bite
+    val undeleted = Linkage.graphCorenessServed(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(served != undeleted)
+  }
+
+  test("coreness del fixture: peeling a clique member lowers survivors' coreness") {
+    import spark.implicits._
+    // K4 {1,2,4,5} + pendant 8-2; tombstone rule (≡3 mod 7) kills 3 — put
+    // 3 INSIDE the clique instead: {1,2,3,4} all pairwise dist ≤ 1 is hard
+    // with levenshtein fixtures, so use a star-of-cliques: path 1-2-3-4-5
+    // where deleting 3 splits AND the coreness map must not leak stale
+    // labels for the affected side
+    val names = Seq(
+      (1L, "aaaa"), (2L, "aaab"), (3L, "aabb"), (4L, "abbb"), (5L, "bbbb"))
+      .toDF("s_suppkey", "s_name")
+    val key = "speccordel_" + System.nanoTime()
+    val got = Linkage.graphCorenessServedDelFrames(
+        spark, key, names, "s_suppkey", "s_name")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // survivors: edges (1,2) and (4,5) — every node coreness 1; node 3 gone
+    assert(got == Seq((1L, 1), (2L, 1), (4L, 1), (5L, 1)))
+  }
+
   test("a survivor orphaned by deletion drops out, as from-scratch does") {
     import spark.implicits._
     // pair (3, 9): 3 is tombstoned, 9 loses its only edge and must
