@@ -39,6 +39,15 @@ class PqBalancedSpec extends SparkSpec {
     assert(sums.values.toSet == Set(126), s"rank sums: $sums")
   }
 
+  test("knn_served_pq_balanced ≡ knn_pq256_balanced bit-for-bit") {
+    GraftExtensions.register(spark)
+    val served = PqAnn.knnServedPqBalanced(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlan = PqAnn.knnPqBalancedOn(Tables.embeddings(spark, dir))
+      .collect().map(_.toString).toSeq
+    assert(served.nonEmpty && served == inPlan)
+  }
+
   test("balanced entry keeps the knn_pq256 contract on the real corpus") {
     GraftExtensions.register(spark)
     val out = PqAnn.knnPqBalancedOn(Tables.embeddings(spark, dir)).collect()
