@@ -862,7 +862,22 @@ object Dedup {
       Tables.documents(spark, dir))
 
   private[graft] def dedupComponentsLiveFrames(spark: SparkSession,
-      key: String, docs: => DataFrame): DataFrame = {
+      key: String, docs: => DataFrame): DataFrame =
+    dedupComponentsLiveSplit(spark, key, docs,
+      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1),
+      col("doc_id") % 3 === 2)
+
+  /** [[dedupComponentsLiveFrames]] with the landed/in-flight split as a
+    * parameter: the registry entry's adversarial ⅓-in-flight split
+    * prices a worst case; the steady-state probe arm
+    * (`dedup_components_live_steady`) feeds a 1% delta so the
+    * production claim — one crawl increment ≈ the served row + one
+    * micro-batch derivation — is measured, not argued (r14 Missing #4).
+    */
+  private[graft] def dedupComponentsLiveSplit(spark: SparkSession,
+      key: String, docs: => DataFrame,
+      landed: Seq[org.apache.spark.sql.Column],
+      delta: org.apache.spark.sql.Column): DataFrame = {
     val d = docs
     val base = sys.props("java.io.tmpdir").stripSuffix("/") +
       "/graft_dedup_ingest/" + key
@@ -874,14 +889,65 @@ object Dedup {
       val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
       if (!fs.exists(marker)) {
         if (fs.exists(root)) fs.delete(root, true)
-        (0 to 1).foreach(r =>
+        landed.zipWithIndex.foreach { case (pred, r) =>
           graft.streaming.DedupEdgeIngest.processBatch(
-            d.filter(col("doc_id") % 3 === r), r.toLong, store))
+            d.filter(pred), r.toLong, store)
+        }
         fs.create(marker, true).close()
       }
     }
     componentsOn(graft.streaming.DedupEdgeIngest.liveEdges(
-      spark, store, d.filter(col("doc_id") % 3 === 2), 2L))
+      spark, store, d.filter(delta), landed.size.toLong))
+  }
+
+  // ---- dedup_components_served_inc: the incrementally-folded map -------
+
+  /** [[dedupComponentsServed]] with the map maintained INCREMENTALLY by
+    * the ingest tier ([[graft.streaming.DedupEdgeIngest.updateComponents]]
+    * — insert-only merges folded per batch, r14 verdict #6): the read is
+    * a snapshot scan that is FRESH through the last landed batch,
+    * paying neither the live entry's read-time delta derivation nor the
+    * served entry's full propagation. Here the registry split lands all
+    * three corpus slices through the ingest path and folds the map after
+    * each; the read equals [[dedupComponents]] by the fold law
+    * (`DedupEdgeIngestSpec`: snapshot after any prefix ≡ componentsOn
+    * over the landed edges), so the oracle is shared verbatim.
+    *
+    * Scale (100 TB): per landed batch the fold costs O(batch + affected
+    * components) — the previous snapshot's star edges of touched groups
+    * plus the batch's new edges; the read is always a map scan.
+    */
+  def dedupComponentsServedInc(spark: SparkSession, dir: String): DataFrame =
+    dedupComponentsServedIncFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.documents(spark, dir))
+
+  private[graft] def dedupComponentsServedIncFrames(spark: SparkSession,
+      key: String, docs: => DataFrame): DataFrame = {
+    val d = docs
+    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+      "/graft_dedup_ingest/" + key
+    val store = graft.streaming.DedupEdgeIngest.EdgeStores(
+      base + "/sets", base + "/bands", base + "/edges")
+    val compPath = base + "/components"
+    edgeStoreLock.synchronized {
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
+      if (!fs.exists(marker)) {
+        if (fs.exists(root)) fs.delete(root, true)
+        (0 to 2).foreach { r =>
+          graft.streaming.DedupEdgeIngest.processBatch(
+            d.filter(col("doc_id") % 3 === r), r.toLong, store)
+          graft.streaming.DedupEdgeIngest.updateComponents(
+            spark, store, compPath, r.toLong)
+        }
+        fs.create(marker, true).close()
+      }
+    }
+    spark.read.parquet(s"$compPath/batch_id=2")
+      .select("doc_id", "component_id", "is_canonical")
+      .orderBy("doc_id")
   }
 
   // ---- dedup_components_served_del: tombstones on the dedup graph ------
@@ -1506,6 +1572,8 @@ object Dedup {
     "dedup_components_served" -> (dedupComponentsServed _, dedupComponentsSql),
     "dedup_components_served_del" -> (dedupComponentsServedDel _, dedupComponentsServedDelSql),
     "dedup_components_live" -> (dedupComponentsLive _, dedupComponentsSql),
+    "dedup_components_served_inc" ->
+      (dedupComponentsServedInc _, dedupComponentsSql),
     "dedup_components_altstar" -> (dedupComponentsAltstar _, dedupComponentsSql),
     "dedup_keep_best" -> (dedupKeepBest _, dedupKeepBestSql),
     "dedup_keep_best_served" -> (dedupKeepBestServed _, dedupKeepBestSql),

@@ -151,6 +151,63 @@ object DedupEdgeIngest {
       .select("doc_id_1", "doc_id_2", "jaccard"))
   }
 
+  /** INCREMENTAL component-map maintenance (r14 verdict #6): fold batch
+    * `id`'s landed edges into a persisted per-batch component-map
+    * SNAPSHOT, so graph reads are fresh without the live delta's
+    * derivation term AND without ever re-propagating the full graph.
+    *
+    * Insertion is the EASY half of map maintenance (deletion splits;
+    * insertion only MERGES), and the fold never touches the stored edge
+    * graph: the previous snapshot's rows double as STAR EDGES (doc_id →
+    * component_id; every member connects to its component's min-id
+    * label, which is itself the component's min member), so connected
+    * components over (affected stars ∪ new edges) reproduce the merged
+    * labels exactly — the new label of a merged group is the min over
+    * its old labels and new member ids, which IS the min doc_id of the
+    * merged component. Components not incident to any new edge pass
+    * through untouched.
+    *
+    * The law (`DedupEdgeIngestSpec`): after ANY prefix of batches the
+    * snapshot ≡ [[graft.dedup.Dedup.componentsOn]] over the edges landed
+    * so far. Replay is idempotent: snapshot N is a deterministic
+    * function of snapshot N−1 and edge partition N, written as an
+    * idempotent `batch_id=N` overwrite.
+    *
+    * Scale (100 TB): per batch the work is O(batch + affected
+    * components) — the star frame of affected groups plus the batch's
+    * edges, never the corpus, never the stored edge graph; the
+    * propagation loop runs over a merged-group-sized stream.
+    */
+  def updateComponents(spark: SparkSession, store: EdgeStores,
+      compPath: String, id: Long): Unit = {
+    val newEdges = spark.read
+      .parquet(s"${store.edgesPath}/batch_id=$id")
+      .select("doc_id_1", "doc_id_2")
+      .localCheckpoint(eager = false)
+    val snapshot =
+      if (id == 0) Dedup.componentsOn(newEdges)
+      else {
+        val prev = spark.read.parquet(s"$compPath/batch_id=${id - 1}")
+          .select("doc_id", "component_id", "is_canonical")
+        val touched = newEdges
+          .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("t_id"))
+          .distinct()
+        val affected = prev
+          .join(broadcast(touched), col("doc_id") === col("t_id"), "left_semi")
+          .select(col("component_id").as("aff_id")).distinct()
+        val untouched = prev.join(broadcast(affected),
+          col("component_id") === col("aff_id"), "left_anti")
+        val affStars = prev
+          .join(broadcast(affected), col("component_id") === col("aff_id"),
+            "left_semi")
+          .select(col("doc_id").as("doc_id_1"),
+            col("component_id").as("doc_id_2"))
+        untouched.unionByName(
+          Dedup.componentsOn(affStars.unionByName(newEdges)))
+      }
+    snapshot.write.mode("overwrite").parquet(s"$compPath/batch_id=$id")
+  }
+
   /** The streaming wiring: document stream → per-batch edge derivation. */
   def run(docs: DataFrame, store: EdgeStores, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =

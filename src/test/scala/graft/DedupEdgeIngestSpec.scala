@@ -53,6 +53,39 @@ class DedupEdgeIngestSpec extends SparkSpec {
     assert(inBatchOnly.size < before.size, "fixture must produce cross-batch edges")
   }
 
+  test("folded component map ≡ from-scratch over the landed union, every prefix; replay no-op") {
+    GraftExtensions.register(spark)
+    val s = store("compmap")
+    val compPath = s.edgesPath.stripSuffix("/edges") + "/components"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val batches = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    def snapshot(id: Long): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(s"$compPath/batch_id=$id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    batches.zipWithIndex.foreach { case (b, i) =>
+      DedupEdgeIngest.processBatch(b, i.toLong, s)
+      DedupEdgeIngest.updateComponents(spark, s, compPath, i.toLong)
+      val expected = Dedup.componentsOn(
+          DedupEdgeIngest.edges(spark, s).select("doc_id_1", "doc_id_2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(expected.nonEmpty && snapshot(i.toLong) == expected,
+        s"map after batch $i")
+    }
+    // the fold genuinely exercises CROSS-BATCH growth: later snapshots
+    // must label strictly more nodes (cross-batch edges attach new
+    // members), else the law is vacuous
+    assert(snapshot(0L).size < snapshot(1L).size &&
+      snapshot(1L).size < snapshot(2L).size,
+      "fixture must grow the map across batches")
+    // replay: snapshot 1 recomputed from snapshot 0 + edge partition 1
+    // is byte-identical
+    val before = snapshot(1L)
+    DedupEdgeIngest.updateComponents(spark, s, compPath, 1L)
+    assert(snapshot(1L) == before, "replay must be a no-op")
+  }
+
   test("live(base prefix + delta) ≡ one-shot dedup, for every prefix split") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
