@@ -870,7 +870,7 @@ object RetrievalAnalytics {
       .agg(count(lit(1)).as("tf"))
 
   /** Per-phrase top-docs ranking tail shared by in-plan and served. */
-  private def phraseRank(tf: DataFrame, queries: DataFrame): DataFrame = {
+  private[graft] def phraseRank(tf: DataFrame, queries: DataFrame): DataFrame = {
     graft.GraftExtensions.register(tf.sparkSession)
     tf.join(broadcast(queries), "phrase")
       .groupBy(col("phrase"))
@@ -1060,42 +1060,140 @@ object RetrievalAnalytics {
   def phraseSearchKServed(spark: SparkSession, dir: String): DataFrame =
     phraseSearchKServedFrames(spark, storeKey(dir), Tables.documents(spark, dir))
 
+  /** Build-once resolution of the (doc, term, pos) positional-postings
+    * catalog table — shared by EVERY phrase length (the store's whole
+    * point): `phrase_search_k_served` and `phrase_search_mixed` probe
+    * the same table; only their query sets differ. The crash window is
+    * covered by the saveAsTable protocol (catalog registration commits
+    * after the write) plus the stale-location sweep for a build killed
+    * between location write and registration.
+    */
+  private def posPostingsTable(spark: SparkSession, key: String,
+      docs: => DataFrame): String = {
+    val t = s"pos_postings_$key"
+    if (!spark.catalog.tableExists(t)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val staleLoc = new org.apache.hadoop.fs.Path(warehouse, t)
+      val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+      positionalPostings(docs)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .bucketBy(ServedBuckets, "term").sortBy("term")
+        .format("parquet").saveAsTable(t)
+    }
+    t
+  }
+
+  /** Serve a query set from the positional store: bounded probe-term
+    * collect (the nprobe contract, ≤ queries × k terms, pushed as an IN
+    * filter so the bucketed scan prunes), then the position-chain join
+    * + per-phrase ranking — the shared read path of every k.
+    */
+  private def phraseServeFromStore(spark: SparkSession, table: String,
+      queries: DataFrame): DataFrame = {
+    val terms = queries.select(explode(split(col("phrase"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val postings = spark.table(table).filter(col("term").isin(terms: _*))
+    phraseRank(phraseChainTf(postings, queries), queries)
+  }
+
   private[graft] def phraseSearchKServedFrames(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
     val (table, qPath) = buildLock.synchronized {
       val base = sys.props("java.io.tmpdir").stripSuffix("/") +
         "/graft_pospost_store/" + key
-      val t = s"pos_postings_$key"
+      val t = posPostingsTable(spark, key, docs)
       val q = base + "/queries"
       val qSuccess = new org.apache.hadoop.fs.Path(q + "/_SUCCESS")
       val fs = qSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val built = spark.catalog.tableExists(t) && fs.exists(qSuccess)
-      if (!built) {
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, t)
-        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
-        positionalPostings(docs)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .bucketBy(ServedBuckets, "term").sortBy("term")
-          .format("parquet").saveAsTable(t)
+      if (!fs.exists(qSuccess))
         phraseTfK(docs, PhraseKLen)
           .groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
           .orderBy(col("cnt").desc, col("phrase").asc)
           .limit(PhraseQueries).select(col("phrase"))
           .coalesce(1).write.mode("overwrite").parquet(q)
-      }
       (t, q)
     }
-    val queries = spark.read.parquet(qPath)
-    // bounded probe-term collect (the nprobe contract): ≤ queries × k
-    // terms, pushed as an IN filter so the bucketed scan prunes
-    val terms = queries.select(explode(split(col("phrase"), " ")).as("t"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val postings = spark.table(table).filter(col("term").isin(terms: _*))
-    phraseRank(phraseChainTf(postings, queries), queries)
+    phraseServeFromStore(spark, table, spark.read.parquet(qPath))
+  }
+
+  // ---- phrase_search_mixed: k = 2 AND k = 4 from the SAME store ---------
+  private[graft] val PhraseMixedKs = Seq(2, 4)
+
+  /** Mixed-length phrase search — the proof of the positional store's
+    * any-k claim (`RetrievalAnalytics` scaladoc: "the store answers
+    * k = 2, 3, 17 alike", previously exercised only at k = 3): ONE query
+    * batch mixing the corpus' top-[[PhraseQueries]] bigrams and top
+    * 4-grams, answered by a single position-chain probe against the
+    * same (doc, term, pos) table `phrase_search_k_served` reads — no
+    * rebuild, no per-k artifact beyond the tiny query set.
+    * [[phraseChainTf]] is length-agnostic by construction (the hits
+    * filter counts against each phrase's own token count), so mixed
+    * lengths ride one join.
+    *
+    * Scale (100 TB): identical serving economics to the k=3 twin — the
+    * read is |probed posting lists| for the union of both query sets'
+    * terms; the store build stays corpus-linear and paid once per
+    * corpus, not per phrase length (the bigram-phrase store had to
+    * rebuild to answer a new k; this entry is the receipt that this one
+    * does not).
+    */
+  def phraseSearchMixed(spark: SparkSession, dir: String): DataFrame =
+    phraseSearchMixedFrames(spark, storeKey(dir), Tables.documents(spark, dir))
+
+  private[graft] def phraseSearchMixedFrames(spark: SparkSession, key: String,
+      docs: => DataFrame): DataFrame = {
+    val (table, qPath) = buildLock.synchronized {
+      val base = sys.props("java.io.tmpdir").stripSuffix("/") +
+        "/graft_pospost_store/" + key
+      val t = posPostingsTable(spark, key, docs)
+      val q = base + "/queries_mixed"
+      val qSuccess = new org.apache.hadoop.fs.Path(q + "/_SUCCESS")
+      val fs = qSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(qSuccess))
+        PhraseMixedKs.map(k =>
+            phraseTfK(docs, k)
+              .groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
+              .orderBy(col("cnt").desc, col("phrase").asc)
+              .limit(PhraseQueries).select(col("phrase")))
+          .reduce(_ unionByName _)
+          .coalesce(1).write.mode("overwrite").parquet(q)
+      (t, q)
+    }
+    phraseServeFromStore(spark, table, spark.read.parquet(qPath))
+  }
+
+  /** Oracle: per k the [[phraseSearchKSql]] chain (windows → tf → top
+    * queries), unioned — the two-length query batch ranked by the same
+    * tf-desc/doc-asc rule.
+    */
+  val phraseSearchMixedSql: String = {
+    val perK = PhraseMixedKs.map { k =>
+      s"""tg$k AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - ${k - 1}),
+         |    i -> ${(0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")})) AS phrase
+         |  FROM toks),
+         |tf$k AS (SELECT phrase, doc_id, count(*) AS tf FROM tg$k GROUP BY 1, 2),
+         |q$k AS (SELECT phrase FROM (
+         |  SELECT phrase, CAST(sum(tf) AS BIGINT) AS cnt FROM tf$k GROUP BY 1
+         |  ORDER BY cnt DESC, phrase ASC LIMIT $PhraseQueries))""".stripMargin
+    }.mkString(",\n")
+    val tfU = PhraseMixedKs.map(k => s"SELECT * FROM tf$k").mkString(" UNION ALL ")
+    val qU  = PhraseMixedKs.map(k => s"SELECT phrase FROM q$k").mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |$perK,
+       |tf AS ($tfU),
+       |q AS ($qU),
+       |r AS (
+       |  SELECT tf.phrase, doc_id, tf,
+       |         row_number() OVER (PARTITION BY tf.phrase
+       |                            ORDER BY tf DESC, doc_id ASC) AS rank
+       |  FROM tf JOIN q USING (phrase))
+       |SELECT phrase, CAST(rank AS INT) AS rank, doc_id, CAST(tf AS BIGINT) AS tf
+       |FROM r WHERE rank <= $PhraseTopDocs
+       |ORDER BY phrase, rank""".stripMargin
   }
 
   val phraseSearchKSql: String =
@@ -1432,5 +1530,6 @@ object RetrievalAnalytics {
     "phrase_search_served" -> (phraseSearchServed _, phraseSearchSql),
     "phrase_search_k"   -> (phraseSearchK _, phraseSearchKSql),
     "phrase_search_k_served" -> (phraseSearchKServed _, phraseSearchKSql),
+    "phrase_search_mixed" -> (phraseSearchMixed _, phraseSearchMixedSql),
   )
 }

@@ -83,6 +83,30 @@ class PhraseSearchSpec extends SparkSpec {
     assert(s.nonEmpty && s == p)
   }
 
+  test("phrase_search_mixed: k=2 and k=4 answered by ONE probe of the same store") {
+    val dir = "/root/testdata/sf0.001"
+    val got = RetrievalAnalytics.phraseSearchMixed(spark, dir).collect()
+    assert(got.nonEmpty)
+    // both lengths actually present in the answered query set
+    val lens = got.map(_.getString(0).split(" ").length).toSet
+    assert(lens == Set(2, 4), s"answered phrase lengths: $lens")
+    // per-k, the mixed entry's rows equal the in-plan window derivation
+    // ranked under the same rules — the any-k law applied twice
+    val docs = Tables.documents(spark, dir)
+    for (k <- RetrievalAnalytics.PhraseMixedKs) {
+      val tf = RetrievalAnalytics.phraseTfK(docs, k)
+      val queries = tf.groupBy(col("phrase"))
+        .agg(sum(col("tf")).as("cnt"))
+        .orderBy(col("cnt").desc, col("phrase").asc)
+        .limit(5).select(col("phrase"))
+      val want = RetrievalAnalytics.phraseRank(tf, queries)
+        .collect().map(_.toString).toSet
+      val have = got.filter(_.getString(0).split(" ").length == k)
+        .map(_.toString).toSet
+      assert(have == want, s"k=$k slice differs")
+    }
+  }
+
   test("bigram stream ≡ positional-postings adjacency join (the index spelling)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // the literal positional-index formulation: (doc, term, pos) self-join
