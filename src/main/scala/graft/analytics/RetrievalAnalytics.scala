@@ -424,23 +424,17 @@ object RetrievalAnalytics {
   private def servedStores(spark: SparkSession, key: String,
       docs: => DataFrame, emb: => DataFrame): graft.sources.HybridStore.Stores =
     buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_hybrid_store", key)
       val s = graft.sources.HybridStore.Stores(
         s"hybrid_postings_$key", base + "/vectors", base + "/centroids")
+      // built = table registered AND both parquet writes COMMITTED (the
+      // StoreCatalog `_SUCCESS` rule — the previous bare directory-exists
+      // java.io checks were the stale-partial-cache class)
       val built = spark.catalog.tableExists(s.postingsTable) &&
-        new java.io.File(s.vectorsPath).exists() &&
-        new java.io.File(s.centroidsPath).exists()
+        graft.sources.StoreCatalog.committed(spark, s.vectorsPath) &&
+        graft.sources.StoreCatalog.committed(spark, s.centroidsPath)
       if (!built) {
-        // the catalog is per-JVM but the warehouse directory persists: a
-        // prior process may have left the managed table's LOCATION behind
-        // with no catalog entry, which saveAsTable refuses — drop both.
-        // Hadoop FS API, not java.io: the warehouse may not be local.
-        spark.sql(s"DROP TABLE IF EXISTS ${s.postingsTable}")
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, s.postingsTable)
-        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+        graft.sources.StoreCatalog.sweepTable(spark, s.postingsTable)
         val e = emb
         // K-row trained centroid table: consumed by the assignment pass
         // now and persisted for the query-side router
@@ -911,19 +905,13 @@ object RetrievalAnalytics {
   private[graft] def phraseSearchServedFrames(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
     val (table, qPath) = buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") +
-        "/graft_phrase_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_phrase_store", key)
       val t = s"phrase_postings_$key"
       val q = base + "/queries"
       val built = spark.catalog.tableExists(t) &&
-        new java.io.File(q + "/_SUCCESS").exists()
+        graft.sources.StoreCatalog.committed(spark, q)
       if (!built) {
-        spark.sql(s"DROP TABLE IF EXISTS $t")
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, t)
-        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+        graft.sources.StoreCatalog.sweepTable(spark, t)
         val tf = phraseTf(docs)
         tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .bucketBy(ServedBuckets, "phrase").sortBy("phrase")
@@ -1071,13 +1059,7 @@ object RetrievalAnalytics {
   private def posPostingsTable(spark: SparkSession, key: String,
       docs: => DataFrame): String = {
     val t = s"pos_postings_$key"
-    if (!spark.catalog.tableExists(t)) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"))
-      val staleLoc = new org.apache.hadoop.fs.Path(warehouse, t)
-      val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+    graft.sources.StoreCatalog.ensureTable(spark, t) {
       positionalPostings(docs)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .bucketBy(ServedBuckets, "term").sortBy("term")
@@ -1102,13 +1084,10 @@ object RetrievalAnalytics {
   private[graft] def phraseSearchKServedFrames(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
     val (table, qPath) = buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") +
-        "/graft_pospost_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_pospost_store", key)
       val t = posPostingsTable(spark, key, docs)
       val q = base + "/queries"
-      val qSuccess = new org.apache.hadoop.fs.Path(q + "/_SUCCESS")
-      val fs = qSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(qSuccess))
+      if (!graft.sources.StoreCatalog.committed(spark, q))
         phraseTfK(docs, PhraseKLen)
           .groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
           .orderBy(col("cnt").desc, col("phrase").asc)
@@ -1146,13 +1125,10 @@ object RetrievalAnalytics {
   private[graft] def phraseSearchMixedFrames(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
     val (table, qPath) = buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") +
-        "/graft_pospost_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_pospost_store", key)
       val t = posPostingsTable(spark, key, docs)
       val q = base + "/queries_mixed"
-      val qSuccess = new org.apache.hadoop.fs.Path(q + "/_SUCCESS")
-      val fs = qSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(qSuccess))
+      if (!graft.sources.StoreCatalog.committed(spark, q))
         PhraseMixedKs.map(k =>
             phraseTfK(docs, k)
               .groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
@@ -1235,10 +1211,10 @@ object RetrievalAnalytics {
   private def pqStores(spark: SparkSession, key: String,
       st: graft.sources.HybridStore.Stores, emb: => DataFrame): PqStores =
     buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_hybrid_store", key)
       val s = PqStores(base + "/pqcodes", base + "/pqcodebook")
-      val built = new java.io.File(s.codesPath + "/_SUCCESS").exists() &&
-        new java.io.File(s.codebookPath + "/_SUCCESS").exists()
+      val built = graft.sources.StoreCatalog.committed(spark, s.codesPath) &&
+        graft.sources.StoreCatalog.committed(spark, s.codebookPath)
       if (!built) {
         val (enc, cb) = graft.similarity.PqAnn.pqArtifacts(emb)
         val packed = enc.groupBy(col("vec_id")).agg(
@@ -1404,10 +1380,10 @@ object RetrievalAnalytics {
   private def pqResStores(spark: SparkSession, key: String,
       emb: => DataFrame): PqResStores =
     buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_hybrid_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_hybrid_store", key)
       val s = PqResStores(base + "/pqrescodes", base + "/pqrescodebook")
-      val built = new java.io.File(s.codesPath + "/_SUCCESS").exists() &&
-        new java.io.File(s.codebookPath + "/_SUCCESS").exists()
+      val built = graft.sources.StoreCatalog.committed(spark, s.codesPath) &&
+        graft.sources.StoreCatalog.committed(spark, s.codebookPath)
       if (!built) {
         val a = graft.similarity.PqAnn.pqResidualArtifacts(emb)
         a.enc.groupBy(col("vec_id")).agg(

@@ -985,14 +985,9 @@ object StarAnalytics {
       events: => DataFrame): DataFrame = {
     val ev = events
     val store = scd2BuildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_scd2_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_scd2_store", key)
       val s = graft.streaming.Scd2Ingest.Scd2Store(base + "/intervals")
-      val root = new org.apache.hadoop.fs.Path(base)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
-        // a partial build (no marker) is garbage from a killed run: wipe
-        if (fs.exists(root)) fs.delete(root, true)
+      graft.sources.StoreCatalog.ensureBuilt(spark, base) {
         val dimEvents = ev.filter(col("event_type") =!= "purchase")
         // calendar months are a deterministic, ts-monotone batch split:
         // later batches never deliver earlier events for any user
@@ -1010,7 +1005,6 @@ object StarAnalytics {
         if (months.isEmpty)
           graft.streaming.Scd2Ingest.processBatch(dimEvents, 0L, s)
         graft.streaming.Scd2Ingest.compact(spark, s)
-        fs.create(marker, true).close()
       }
       s
     }
@@ -1063,13 +1057,9 @@ object StarAnalytics {
       .distinct().orderBy("m").collect().map(_.get(0))
     val baseMonths = months.dropRight(1)
     val store = scd2BuildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_scd2_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_scd2_store", key)
       val s = graft.streaming.Scd2Ingest.Scd2Store(base + "/intervals")
-      val root = new org.apache.hadoop.fs.Path(base)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
-        if (fs.exists(root)) fs.delete(root, true)
+      graft.sources.StoreCatalog.ensureBuilt(spark, base) {
         baseMonths.zipWithIndex.foreach { case (m, i) =>
           graft.streaming.Scd2Ingest.processBatch(
             dimEvents.filter(date_trunc("month", col("ts")) === lit(m)),
@@ -1081,7 +1071,6 @@ object StarAnalytics {
           graft.streaming.Scd2Ingest.processBatch(
             dimEvents.filter(lit(false)), 0L, s)
         graft.streaming.Scd2Ingest.compact(spark, s)
-        fs.create(marker, true).close()
       }
       s
     }

@@ -495,8 +495,8 @@ object StockAnalytics {
   private val storeWritten = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   def ticksStoreScan(spark: SparkSession, dir: String): DataFrame = {
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_tick_store/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = graft.sources.StoreCatalog.root("graft_tick_store",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
     storeWritten.getOrElseUpdate(path, {
       graft.sources.TickStore.write(Tables.ticks(spark, dir), path)
       true

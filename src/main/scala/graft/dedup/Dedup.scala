@@ -803,14 +803,12 @@ object Dedup {
     */
   private[graft] def storedPairs(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_dedup_edges/" + key
+    val path = graft.sources.StoreCatalog.root("graft_dedup_edges", key)
     edgeStoreLock.synchronized {
-      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      graft.sources.StoreCatalog.ensureCommitted(spark, Seq(path)) {
         dedupMinhashOn(shingleSets(docs)).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
@@ -879,21 +877,15 @@ object Dedup {
       landed: Seq[org.apache.spark.sql.Column],
       delta: org.apache.spark.sql.Column): DataFrame = {
     val d = docs
-    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_dedup_ingest/" + key
+    val base = graft.sources.StoreCatalog.root("graft_dedup_ingest", key)
     val store = graft.streaming.DedupEdgeIngest.EdgeStores(
       base + "/sets", base + "/bands", base + "/edges")
     edgeStoreLock.synchronized {
-      val root = new org.apache.hadoop.fs.Path(base)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
-        if (fs.exists(root)) fs.delete(root, true)
+      graft.sources.StoreCatalog.ensureBuilt(spark, base) {
         landed.zipWithIndex.foreach { case (pred, r) =>
           graft.streaming.DedupEdgeIngest.processBatch(
             d.filter(pred), r.toLong, store)
         }
-        fs.create(marker, true).close()
       }
     }
     componentsOn(graft.streaming.DedupEdgeIngest.liveEdges(
@@ -925,24 +917,18 @@ object Dedup {
   private[graft] def dedupComponentsServedIncFrames(spark: SparkSession,
       key: String, docs: => DataFrame): DataFrame = {
     val d = docs
-    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_dedup_ingest/" + key
+    val base = graft.sources.StoreCatalog.root("graft_dedup_ingest", key)
     val store = graft.streaming.DedupEdgeIngest.EdgeStores(
       base + "/sets", base + "/bands", base + "/edges")
     val compPath = base + "/components"
     edgeStoreLock.synchronized {
-      val root = new org.apache.hadoop.fs.Path(base)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(base + "/_GRAFT_BUILT")
-      if (!fs.exists(marker)) {
-        if (fs.exists(root)) fs.delete(root, true)
+      graft.sources.StoreCatalog.ensureBuilt(spark, base) {
         (0 to 2).foreach { r =>
           graft.streaming.DedupEdgeIngest.processBatch(
             d.filter(col("doc_id") % 3 === r), r.toLong, store)
           graft.streaming.DedupEdgeIngest.updateComponents(
             spark, store, compPath, r.toLong)
         }
-        fs.create(marker, true).close()
       }
     }
     spark.read.parquet(s"$compPath/batch_id=2")
@@ -961,14 +947,13 @@ object Dedup {
     */
   private[graft] def storedDocComponents(spark: SparkSession, key: String,
       docs: => DataFrame): DataFrame = {
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_dedup_edges/" + key + "_components"
+    val path = graft.sources.StoreCatalog.root("graft_dedup_edges",
+      key + "_components")
     edgeStoreLock.synchronized {
-      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      graft.sources.StoreCatalog.ensureCommitted(spark, Seq(path)) {
         componentsOn(storedPairs(spark, key, docs)).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
@@ -1012,8 +997,8 @@ object Dedup {
       .select(col("doc_id"), col("component_id"), col("is_canonical"))
     // the deletion batch lands beside the store and is read back — the
     // serve path never sees the rule, only ids
-    val tombPath = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_dedup_edges/" + key + "_tombstones"
+    val tombPath = graft.sources.StoreCatalog.root("graft_dedup_edges",
+      key + "_tombstones")
     d.filter(col("doc_id") % DocDelMod === DocDelRes)
       .select(col("doc_id").cast("long").as("dead_id"))
       .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")

@@ -681,29 +681,18 @@ object Linkage {
       names: => DataFrame, idCol: String = "id",
       nameCol: String = "name"): graft.sources.LinkStore.Stores =
     buildLock.synchronized {
-      val base = sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_link_store/" + key
+      val base = graft.sources.StoreCatalog.root("graft_link_store", key)
       val s = graft.sources.LinkStore.Stores(s"link_keys_$key", base + "/edges")
       // built = BOTH artifacts landed: the keys table exists AND the edges
-      // write COMMITTED (`_SUCCESS`, via the Hadoop FS API — the warehouse
-      // may not be local). Write order is keys-then-edges, so a build
-      // killed mid-edges leaves the table but no `_SUCCESS`; a bare
-      // directory-exists check would then serve a partial pair graph to
-      // every *_served consumer forever (the stale-cache class the
-      // bigEvents probe cache documents).
-      val edgesSuccess = new org.apache.hadoop.fs.Path(s.edgesPath + "/_SUCCESS")
-      val efs = edgesSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val built = spark.catalog.tableExists(s.keysTable) && efs.exists(edgesSuccess)
+      // write COMMITTED (StoreCatalog's `_SUCCESS` rule). Write order is
+      // keys-then-edges, so a build killed mid-edges leaves the table but
+      // no `_SUCCESS`; a bare directory-exists check would then serve a
+      // partial pair graph to every *_served consumer forever (the
+      // stale-cache class the bigEvents probe cache documents).
+      val built = spark.catalog.tableExists(s.keysTable) &&
+        graft.sources.StoreCatalog.committed(spark, s.edgesPath)
       if (!built) {
-        // per-JVM catalog vs persistent warehouse: a prior process may
-        // have left the managed table's LOCATION behind with no catalog
-        // entry, which saveAsTable refuses — drop both (Hadoop FS API,
-        // the warehouse may not be local).
-        spark.sql(s"DROP TABLE IF EXISTS ${s.keysTable}")
-        val warehouse = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"))
-        val staleLoc = new org.apache.hadoop.fs.Path(warehouse, s.keysTable)
-        val wfs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (wfs.exists(staleLoc)) wfs.delete(staleLoc, true)
+        graft.sources.StoreCatalog.sweepTable(spark, s.keysTable)
         val n = names
         graft.sources.LinkStore.write(
           deletionKeyIndex(n, idCol, nameCol),
@@ -791,25 +780,45 @@ object Linkage {
     * the peel now runs ONCE at map build (the [[storedEntityMap]]
     * pattern, `_SUCCESS`-gated) and every served read is a map scan.
     *
-    * Exactness under pass-through/recompute composition: the fixed-round
-    * peel is COMPONENT-DECOMPOSABLE — degree counts and keep-filters
-    * touch only a node's own component, so peel(G) restricted to a set
-    * of components ≡ peel(those components) round-for-round, no fixpoint
-    * assumption needed. That is what makes the deletion path
-    * ([[graphCorenessServedDel]]) bit-exact against the full survivor
-    * peel the oracle unrolls.
+    * The map BUILDS via [[graphCorenessHindexOn]] — the A/B probe row
+    * (`link_coreness_hindex` 6.9 / 22.4 / 60.8 s vs the peel's
+    * 24.8 / 75.5 / 408.1 s, a 6.7× win at 100×) settled the documented
+    * swap, so the single-pass propagation is the production build path —
+    * CAPPED at [[CorenessMaxK]] ([[capCoreness]]): the peel's contract
+    * is the k ≤ k_max decomposition (coreness = min(true, k_max)), and
+    * the h-index converges to TRUE coreness, which exceeds the cap on
+    * denser corpora (measured: 18 vs the capped 10 at sf0.01 — the
+    * uncapped map failed the gate, the capped one is exact). The cap is
+    * a zero-cost projection; equality with the peel-chain oracle is the
+    * fixpoint identity (each derivation's convergence is asserted by
+    * `CorenessSpec` inside its fixed round budget, and the oracle gate
+    * re-proves the composition at sf0.01 and sf0.1).
+    *
+    * Exactness under pass-through/recompute composition: BOTH
+    * derivations are COMPONENT-DECOMPOSABLE — peel keep-filters and
+    * h-index updates read only a node's own component — so
+    * derive(G) restricted to a set of components ≡ derive(those
+    * components), which is what makes the deletion path
+    * ([[graphCorenessServedDel]]) exact against the full survivor
+    * decomposition the oracle unrolls.
     */
+  /** min(coreness, [[CorenessMaxK]]) — the projection that makes the
+    * TRUE-coreness h-index build serve the peel's k ≤ k_max contract.
+    */
+  private def capCoreness(df: DataFrame): DataFrame =
+    df.select(col("s_suppkey"),
+      least(col("coreness"), lit(CorenessMaxK)).cast("int").as("coreness"))
+
   private[graft] def storedCorenessMap(spark: SparkSession, key: String,
       names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
     val st = linkStores(spark, key, names, idCol, nameCol)
     val path = st.edgesPath.stripSuffix("/edges") + "/coreness"
     buildLock.synchronized {
-      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
-        graphCorenessOn(spark.read.parquet(st.edgesPath)
-            .select(col("a_id"), col("b_id")))
+      graft.sources.StoreCatalog.ensureCommitted(spark, Seq(path)) {
+        capCoreness(graphCorenessHindexOn(spark.read.parquet(st.edgesPath)
+            .select(col("a_id"), col("b_id"))))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
@@ -869,14 +878,13 @@ object Linkage {
     val st = linkStores(spark, key, names, idCol, nameCol)
     val path = st.edgesPath.stripSuffix("/edges") + "/entities"
     buildLock.synchronized {
-      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      graft.sources.StoreCatalog.ensureCommitted(spark, Seq(path)) {
         Dedup.componentsOn(spark.read.parquet(st.edgesPath)
             .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
           .select(col("doc_id").as("s_suppkey"),
             col("component_id").as("entity_id"), col("is_canonical"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
@@ -987,24 +995,24 @@ object Linkage {
     * ([[entityGroupsServedDel]]'s batch, shared path — one deletion
     * store per corpus); nodes in entity groups containing NO deleted
     * record pass through from the coreness map UNTOUCHED; only the
-    * AFFECTED groups re-run the threshold peel over their surviving
-    * edges. Survivors that lose their last edge drop out, as a
-    * from-scratch rebuild drops them.
+    * AFFECTED groups re-derive coreness over their surviving edges —
+    * via [[graphCorenessHindexOn]], where the A/B win matters most
+    * because this is the per-delete term. Survivors that lose their
+    * last edge drop out, as a from-scratch rebuild drops them.
     *
-    * Exactness is STRONGER than the components case and needs no
-    * fixpoint argument: the fixed-round peel is component-decomposable
-    * (a node's degree and keep-decision read only its own component's
-    * edges), so peel(survivor graph) ≡ peel(untouched components) ∪
-    * peel(affected components' surviving edges) ROUND-FOR-ROUND — and
-    * peel(untouched components) is exactly what the stored map holds for
-    * those nodes, their edges being untouched by deletion. The oracle
-    * unrolls the full survivor peel; this entry composes map + bounded
-    * recompute; the two are bit-equal by that decomposition.
+    * Exactness: coreness is COMPONENT-LOCAL (both derivations' updates
+    * read only a node's own component), so the survivor decomposition ≡
+    * (untouched components' stored labels) ∪ (affected components'
+    * surviving-edge recompute) at the fixpoint — and the stored map
+    * holds exactly the untouched components' labels, their edges being
+    * untouched by deletion. The oracle unrolls the full survivor peel;
+    * fixpoint equivalence (asserted per-derivation by `CorenessSpec`,
+    * re-proven by this entry's gate at sf0.01/sf0.1) closes the loop.
     *
     * Scale (100 TB): the tombstone batch broadcasts; the map and entity
-    * map are graph-sized (≪ corpus); the peel's 72-round loop constant
-    * is paid only over the affected groups' edge lists — the deletion
-    * volume between rebuilds, never the graph.
+    * map are graph-sized (≪ corpus); the propagation loop is paid only
+    * over the affected groups' edge lists — the deletion volume between
+    * rebuilds, never the graph.
     */
   def graphCorenessServedDel(spark: SparkSession, dir: String): DataFrame =
     graphCorenessServedDelFrames(spark,
@@ -1039,7 +1047,11 @@ object Linkage {
       .join(broadcast(dead), col("a_id") === col("dead_id"), "left_anti")
       .join(broadcast(dead), col("b_id") === col("dead_id"), "left_anti")
       .select(col("a_id"), col("b_id"))
-    untouched.unionByName(graphCorenessOn(affEdges)).orderBy("s_suppkey")
+    // the affected recompute rides the capped h-index path too (the A/B
+    // row's 6.7× win matters MOST here — this is the per-delete term;
+    // the probe re-measured the arm on the switch, see PLANS.md)
+    untouched.unionByName(capCoreness(graphCorenessHindexOn(affEdges)))
+      .orderBy("s_suppkey")
   }
 
   /** [[graphCorenessSql]] over the surviving records — the full-survivor

@@ -344,13 +344,10 @@ object PqAnn {
     */
   private def pqBalStores(spark: SparkSession, key: String,
       emb: => DataFrame): PqBalStores = balLock.synchronized {
-    val base = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_pqbal_store/" + key
+    val base = graft.sources.StoreCatalog.root("graft_pqbal_store", key)
     val s = PqBalStores(base + "/dimmap", base + "/codes", base + "/codebook")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val built = Seq(s.dimMapPath, s.codesPath, s.codebookPath)
-      .forall(p => fs.exists(new org.apache.hadoop.fs.Path(p + "/_SUCCESS")))
+      .forall(graft.sources.StoreCatalog.committed(spark, _))
     if (!built) {
       val e = emb
       val tier = K256

@@ -1073,14 +1073,12 @@ object Similarity {
   private[graft] def storedEmbPairs(spark: SparkSession, key: String,
       e: => DataFrame,
       pairsOf: DataFrame => DataFrame = dedupEmbeddingOn): DataFrame = {
-    val path = sys.props("java.io.tmpdir").stripSuffix("/") +
-      "/graft_emb_edges/" + key
+    val path = graft.sources.StoreCatalog.root("graft_emb_edges", key)
     prStoreLock.synchronized {
-      val success = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-      val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(success))
+      graft.sources.StoreCatalog.ensureCommitted(spark, Seq(path)) {
         pairsOf(e).write
           .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      }
     }
     spark.read.parquet(path)
   }

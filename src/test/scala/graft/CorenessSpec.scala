@@ -88,6 +88,19 @@ class CorenessSpec extends SparkSpec {
       "fixpoint not reached inside the fixed round budget")
   }
 
+  test("h-index is TRUE coreness; min(·, kMax) is the peel's capped contract") {
+    // K13: true coreness 12 exceeds CorenessMaxK = 10 — the case that
+    // failed the uncapped map at sf0.01 (measured coreness 18 there).
+    // h-index reports 12; the capped peel reports 10; the map-build law
+    // is least(hindex, kMax) ≡ peel.
+    val k13 = (1L to 13L).flatMap(a => (a + 1 to 13L).map(b => (a, b)))
+    val h = hindex(k13)
+    assert(h.values.toSet == Set(12))
+    val peel = coreness(k13)
+    assert(peel.values.toSet == Set(Linkage.CorenessMaxK))
+    assert(h.map { case (n, c) => n -> math.min(c, Linkage.CorenessMaxK) } == peel)
+  }
+
   test("coreness is consistent with graph_kcore membership") {
     val dir = "/root/testdata/sf0.001"
     val kc = Linkage.graphKcore(spark, dir)
