@@ -1127,6 +1127,8 @@ object ScaleProbe {
       // term, not the pair-graph rebuild, is what the row prices
       if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))
           || wanted("entity_groups_served_del")
+          || wanted("entity_groups_served_inc")
+          || wanted("graph_coreness_served_inc")
           || wanted("link_coreness_hindex")) {
         val namesPath = s"$tmp/names_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
@@ -1198,6 +1200,26 @@ object ScaleProbe {
           served.count() // builds entity + coreness maps; serve is timed
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "link_served_coreness_del")(guard(served))
+        }
+        // incrementally-folded entity map (r15): records landed through
+        // LinkIngest + map folded per batch UNTIMED; the timed read is
+        // the snapshot scan — the dedup_components_served_inc symmetry
+        if (wanted("entity_groups_served_inc")) {
+          def inc = graft.dedup.Linkage.entityGroupsServedIncFrames(
+            spark, key + "_incmap", names, "id", "name")
+          inc.count() // lands batches + folds the map; the read is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "entity_groups_served_inc")(guard(inc))
+        }
+        // incrementally-folded CORENESS map (r15): same root, the
+        // capped-h-index fold per batch untimed; the read is the last
+        // snapshot — fresh with zero read-time propagation
+        if (wanted("graph_coreness_served_inc")) {
+          def inc = graft.dedup.Linkage.graphCorenessServedIncFrames(
+            spark, key + "_incmap", names, "id", "name")
+          inc.count() // lands batches + folds both maps; the read is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "graph_coreness_served_inc")(guard(inc))
         }
         // deletion-aware served entities: stores built untimed above;
         // the timed object is the tombstone land + affected-group

@@ -892,6 +892,50 @@ object Dedup {
       spark, store, d.filter(delta), landed.size.toLong))
   }
 
+  /** The generic incremental component-map FOLD (the write side of
+    * `updateComponents`/`updateEntities` — both ingest tiers delegate
+    * here, one definition): fold `newEdges` (this batch's landed
+    * (doc_id_1, doc_id_2) pairs) into the per-batch snapshot chain at
+    * `compPath`. Insertion only MERGES, and the previous snapshot's
+    * rows double as STAR EDGES (member → min-id label, itself the
+    * component's min member), so components over (affected stars ∪ new
+    * edges) reproduce the merged labels exactly — min over old labels
+    * and new ids IS the merged component's min member. Components not
+    * incident to any new edge pass through untouched. Replay idempotent:
+    * snapshot N is a deterministic function of snapshot N−1 and edge
+    * partition N, written as an idempotent `batch_id=N` overwrite.
+    *
+    * Scale (100 TB): O(batch + affected components) per fold — star
+    * frames of touched groups plus the batch's edges, never the
+    * accumulated edge graph, never the corpus.
+    */
+  private[graft] def foldComponentsSnapshot(spark: SparkSession,
+      edges: DataFrame, compPath: String, id: Long): Unit = {
+    val newEdges = edges.localCheckpoint(eager = false)
+    val snapshot =
+      if (id == 0) componentsOn(newEdges)
+      else {
+        val prev = spark.read.parquet(s"$compPath/batch_id=${id - 1}")
+          .select("doc_id", "component_id", "is_canonical")
+        val touched = newEdges
+          .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("t_id"))
+          .distinct()
+        val affected = prev
+          .join(broadcast(touched), col("doc_id") === col("t_id"), "left_semi")
+          .select(col("component_id").as("aff_id")).distinct()
+        val untouched = prev.join(broadcast(affected),
+          col("component_id") === col("aff_id"), "left_anti")
+        val affStars = prev
+          .join(broadcast(affected), col("component_id") === col("aff_id"),
+            "left_semi")
+          .select(col("doc_id").as("doc_id_1"),
+            col("component_id").as("doc_id_2"))
+        untouched.unionByName(
+          componentsOn(affStars.unionByName(newEdges)))
+      }
+    snapshot.write.mode("overwrite").parquet(s"$compPath/batch_id=$id")
+  }
+
   // ---- dedup_components_served_inc: the incrementally-folded map -------
 
   /** [[dedupComponentsServed]] with the map maintained INCREMENTALLY by

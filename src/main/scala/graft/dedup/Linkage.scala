@@ -640,11 +640,14 @@ object Linkage {
        |    UNION ALL SELECT v FROM k${k}_e$rounds))""".stripMargin
   }
 
-  val graphKcoreSql: String =
+  /** The two-threshold membership oracle over an optionally-restricted
+    * supplier set — the same predicate hook as the coreness chain.
+    */
+  private def graphKcoreSqlOver(extraPred: String): String =
     s"""WITH fp AS MATERIALIZED (
        |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
        |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
-       |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+       |  WHERE levenshtein(a.s_name, b.s_name) <= 1$extraPred),
        |${peelSql(2, KCoreRounds)},
        |${peelSql(3, KCoreRounds)},
        |nodes AS (
@@ -657,6 +660,8 @@ object Linkage {
        |LEFT JOIN k2_core c2 ON n.s_suppkey = c2.id
        |LEFT JOIN k3_core c3 ON n.s_suppkey = c3.id
        |ORDER BY n.s_suppkey""".stripMargin
+
+  val graphKcoreSql: String = graphKcoreSqlOver("")
 
   // ---- the materialized linkage tier: LinkStore-backed entries ----------
   /** "New batch" rule for the incremental entry: s_suppkey ≡ [[NewRem]]
@@ -856,6 +861,138 @@ object Linkage {
       names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
     val st = linkStores(spark, key, names, idCol, nameCol)
     spark.read.parquet(st.edgesPath)
+  }
+
+  // ---- entity_groups_served_inc: the incrementally-folded entity map ----
+
+  /** [[entityGroupsServed]] with the map maintained INCREMENTALLY by the
+    * ingest tier ([[graft.streaming.LinkIngest.updateEntities]] — the
+    * dedup tier's `dedup_components_served_inc` symmetry, one shared
+    * fold): records land through `LinkIngest.processBatch`, each batch's
+    * verified edges fold into the per-batch entity-map snapshot, and the
+    * read is a snapshot scan — fresh through the last landed batch,
+    * paying neither a read-time pair derivation nor a full propagation.
+    * Equals [[entityGroups]] by the fold law (snapshot after any prefix
+    * ≡ components over the landed edges ≡ `LinkIngestSpec`'s one-shot
+    * law), so the oracle is shared verbatim.
+    */
+  def entityGroupsServedInc(spark: SparkSession, dir: String): DataFrame =
+    entityGroupsServedIncFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+
+  /** The incremental linkage-ingest root: records land through
+    * [[graft.streaming.LinkIngest.processBatch]] and BOTH derived maps
+    * fold per batch — entities ([[graft.streaming.LinkIngest
+    * .updateEntities]]) and capped coreness ([[foldCorenessSnapshot]],
+    * which reads the entity snapshot the same batch just folded). One
+    * `_GRAFT_BUILT` root; both `*_served_inc` entries read their own
+    * snapshot chain.
+    */
+  private def linkIncStores(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String, nameCol: String): String = {
+    val n = names
+    // VERSIONED root (the bigEvents cache lesson): this root first
+    // shipped with entities only; adding the coreness chain changed the
+    // artifact set, and a pre-existing `_GRAFT_BUILT` marker would serve
+    // a root with no coreness snapshots forever. Bump on shape change.
+    val base = graft.sources.StoreCatalog.root("graft_link_ingest",
+      key + "_v2")
+    val store = graft.streaming.LinkIngest.LinkStores(
+      base + "/keys", base + "/edges")
+    buildLock.synchronized {
+      graft.sources.StoreCatalog.ensureBuilt(spark, base) {
+        (0 to 2).foreach { r =>
+          graft.streaming.LinkIngest.processBatch(
+            n.filter(col(idCol) % 3 === r), r.toLong, store, idCol, nameCol)
+          graft.streaming.LinkIngest.updateEntities(
+            spark, store, base + "/entities", r.toLong)
+          foldCorenessSnapshot(spark, store, base + "/entities",
+            base + "/coreness", r.toLong)
+        }
+      }
+    }
+    base
+  }
+
+  private[graft] def entityGroupsServedIncFrames(spark: SparkSession,
+      key: String, names: => DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val base = linkIncStores(spark, key, names, idCol, nameCol)
+    spark.read.parquet(s"$base/entities/batch_id=2")
+      .select(col("doc_id").as("s_suppkey"),
+        col("component_id").as("entity_id"), col("is_canonical"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Fold batch `id`'s landed LinkIngest edges into a per-batch
+    * capped-CORENESS snapshot — map maintenance under INSERTS, closing
+    * the graph-label tier's serving matrix (served + del + inc): new
+    * edges only MERGE entity groups, and coreness is component-local,
+    * so components untouched by the batch pass their stored labels
+    * through while the affected groups re-derive over their ACCUMULATED
+    * edges (as-of read through batch `id`−1, membership-bounded) plus
+    * the batch's new edges — O(batch + affected groups' edges) per
+    * fold, never the graph. The derivation is the adopted capped
+    * h-index; the law (`LinkIngestSpec`): snapshot after any prefix ≡
+    * capped coreness over all edges landed so far.
+    */
+  private[graft] def foldCorenessSnapshot(spark: SparkSession,
+      store: graft.streaming.LinkIngest.LinkStores,
+      entPath: String, corPath: String, id: Long): Unit = {
+    val newEdges = spark.read.parquet(s"${store.edgesPath}/batch_id=$id")
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    val snapshot =
+      if (id == 0) capCoreness(graphCorenessHindexOn(newEdges))
+      else {
+        val prevEnt = spark.read.parquet(s"$entPath/batch_id=${id - 1}")
+          .select("doc_id", "component_id")
+        val prevCor = spark.read.parquet(s"$corPath/batch_id=${id - 1}")
+        val touched = newEdges
+          .select(explode(array(col("a_id"), col("b_id"))).as("t_id"))
+          .distinct()
+        val affected = prevEnt
+          .join(broadcast(touched), col("doc_id") === col("t_id"), "left_semi")
+          .select(col("component_id").as("aff_id")).distinct()
+        val untouchedIds = prevEnt
+          .join(broadcast(affected), col("component_id") === col("aff_id"),
+            "left_anti")
+          .select(col("doc_id").as("s_suppkey"))
+        val untouched = prevCor.join(untouchedIds, Seq("s_suppkey"), "left_semi")
+        // the affected groups' accumulated edges: a_id's membership
+        // decides the component (both endpoints share it)
+        val memb = prevEnt.select(col("doc_id").as("a_id"),
+          col("component_id").as("m_id"))
+        val affEdges = graft.Maintenance
+          .readAsOf(spark, store.edgesPath, id - 1)
+          .select(col("a_id"), col("b_id"))
+          .join(memb, Seq("a_id"))
+          .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
+          .select(col("a_id"), col("b_id"))
+        untouched.unionByName(
+          capCoreness(graphCorenessHindexOn(affEdges.unionByName(newEdges))))
+      }
+    snapshot.write.mode("overwrite").parquet(s"$corPath/batch_id=$id")
+  }
+
+  /** [[graphCorenessServed]] with the map maintained INCREMENTALLY on
+    * ingest — the read is the last coreness snapshot: fresh through the
+    * last landed batch, zero read-time propagation. With every batch
+    * landed the snapshot covers the full fuzzy graph, so the entry
+    * shares [[graphCorenessSql]] verbatim (the capped-fixpoint identity,
+    * as the served map entry).
+    */
+  def graphCorenessServedInc(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessServedIncFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+
+  private[graft] def graphCorenessServedIncFrames(spark: SparkSession,
+      key: String, names: => DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val base = linkIncStores(spark, key, names, idCol, nameCol)
+    spark.read.parquet(s"$base/coreness/batch_id=2").orderBy("s_suppkey")
   }
 
   // ---- entity_groups_served_del: tombstoned deletes on the entity tier --
@@ -1060,12 +1197,30 @@ object Linkage {
   val graphCorenessServedDelSql: String = graphCorenessSqlOver(
     s"\n    AND a.s_suppkey % $DelMod <> $DelRes AND b.s_suppkey % $DelMod <> $DelRes")
 
+  /** [[graphKcoreServed]] under DELETION — derived from the SAME
+    * deletion-aware decomposition as [[graphCorenessServedDel]]
+    * (membership ≡ coreness ≥ k, the map identity), so the two deletion
+    * entries share one recompute and cannot drift. Oracle: the
+    * two-threshold peel over the surviving records.
+    */
+  def graphKcoreServedDel(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessServedDelFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir),
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+      .select(col("s_suppkey"),
+        (col("coreness") >= 2).as("core2"), (col("coreness") >= 3).as("core3"))
+      .orderBy("s_suppkey")
+
+  val graphKcoreServedDelSql: String = graphKcoreSqlOver(
+    s"\n    AND a.s_suppkey % $DelMod <> $DelRes AND b.s_suppkey % $DelMod <> $DelRes")
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql),
     "fuzzy_join2" -> (fuzzyJoin2 _, fuzzyJoin2Sql),
     "fuzzy_join_incremental" -> (fuzzyJoinIncremental _, fuzzyJoinIncrementalSql),
     "entity_groups" -> (entityGroups _, entityGroupsSql),
     "entity_groups_served" -> (entityGroupsServed _, entityGroupsSql),
+    "entity_groups_served_inc" -> (entityGroupsServedInc _, entityGroupsSql),
     "entity_groups_served_del" -> (entityGroupsServedDel _, entityGroupsServedDelSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
@@ -1074,6 +1229,9 @@ object Linkage {
     "graph_coreness" -> (graphCoreness _, graphCorenessSql),
     "graph_coreness_hindex" -> (graphCorenessHindex _, graphCorenessHindexSql),
     "graph_coreness_served" -> (graphCorenessServed _, graphCorenessSql),
+    "graph_coreness_served_inc" -> (graphCorenessServedInc _, graphCorenessSql),
     "graph_coreness_served_del" ->
-      (graphCorenessServedDel _, graphCorenessServedDelSql))
+      (graphCorenessServedDel _, graphCorenessServedDelSql),
+    "graph_kcore_served_del" ->
+      (graphKcoreServedDel _, graphKcoreServedDelSql))
 }

@@ -179,34 +179,11 @@ object DedupEdgeIngest {
     * propagation loop runs over a merged-group-sized stream.
     */
   def updateComponents(spark: SparkSession, store: EdgeStores,
-      compPath: String, id: Long): Unit = {
-    val newEdges = spark.read
-      .parquet(s"${store.edgesPath}/batch_id=$id")
-      .select("doc_id_1", "doc_id_2")
-      .localCheckpoint(eager = false)
-    val snapshot =
-      if (id == 0) Dedup.componentsOn(newEdges)
-      else {
-        val prev = spark.read.parquet(s"$compPath/batch_id=${id - 1}")
-          .select("doc_id", "component_id", "is_canonical")
-        val touched = newEdges
-          .select(explode(array(col("doc_id_1"), col("doc_id_2"))).as("t_id"))
-          .distinct()
-        val affected = prev
-          .join(broadcast(touched), col("doc_id") === col("t_id"), "left_semi")
-          .select(col("component_id").as("aff_id")).distinct()
-        val untouched = prev.join(broadcast(affected),
-          col("component_id") === col("aff_id"), "left_anti")
-        val affStars = prev
-          .join(broadcast(affected), col("component_id") === col("aff_id"),
-            "left_semi")
-          .select(col("doc_id").as("doc_id_1"),
-            col("component_id").as("doc_id_2"))
-        untouched.unionByName(
-          Dedup.componentsOn(affStars.unionByName(newEdges)))
-      }
-    snapshot.write.mode("overwrite").parquet(s"$compPath/batch_id=$id")
-  }
+      compPath: String, id: Long): Unit =
+    Dedup.foldComponentsSnapshot(spark,
+      spark.read.parquet(s"${store.edgesPath}/batch_id=$id")
+        .select("doc_id_1", "doc_id_2"),
+      compPath, id)
 
   /** The streaming wiring: document stream → per-batch edge derivation. */
   def run(docs: DataFrame, store: EdgeStores, checkpoint: String,

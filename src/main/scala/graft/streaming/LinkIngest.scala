@@ -83,11 +83,29 @@ object LinkIngest {
         col("dist"))
       .distinct()
     val inBatch = Linkage.fuzzyJoinOn(batch, idCol, nameCol)
-    inBatch.unionByName(cross)
-      .write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
+    // inputs first, derived artifact last (the DedupEdgeIngest commit
+    // order, r14 ADVICE's class): a crash mid-batch never leaves edges
+    // visible whose key rows exist only after replay
     newKeys
       .write.mode("overwrite").parquet(s"${store.keysPath}/batch_id=$id")
+    inBatch.unionByName(cross)
+      .write.mode("overwrite").parquet(s"${store.edgesPath}/batch_id=$id")
   }
+
+  /** Fold batch `id`'s landed edges into a persisted per-batch ENTITY-map
+    * snapshot — [[DedupEdgeIngest.updateComponents]]'s exact shape on the
+    * linkage tier (one shared fold,
+    * [[graft.dedup.Dedup.foldComponentsSnapshot]]): entity reads stay
+    * fresh through the last landed batch with zero read-time derivation
+    * or propagation; inserts only merge, so the fold is O(batch +
+    * affected groups) via the previous snapshot's star edges.
+    */
+  def updateEntities(spark: SparkSession, store: LinkStores,
+      entPath: String, id: Long): Unit =
+    graft.dedup.Dedup.foldComponentsSnapshot(spark,
+      spark.read.parquet(s"${store.edgesPath}/batch_id=$id")
+        .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")),
+      entPath, id)
 
   /** The streaming wiring: record stream → per-batch edge derivation. */
   def run(records: DataFrame, store: LinkStores, checkpoint: String,

@@ -50,4 +50,41 @@ class LinkIngestSpec extends SparkSpec {
       edgeSet(Linkage.fuzzyJoinOn(b, "id", "name"))).reduce(_ ++ _)
     assert(inBatchOnly.size < before.size, "fixture must produce cross-batch edges")
   }
+
+  test("folded entity map ≡ from-scratch over the landed union, every prefix") {
+    import graft.dedup.Dedup
+    val s = store("entmap")
+    val entPath = s.edgesPath.stripSuffix("/edges") + "/entities"
+    val sup = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      .localCheckpoint()
+    val batches = (0 to 2).map(r => sup.filter(col("id") % 3 === r))
+    def snapshot(id: Long): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(s"$entPath/batch_id=$id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val corPath = s.edgesPath.stripSuffix("/edges") + "/coreness"
+    def corSnapshot(id: Long): Set[(Long, Int)] =
+      spark.read.parquet(s"$corPath/batch_id=$id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    batches.zipWithIndex.foreach { case (b, i) =>
+      LinkIngest.processBatch(b, i.toLong, s)
+      LinkIngest.updateEntities(spark, s, entPath, i.toLong)
+      Linkage.foldCorenessSnapshot(spark, s, entPath, corPath, i.toLong)
+      val landed = LinkIngest.edges(spark, s)
+      val expected = Dedup.componentsOn(
+          landed.select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(expected.nonEmpty && snapshot(i.toLong) == expected,
+        s"entity map after batch $i")
+      // the coreness fold law: snapshot ≡ capped coreness derived
+      // from scratch over everything landed so far
+      val corExpected = Linkage.graphCorenessOn(
+          landed.select(col("a_id"), col("b_id")))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(corSnapshot(i.toLong) == corExpected,
+        s"coreness map after batch $i")
+    }
+    assert(snapshot(0L).size < snapshot(2L).size,
+      "fixture must grow the map across batches")
+  }
 }
