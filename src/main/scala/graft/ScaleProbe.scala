@@ -1201,6 +1201,17 @@ object ScaleProbe {
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "link_served_coreness_del")(guard(served))
         }
+        // sparse-deletion arm (r15): a 0.1% takedown batch instead of
+        // the registry rule's adversarial 14% — prices the production
+        // case where "affected" is a handful of clusters and the read
+        // should approach the map-scan row
+        if (wanted("link_served_coreness_del_sparse")) {
+          def served = graft.dedup.Linkage.graphCorenessServedDelFrames(
+            spark, key, names, "id", "name", delMod = 1000L, delRes = 3L)
+          served.count() // builds entity + coreness maps; serve is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "link_served_coreness_del_sparse")(guard(served))
+        }
         // incrementally-folded entity map (r15): records landed through
         // LinkIngest + map folded per batch UNTIMED; the timed read is
         // the snapshot scan — the dedup_components_served_inc symmetry

@@ -1156,15 +1156,24 @@ object Linkage {
       graft.analytics.RetrievalAnalytics.storeKey(dir),
       Tables.supplier(spark, dir), "s_suppkey", "s_name")
 
+  /** `delMod`/`delRes` default to the oracle-checked registry rule; the
+    * sparse probe arm feeds a 0.1% rule to price the production
+    * takedown-batch case (the %7 rule is deliberately adversarial —
+    * uniform deletes touch most large groups, so "affected" ≈ the
+    * graph; a real takedown batch is cluster-local).
+    */
   private[graft] def graphCorenessServedDelFrames(spark: SparkSession,
       key: String, names: => DataFrame, idCol: String,
-      nameCol: String): DataFrame = {
+      nameCol: String, delMod: Long = DelMod,
+      delRes: Long = DelRes): DataFrame = {
     val n = names
     val st = linkStores(spark, key, n, idCol, nameCol)
     val entities = storedEntityMap(spark, key, n, idCol, nameCol)
     val corMap = storedCorenessMap(spark, key, n, idCol, nameCol)
-    val tombPath = st.edgesPath.stripSuffix("/edges") + "/tombstones"
-    n.filter(col(idCol) % DelMod === DelRes)
+    val tombPath = st.edgesPath.stripSuffix("/edges") +
+      (if (delMod == DelMod && delRes == DelRes) "/tombstones"
+       else s"/tombstones_m${delMod}r$delRes")
+    n.filter(col(idCol) % delMod === delRes)
       .select(col(idCol).cast("long").as("dead_id"))
       .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
     val dead = spark.read.parquet(tombPath).select("dead_id")
