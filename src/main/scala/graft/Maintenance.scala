@@ -166,6 +166,48 @@ object Maintenance {
     fs.delete(plan, false)
   }
 
+  /** Compact a per-batch SNAPSHOT chain (r15 verdict #5) — stores whose
+    * every `batch_id=N` partition holds a FULL derived map (the folded
+    * component / coreness / entity snapshots), unlike the append-only
+    * sets [[compactBatchStore]] folds: the latest generation already IS
+    * the complete state, so without compaction the chain accumulates
+    * N × corpus-map storage after N batches. Compaction RETAINS the
+    * newest `retain` generations and deletes the rest — older snapshots
+    * are replayable from the edge/tombstone stores they were folded
+    * from. `retain` defaults to 2, not 1: the streaming replay contract
+    * re-derives snapshot N from snapshot N−1 (`updateComponents*`), so
+    * the newest snapshot's PREDECESSOR must survive compaction or a
+    * crash replay of the last landed batch would have nothing to fold
+    * from.
+    *
+    * Crash-safe WITHOUT a plan file (unlike the fold protocol): nothing
+    * is rewritten — deletes touch only non-retained generations, each
+    * delete is idempotent, and a partial run just leaves some old
+    * generations for the next run to drop. The fold-horizon manifest is
+    * written FIRST (cumulative max, the [[readAsOf]] rule) so an as-of
+    * read below the oldest retained id fails loud instead of silently
+    * reading a gap; a crash between manifest and deletes is merely
+    * conservative.
+    */
+  def compactSnapshotChain(spark: SparkSession, path: String,
+      retain: Int = 2): Unit = {
+    require(retain >= 2,
+      s"compactSnapshotChain: retain=$retain would break the replay " +
+        "contract (snapshot N re-derives from snapshot N-1)")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val ids = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .sorted
+    val keep = ids.takeRight(retain)
+    val drop = ids.dropRight(retain)
+    if (drop.isEmpty) return
+    writeFoldHorizon(fs, root, Seq(s"batch_id=${keep.min}"))
+    drop.foreach(id => fs.delete(new Path(root, s"batch_id=$id"), true))
+  }
+
   /** Record (cumulatively) the highest REAL batch id folded into the
     * consolidated generation — the boundary below which per-batch
     * history no longer exists.

@@ -364,6 +364,17 @@ object ScaleProbe {
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "dedup_components_served_inc")(guard(inc))
         }
+        // tombstone-aware fold chain (r16): inserts + a takedown batch
+        // interleaved, every fold tombstone-aware, all UNTIMED (the
+        // ingest tier's job); the timed read is the final snapshot scan
+        // — deletes already composed, zero read-time recompute
+        if (wanted("dedup_components_served_incdel")) {
+          def inc = Dedup.dedupComponentsServedIncDelFrames(
+            spark, key + "_incdelmap", docs)
+          inc.count() // lands batches + tombstones + folds; read is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "dedup_components_served_incdel")(guard(inc))
+        }
         // ensemble with the production centroid shape (the dedup_ensemble
         // arm's semanticOf) AND the stored lexical screen: what remains
         // is exact's fp aggregate + semantic's broadcast prune + verdict
@@ -1191,24 +1202,54 @@ object ScaleProbe {
             graft.dedup.Linkage.graphCorenessHindexOn(
               graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
                 .select(col("a_id"), col("b_id")))))
-        // deletion-aware served coreness: map + entity map built untimed;
-        // the timed object is tombstone land + untouched map pass-through
-        // + the peel over ONLY the affected groups' surviving edges
+        // counting-form capped h-index on the SAME stored edges — the
+        // skew-safe build candidate's no-skew baseline (is the bucketed
+        // counting pass competitive where collect_list is cheap?)
+        if (wanted("link_coreness_hcount"))
+          time(spark, copies, "link_coreness_hcount")(guard(
+            graft.dedup.Linkage.graphCorenessCappedCountingOn(
+              graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
+                .select(col("a_id"), col("b_id")))))
+        // planted-hub (power-law) fixture (r16 verdict #3): the r15 map
+        // build's per-node sort_array(collect_list) is O(degree) state
+        // on ONE task — glue a hub of degree 1000×copies (10⁴ at 10×,
+        // 10⁵ at 100×) onto the stored graph and A/B the two build
+        // paths on the graph shape real near-dup/link data takes
+        if (wanted("link_coreness_hub") || wanted("link_coreness_hub_count")) {
+          val hubDeg = 1000 * copies
+          def hubEdges = graft.dedup.Linkage
+            .storedEdges(spark, key, names, "id", "name")
+            .select(col("a_id"), col("b_id"))
+            .unionByName(names.select(col("id")).orderBy("id").limit(hubDeg)
+              .select(lit(-1L).as("a_id"), col("id").cast("long").as("b_id")))
+          if (wanted("link_coreness_hub"))
+            time(spark, copies, "link_coreness_hub")(guard(
+              graft.dedup.Linkage.capCoreness(
+                graft.dedup.Linkage.graphCorenessHindexChecked(hubEdges))))
+          if (wanted("link_coreness_hub_count"))
+            time(spark, copies, "link_coreness_hub_count")(guard(
+              graft.dedup.Linkage.graphCorenessCappedCountingOn(hubEdges)))
+        }
+        // deletion-aware served coreness (r16: TRAVERSAL repair — the
+        // frontier-propagated h-index fix spreads from the deleted
+        // edges and stops where labels stop changing): coreness map
+        // built untimed; the timed object is tombstone land + map
+        // pass-through + the cascade-region repair
         if (wanted("link_served_coreness_del")) {
           def served = graft.dedup.Linkage.graphCorenessServedDelFrames(
             spark, key, names, "id", "name")
-          served.count() // builds entity + coreness maps; serve is timed
+          served.count() // builds the coreness map; serve is timed
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "link_served_coreness_del")(guard(served))
         }
-        // sparse-deletion arm (r15): a 0.1% takedown batch instead of
-        // the registry rule's adversarial 14% — prices the production
-        // case where "affected" is a handful of clusters and the read
-        // should approach the map-scan row
+        // sparse-deletion arm (r15; the arm that exposed the component
+        // bound's degeneracy): a 0.1% takedown batch instead of the
+        // registry rule's adversarial 14% — with the r16 traversal the
+        // read should finally approach the map-scan row
         if (wanted("link_served_coreness_del_sparse")) {
           def served = graft.dedup.Linkage.graphCorenessServedDelFrames(
             spark, key, names, "id", "name", delMod = 1000L, delRes = 3L)
-          served.count() // builds entity + coreness maps; serve is timed
+          served.count() // builds the coreness map; serve is timed
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "link_served_coreness_del_sparse")(guard(served))
         }

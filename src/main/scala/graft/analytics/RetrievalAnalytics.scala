@@ -773,10 +773,17 @@ object RetrievalAnalytics {
     // the delta-generation contract) and is read back as a store — the
     // serve path never sees the rule, only ids
     val tombPath = st.vectorsPath + "_tombstones"
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % DelMod === DelRes)
-      .select(col("vec_id").as("dead_id"))
-      .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+    // write-once per rule key under the build lock (r15 ADVICE: the
+    // unguarded per-invocation overwrite raced concurrent readers)
+    buildLock.synchronized {
+      graft.sources.StoreCatalog.ensureCommitted(spark,
+          Seq(s"$tombPath/batch_id=0")) {
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % DelMod === DelRes)
+          .select(col("vec_id").as("dead_id"))
+          .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+      }
+    }
     val dead = spark.read.parquet(tombPath).select("dead_id")
     val cents = spark.read.parquet(st.centroidsPath)
     val rawQ = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
@@ -876,7 +883,11 @@ object RetrievalAnalytics {
   }
 
   private[graft] def phraseSearchOn(docs: DataFrame): DataFrame = {
-    val tf = phraseTf(docs)
+    // tf feeds BOTH the query-set derivation and the ranking join: one
+    // lazy checkpoint materializes the tokenize+window+aggregate pass
+    // once instead of twice (r15 What's-wrong #2 — the in-plan phrase
+    // entries paid the corpus pass per consumer)
+    val tf = phraseTf(docs).localCheckpoint(eager = false)
     val queries = tf.groupBy(col("phrase"))
       .agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("phrase").asc)
@@ -912,11 +923,12 @@ object RetrievalAnalytics {
         graft.sources.StoreCatalog.committed(spark, q)
       if (!built) {
         graft.sources.StoreCatalog.sweepTable(spark, t)
-        val tf = phraseTf(docs)
-        tf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        phraseTf(docs).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .bucketBy(ServedBuckets, "phrase").sortBy("phrase")
           .format("parquet").saveAsTable(t)
-        tf.groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
+        // derive the query set from the just-landed table — the builder
+        // previously recomputed the corpus tf pass a second time here
+        spark.table(t).groupBy(col("phrase")).agg(sum(col("tf")).as("cnt"))
           .orderBy(col("cnt").desc, col("phrase").asc)
           .limit(PhraseQueries).select(col("phrase"))
           .coalesce(1).write.mode("overwrite").parquet(q)
@@ -983,7 +995,8 @@ object RetrievalAnalytics {
     phraseSearchKOn(Tables.documents(spark, dir))
 
   private[graft] def phraseSearchKOn(docs: DataFrame): DataFrame = {
-    val tf = phraseTfK(docs, PhraseKLen)
+    // one materialization for both consumers — the bigram entry's trade
+    val tf = phraseTfK(docs, PhraseKLen).localCheckpoint(eager = false)
     val queries = tf.groupBy(col("phrase"))
       .agg(sum(col("tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("phrase").asc)
@@ -1346,10 +1359,17 @@ object RetrievalAnalytics {
     val st = servedStores(spark, storeKey(dir),
       Tables.documents(spark, dir), Tables.embeddings(spark, dir))
     val tombPath = st.vectorsPath + "_tombstones"
-    Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % DelMod === DelRes)
-      .select(col("vec_id").as("dead_id"))
-      .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+    // write-once per rule key under the build lock (r15 ADVICE: the
+    // unguarded per-invocation overwrite raced concurrent readers)
+    buildLock.synchronized {
+      graft.sources.StoreCatalog.ensureCommitted(spark,
+          Seq(s"$tombPath/batch_id=0")) {
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") % DelMod === DelRes)
+          .select(col("vec_id").as("dead_id"))
+          .write.mode("overwrite").parquet(s"$tombPath/batch_id=0")
+      }
+    }
     knnServedPqFrames(spark, storeKey(dir),
       Tables.documents(spark, dir), Tables.embeddings(spark, dir),
       dead = Some(spark.read.parquet(tombPath).select("dead_id")))

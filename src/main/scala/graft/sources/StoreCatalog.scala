@@ -45,18 +45,38 @@ object StoreCatalog {
 
   /** Run `build` once per store ROOT under an explicit `_GRAFT_BUILT`
     * marker — for multi-artifact builds (batch stores + folded maps)
-    * where no single `_SUCCESS` covers the set: a half-built root
-    * (marker absent) is wiped first, and the marker is created only
-    * after `build` returns, so replay never serves partial artifacts.
+    * where no single `_SUCCESS` covers the set: a half-built root is
+    * wiped first, and the marker is created only after `build` returns,
+    * so replay never serves partial artifacts.
+    *
+    * OWNERSHIP CONTRACT (r15 ADVICE): the root belongs EXCLUSIVELY to
+    * this build — every byte under it is written by `build` and may be
+    * deleted on recovery. Enforced, not just documented: a
+    * `_GRAFT_BUILDING` intent marker is written before `build` starts,
+    * and recovery only wipes roots carrying it (i.e. this protocol's
+    * own interrupted builds). A content-ful root with NEITHER marker
+    * was written by someone else — independently `_SUCCESS`-committed
+    * [[ensureCommitted]] artifacts, a mispointed path — and deleting
+    * it would be silent data loss, so the call fails loud instead.
     */
   def ensureBuilt(spark: SparkSession, rootDir: String)(build: => Unit): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(rootDir + "/_GRAFT_BUILT")
+    val marker   = new org.apache.hadoop.fs.Path(rootDir + "/_GRAFT_BUILT")
+    val building = new org.apache.hadoop.fs.Path(rootDir + "/_GRAFT_BUILDING")
     val mfs = fs(spark, marker)
     if (!mfs.exists(marker)) {
       val r = new org.apache.hadoop.fs.Path(rootDir)
-      if (mfs.exists(r)) mfs.delete(r, true)
+      if (mfs.exists(r)) {
+        val contents = mfs.listStatus(r)
+        require(contents.isEmpty || mfs.exists(building),
+          s"ensureBuilt: $rootDir is content-ful but carries neither " +
+            "_GRAFT_BUILT nor _GRAFT_BUILDING — it was not written by this " +
+            "protocol (exclusive-ownership contract); refusing to delete it")
+        if (contents.nonEmpty) mfs.delete(r, true)
+      }
+      mfs.create(building, true).close() // intent: root is now ours to wipe
       build
       mfs.create(marker, true).close()
+      mfs.delete(building, false)
     }
   }
 

@@ -185,6 +185,52 @@ object DedupEdgeIngest {
         .select("doc_id_1", "doc_id_2"),
       compPath, id)
 
+  private val tombsSchema = StructType(Seq(StructField("dead_id", LongType)))
+
+  private val pairSchema = StructType(Seq(
+    StructField("doc_id_1", LongType), StructField("doc_id_2", LongType)))
+
+  /** Land a TAKEDOWN batch: tombstoned doc ids under `batch_id=id`
+    * beside the edge store — the same idempotent per-batch overwrite
+    * layout as the edge partitions, so insert and delete batches share
+    * one replay/as-of discipline and one numbering.
+    */
+  def processTombstones(dead: DataFrame, id: Long, tombsPath: String): Unit =
+    dead.select(col(dead.columns.head).cast("long").as("dead_id"))
+      .write.mode("overwrite").parquet(s"$tombsPath/batch_id=$id")
+
+  /** [[updateComponents]]' TOMBSTONE-AWARE twin (r15 verdict #2): fold
+    * batch `id` — which may carry new edges, new tombstones, or both —
+    * into the snapshot chain via
+    * [[graft.dedup.Dedup.foldComponentsSnapshotDel]]. Missing partitions
+    * read as empty (an insert batch has no tombstone partition and vice
+    * versa), so ANY interleaving of crawl increments and takedowns rides
+    * one fold; the law (`DedupEdgeIngestSpec`): snapshot after any
+    * prefix ≡ components over (landed edges minus tombstone-incident).
+    */
+  def updateComponentsDel(spark: SparkSession, store: EdgeStores,
+      tombsPath: String, compPath: String, id: Long): Unit = {
+    def partition(path: String, schema: StructType): DataFrame =
+      try Maintenance.readAsOf(spark, path, id)
+        .filter(col("batch_id") === id)
+        .select(schema.fieldNames.map(col): _*)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+    val priorEdges =
+      if (id == 0)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], pairSchema)
+      else tryRead(spark, store.edgesPath, id - 1, pairSchema)
+    graft.dedup.Dedup.foldComponentsSnapshotDel(spark,
+      partition(store.edgesPath, pairSchema),
+      partition(tombsPath, tombsSchema),
+      tryRead(spark, tombsPath, id, tombsSchema),
+      priorEdges, compPath, id)
+  }
+
   /** The streaming wiring: document stream → per-batch edge derivation. */
   def run(docs: DataFrame, store: EdgeStores, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
@@ -213,9 +259,15 @@ object DedupEdgeIngest {
     * folded bands is [[graft.sources.BandStore.write]] — run at
     * whatever cadence incremental probing wants.
     */
-  def compact(spark: SparkSession, store: EdgeStores): Unit = {
+  def compact(spark: SparkSession, store: EdgeStores,
+      snapshotChains: Seq[String] = Nil): Unit = {
     Maintenance.compactBatchStore(spark, store.edgesPath)
     Maintenance.compactBatchStore(spark, store.bandsPath)
     Maintenance.compactBatchStore(spark, store.setsPath)
+    // derived map snapshot chains (components / coreness / entities):
+    // each generation is a FULL map, so these are retained-last-two
+    // chains, not folded sets (r15 verdict #5 — without this the chain
+    // holds N × corpus-map storage after N batches)
+    snapshotChains.foreach(Maintenance.compactSnapshotChain(spark, _))
   }
 }

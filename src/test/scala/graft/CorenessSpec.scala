@@ -101,6 +101,124 @@ class CorenessSpec extends SparkSpec {
     assert(h.map { case (n, c) => n -> math.min(c, Linkage.CorenessMaxK) } == peel)
   }
 
+  private def counting(pairs: Seq[(Long, Long)],
+      kMax: Int = Linkage.CorenessMaxK): Map[Long, Int] =
+    Linkage.graphCorenessCappedCountingOn(pairs.toDF("a_id", "b_id"), kMax)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("counting-form capped h-index ≡ capped brute: fixtures, hub, random, real") {
+    // the peel fixtures
+    assert(counting(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))) == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1))
+    // K13: TRUE coreness 12 — the counting form must stop at the cap
+    val k13 = (1L to 13L).flatMap(a => (a + 1 to 13L).map(b => (a, b)))
+    assert(counting(k13) ==
+      (1L to 13L).map(_ -> Linkage.CorenessMaxK).toMap)
+    // a path: interior degree-2 nodes force real iteration down to 1
+    val path = (1L to 9L).map(i => (i, i + 1))
+    assert(counting(path) == (1L to 10L).map(_ -> 1).toMap)
+    // a planted hub (star of degree 200, spokes 1-3 also a triangle, so
+    // {hub, 1, 2, 3} is K4): the skew shape the form exists for — the
+    // hub peels WITH its clique (coreness 3), pure spokes stay 1
+    val star = (1L to 200L).map(i => (1000L, i))
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(counting(star ++ tri) ==
+      ((4L to 200L).map(_ -> 1) ++ Seq(1000L -> 3, 1L -> 3, 2L -> 3, 3L -> 3)).toMap)
+    // random graphs vs engine-independent brute
+    val rnd = new scala.util.Random(16L)
+    for (_ <- 1 to 5) {
+      val n = 20 + rnd.nextInt(15)
+      val pairs = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.2
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty)
+        assert(counting(pairs) == brute(pairs, Linkage.CorenessMaxK))
+    }
+    // the real fuzzy graph
+    val pairs = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(counting(pairs) == brute(pairs, Linkage.CorenessMaxK))
+  }
+
+  // ---- traversal-based local maintenance under deletion (r16) ----------
+
+  /** The production repair path: stored capped map + stored edges +
+    * tombstones → [[Linkage.repairCorenessUnderDeletion]]'s frontier
+    * traversal.
+    */
+  private def localRepair(pairs: Seq[(Long, Long)],
+      dead: Set[Long]): Map[Long, Int] = {
+    val edges = pairs.toDF("a_id", "b_id")
+    val base = Linkage.capCoreness(Linkage.graphCorenessHindexChecked(edges))
+    val deadDf = dead.toSeq.toDF("dead_id")
+    Linkage.repairCorenessUnderDeletion(base, edges, deadDf)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  /** From-scratch capped truth over the survivor graph. */
+  private def survivorTruth(pairs: Seq[(Long, Long)],
+      dead: Set[Long]): Map[Long, Int] = {
+    val surv = pairs.filter(e => !dead(e._1) && !dead(e._2))
+    if (surv.isEmpty) Map.empty else brute(surv, Linkage.CorenessMaxK)
+  }
+
+  test("local deletion repair: fixtures (split, cascade, orphan, cap, no-op)") {
+    // K4 + tail: delete the articulation node 4 — survivors {1,2,3} form
+    // a triangle (coreness 2), tail node 5 is edge-orphaned and drops out
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    assert(localRepair(k4tail, Set(4L)) == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // C8 cycle: delete one node — the cycle becomes a path and EVERY
+    // survivor must drop 2 → 1; the cascade has to travel hop by hop
+    // around the ring (the multi-round frontier case)
+    val c8 = (1L to 7L).map(i => (i, i + 1)) :+ ((8L, 1L))
+    assert(localRepair(c8, Set(5L)) ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L).map(_ -> 1).toMap)
+    // K13 (true coreness 12, stored labels CAPPED at 10): deleting two
+    // members leaves K11 — true coreness 10 = the cap, so labels must
+    // NOT move; then deleting four leaves K9 — the repair must cross
+    // below the cap to 8 exactly
+    val k13 = (1L to 13L).flatMap(a => (a + 1 to 13L).map(b => (a, b)))
+    assert(localRepair(k13, Set(12L, 13L)) ==
+      (1L to 11L).map(_ -> 10).toMap)
+    assert(localRepair(k13, Set(10L, 11L, 12L, 13L)) ==
+      (1L to 9L).map(_ -> 8).toMap)
+    // empty tombstone batch: the repair is the identity on the map
+    assert(localRepair(k4tail, Set.empty) ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1))
+    // total deletion of a component: nothing survives from it
+    assert(localRepair(Seq((1L, 2L)), Set(1L, 2L)) == Map.empty)
+  }
+
+  test("local deletion repair ≡ from-scratch survivor truth on random graphs") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 6) {
+      val n = 24 + rnd.nextInt(16)
+      val pairs = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      val nodes = pairs.flatMap(e => Seq(e._1, e._2)).distinct
+      val dead = nodes.filter(_ => rnd.nextDouble() < 0.2).toSet
+      if (pairs.nonEmpty)
+        assert(localRepair(pairs, dead) == survivorTruth(pairs, dead),
+          s"n=$n dead=$dead")
+    }
+  }
+
+  test("local deletion repair ≡ survivor peel on the real graph (%7 rule)") {
+    val pairs = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSeq
+    val dead = pairs.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(_ % 7 == 3).toSet
+    assert(dead.nonEmpty)
+    val got = localRepair(pairs, dead)
+    assert(got.nonEmpty && got == survivorTruth(pairs, dead))
+  }
+
   test("coreness is consistent with graph_kcore membership") {
     val dir = "/root/testdata/sf0.001"
     val kc = Linkage.graphKcore(spark, dir)

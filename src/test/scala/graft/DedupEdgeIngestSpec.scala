@@ -86,6 +86,66 @@ class DedupEdgeIngestSpec extends SparkSpec {
     assert(snapshot(1L) == before, "replay must be a no-op")
   }
 
+  test("tombstone-aware fold: every insert/delete interleave ≡ one-shot over survivors") {
+    GraftExtensions.register(spark)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val inserts = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    val dead = docs.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id").as("dead_id"))
+      .localCheckpoint()
+    def compSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.select("doc_id", "component_id", "is_canonical")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def survivorsOf(e: org.apache.spark.sql.DataFrame) = e
+      .join(dead, col("doc_id_1") === col("dead_id"), "left_anti")
+      .join(dead, col("doc_id_2") === col("dead_id"), "left_anti")
+      .select("doc_id_1", "doc_id_2")
+    // Left(i) = insert slice i lands; Right(()) = the takedown batch lands
+    val interleaves: Seq[Seq[Either[Int, Unit]]] = Seq(
+      Seq(Left(0), Left(1), Right(()), Left(2)), // the registry entry's shape
+      Seq(Right(()), Left(0), Left(1), Left(2)), // takedown before any insert
+      Seq(Left(0), Right(()), Left(1), Left(2)))
+    val finals = interleaves.zipWithIndex.map { case (steps, w) =>
+      val s = store(s"incdel$w")
+      val tombs = s.edgesPath.stripSuffix("/edges") + "/tombs"
+      val compPath = s.edgesPath.stripSuffix("/edges") + "/componentsdel"
+      steps.zipWithIndex.foreach { case (st, i) =>
+        st match {
+          case Left(b)  => DedupEdgeIngest.processBatch(inserts(b), i.toLong, s)
+          case Right(_) => DedupEdgeIngest.processTombstones(dead, i.toLong, tombs)
+        }
+        DedupEdgeIngest.updateComponentsDel(spark, s, tombs, compPath, i.toLong)
+        val snap = compSet(spark.read.parquet(s"$compPath/batch_id=$i"))
+        val landed =
+          try DedupEdgeIngest.edges(spark, s).select("doc_id_1", "doc_id_2")
+          catch { case _: org.apache.spark.sql.AnalysisException => null }
+        if (landed == null) assert(snap.isEmpty, s"interleave $w step $i")
+        else {
+          val deadLanded = steps.take(i + 1).exists(_.isRight)
+          val live = if (deadLanded) survivorsOf(landed) else landed
+          assert(snap == compSet(Dedup.componentsOn(live)),
+            s"interleave $w step $i")
+        }
+      }
+      // replay a middle fold: byte-identical snapshot
+      val before = compSet(spark.read.parquet(s"$compPath/batch_id=2"))
+      DedupEdgeIngest.updateComponentsDel(spark, s, tombs, compPath, 2L)
+      assert(compSet(spark.read.parquet(s"$compPath/batch_id=2")) == before,
+        s"interleave $w replay")
+      compSet(spark.read.parquet(s"$compPath/batch_id=3"))
+    }
+    // all interleavings agree, equal the survivor one-shot, and the
+    // delete genuinely bit (≠ the no-delete one-shot)
+    val allEdges = Dedup.dedupMinhashOn(Dedup.shingleSets(docs))
+      .select("doc_id_1", "doc_id_2").localCheckpoint()
+    val survivorTruth = compSet(Dedup.componentsOn(survivorsOf(allEdges)))
+    val fullTruth = compSet(Dedup.componentsOn(allEdges))
+    assert(finals.forall(_ == survivorTruth))
+    assert(survivorTruth != fullTruth, "the takedown batch must bite")
+  }
+
   test("live(base prefix + delta) ≡ one-shot dedup, for every prefix split") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

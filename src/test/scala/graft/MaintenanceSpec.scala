@@ -156,4 +156,52 @@ class MaintenanceSpec extends SparkSpec {
     assert(asOf(4).size == 40)
     assert(intercept[IllegalArgumentException](asOf(3)).getMessage.contains("fold horizon"))
   }
+
+  test("snapshot-chain compaction: read identical, replay intact, horizon enforced") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.register(spark)
+    // a real fold chain: three ingest batches, component map folded per
+    // batch — the store shape compactSnapshotChain exists for
+    val base = java.nio.file.Files.createTempDirectory("snapchain").toString
+    val s = graft.streaming.DedupEdgeIngest.EdgeStores(
+      s"$base/sets", s"$base/bands", s"$base/edges")
+    val compPath = s"$base/components"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    (0 to 2).foreach { r =>
+      graft.streaming.DedupEdgeIngest.processBatch(
+        docs.filter(col("doc_id") % 3 === r), r.toLong, s)
+      graft.streaming.DedupEdgeIngest.updateComponents(
+        spark, s, compPath, r.toLong)
+    }
+    def snap(id: Long): Set[(Long, Long, Boolean)] =
+      spark.read.parquet(s"$compPath/batch_id=$id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val last = snap(2L)
+    val prev = snap(1L)
+    Maintenance.compactSnapshotChain(spark, compPath)
+    // retained generations read bit-identical; generation 0 is gone
+    assert(snap(2L) == last && snap(1L) == prev)
+    val fs = new Path(compPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new Path(compPath, "batch_id=0")))
+    // replay of the LAST batch still folds (snapshot 1 survived — the
+    // retain-2 contract) and reproduces the identical snapshot
+    graft.streaming.DedupEdgeIngest.updateComponents(spark, s, compPath, 2L)
+    assert(snap(2L) == last, "replay after chain compaction must be a no-op")
+    // as-of below the oldest retained snapshot fails loud
+    assert(intercept[IllegalArgumentException](
+      Maintenance.readAsOf(spark, compPath, 0L).collect()
+    ).getMessage.contains("fold horizon"))
+    // re-compaction is a no-op; retain < 2 is rejected
+    Maintenance.compactSnapshotChain(spark, compPath)
+    assert(snap(2L) == last && snap(1L) == prev)
+    assert(intercept[IllegalArgumentException](
+      Maintenance.compactSnapshotChain(spark, compPath, retain = 1)
+    ).getMessage.contains("replay contract"))
+    // the full maintenance pass (edge/band/set folds + the chain) keeps
+    // every retained read identical
+    graft.streaming.DedupEdgeIngest.compact(spark, s, Seq(compPath))
+    assert(snap(2L) == last && snap(1L) == prev)
+  }
 }
