@@ -313,7 +313,8 @@ object ScaleProbe {
           || wanted("dedup_components_served_del")
           || wanted("dedup_components_live")
           || wanted("dedup_components_live_steady")
-          || wanted("dedup_components_served_inc")) {
+          || wanted("dedup_components_served_inc")
+          || wanted("dedup_components_served_incdel")) {
         val key = graft.analytics.RetrievalAnalytics.storeKey(docsPath)
         Dedup.storedPairs(spark, key, docs).count() // build (or reuse) once
         Maintenance.releaseCachedBlocks(spark, blocking = true)

@@ -423,21 +423,22 @@ object Linkage {
     * max aggregate. k_max is the price knob and is data-bounded
     * (degeneracy), not corpus-bounded.
     */
-  /** Registry derivation (r15 verdict #7): the capped h-index — the SAME
-    * k ≤ k_max decomposition the peel computes (min(h∞, k_max) ≡ peel,
-    * `CorenessSpec`'s K13 law; the oracle below is still the unrolled
-    * peel chain and the gate re-proves equality at sf0.01/sf0.1, exactly
-    * as `graph_coreness_served` has since r15) at the h-index build
-    * price — the 72-round successive peel was the board's #1 tape cost
-    * (7.34 s) for zero extra coverage. The peel itself
-    * ([[graphCorenessOn]]) remains the spec-pinned reference derivation:
-    * `CorenessSpec` holds it to the engine-independent brute fixpoint
-    * and to the h-index laws on every fixture and the real graph.
+  /** Registry derivation (r15 verdict #7): the capped COUNTING-form
+    * h-index ([[graphCorenessCappedCountingOn]]) — the SAME k ≤ k_max
+    * decomposition the peel computes (the capped fixpoint ≡ peel,
+    * `CorenessSpec`'s K13 + counting-form laws; the oracle below is
+    * still the unrolled peel chain and the gate re-proves equality at
+    * sf0.01/sf0.1, exactly as `graph_coreness_served` has since r15)
+    * at the adopted build-path price — the 72-round successive peel was
+    * the board's #1 tape cost (7.34 s) for zero extra coverage. The
+    * peel itself ([[graphCorenessOn]]) remains the spec-pinned
+    * reference derivation: `CorenessSpec` holds it to the
+    * engine-independent brute fixpoint and to both h-index forms on
+    * every fixture and the real graph.
     */
   def graphCoreness(spark: SparkSession, dir: String): DataFrame =
-    capCoreness(graphCorenessHindexOn(
-        fuzzyJoin(spark, dir).select(col("a_id"), col("b_id"))))
-      .orderBy("s_suppkey")
+    graphCorenessCappedCountingOn(
+      fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
 
   private[graft] def graphCorenessOn(pairs: DataFrame,
       kMax: Int = CorenessMaxK, rounds: Int = KCoreRounds): DataFrame = {
@@ -901,10 +902,12 @@ object Linkage {
     * the peel now runs ONCE at map build (the [[storedEntityMap]]
     * pattern, `_SUCCESS`-gated) and every served read is a map scan.
     *
-    * The map BUILDS via [[graphCorenessHindexOn]] — the A/B probe row
+    * The map BUILDS via the h-index family — r15's A/B
     * (`link_coreness_hindex` 6.9 / 22.4 / 60.8 s vs the peel's
-    * 24.8 / 75.5 / 408.1 s, a 6.7× win at 100×) settled the documented
-    * swap, so the single-pass propagation is the production build path —
+    * 24.8 / 75.5 / 408.1 s, a 6.7× win at 100×) settled the propagation
+    * swap, and r16's counting-form A/B (`link_coreness_hcount` +
+    * the planted-hub arms) settled the SPELLING:
+    * [[graphCorenessCappedCountingOn]] is the production build path —
     * CAPPED at [[CorenessMaxK]] ([[capCoreness]]): the peel's contract
     * is the k ≤ k_max decomposition (coreness = min(true, k_max)), and
     * the h-index converges to TRUE coreness, which exceeds the cap on
@@ -936,8 +939,13 @@ object Linkage {
     val path = st.edgesPath.stripSuffix("/edges") + "/coreness"
     buildLock.synchronized {
       graft.sources.StoreCatalog.ensureCommitted(spark, Seq(path)) {
-        capCoreness(graphCorenessHindexChecked(spark.read.parquet(st.edgesPath)
-            .select(col("a_id"), col("b_id"))))
+        // build path = the COUNTING form (r16 A/B, PLANS.md: beats the
+        // collect_list h-index 2.9×/6.2× at 1×/10× on the plain graph
+        // and ~8-10× on the planted-hub fixture, with O(1) state per
+        // (node, level) — no per-node arrays to straggle on a hub);
+        // converged-by-construction, preserving the r15-ADVICE assert
+        graphCorenessCappedCountingOn(spark.read.parquet(st.edgesPath)
+            .select(col("a_id"), col("b_id")))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
       }
     }
@@ -1052,6 +1060,16 @@ object Linkage {
     * fold, never the graph. The derivation is the adopted capped
     * h-index; the law (`LinkIngestSpec`): snapshot after any prefix ≡
     * capped coreness over all edges landed so far.
+    *
+    * TOMBSTONE COMPOSE RULE (r16): this fold is insert-only by design —
+    * on the graph-label tier, deletes compose AT READ via
+    * [[maintainCorenessLocal]] (the traversal repair: read the latest
+    * snapshot, repair the tombstones' cascade region — now
+    * takedown-local, so the read-side compose is cheap). The dedup
+    * components tier, whose serving read has no repair operator,
+    * instead folds tombstones INTO the chain
+    * ([[Dedup.foldComponentsSnapshotDel]]); both compositions are
+    * oracle-gated against the same survivor truth.
     */
   private[graft] def foldCorenessSnapshot(spark: SparkSession,
       store: graft.streaming.LinkIngest.LinkStores,
@@ -1060,7 +1078,7 @@ object Linkage {
       .select(col("a_id"), col("b_id"))
       .localCheckpoint(eager = false)
     val snapshot =
-      if (id == 0) capCoreness(graphCorenessHindexChecked(newEdges))
+      if (id == 0) graphCorenessCappedCountingOn(newEdges)
       else {
         val prevEnt = spark.read.parquet(s"$entPath/batch_id=${id - 1}")
           .select("doc_id", "component_id")
@@ -1087,7 +1105,7 @@ object Linkage {
           .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
           .select(col("a_id"), col("b_id"))
         untouched.unionByName(
-          capCoreness(graphCorenessHindexChecked(affEdges.unionByName(newEdges))))
+          graphCorenessCappedCountingOn(affEdges.unionByName(newEdges)))
       }
     snapshot.write.mode("overwrite").parquet(s"$corPath/batch_id=$id")
   }
