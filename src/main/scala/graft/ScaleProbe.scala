@@ -1141,6 +1141,7 @@ object ScaleProbe {
           || wanted("entity_groups_served_del")
           || wanted("entity_groups_served_inc")
           || wanted("graph_coreness_served_inc")
+          || wanted("graph_coreness_served_incdel")
           || wanted("link_coreness_hindex")) {
         val namesPath = s"$tmp/names_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
@@ -1273,6 +1274,17 @@ object ScaleProbe {
           inc.count() // lands batches + folds both maps; the read is timed
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "graph_coreness_served_inc")(guard(inc))
+        }
+        // INC + DEL composed at read (r16): the fold chain + landed
+        // takedown batch built untimed; the timed read is one snapshot
+        // scan + the traversal repair of the batch's cascade region —
+        // the measured form of the graph tier's compose rule
+        if (wanted("graph_coreness_served_incdel")) {
+          def inc = graft.dedup.Linkage.graphCorenessServedIncDelFrames(
+            spark, key + "_incmap", names, "id", "name")
+          inc.count() // lands batches + folds chains; the read is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "graph_coreness_served_incdel")(guard(inc))
         }
         // deletion-aware served entities: stores built untimed above;
         // the timed object is the tombstone land + affected-group

@@ -345,8 +345,20 @@ object Linkage {
     * [[graft.sources.LinkStore]] store rather than re-deriving them
     * (the `link_served_kcore` probe arm prices exactly that).
     */
+  /** Registry derivation (r16, the `graph_coreness` demotion's twin):
+    * membership ≡ coreness ≥ k (the decomposition's defining identity,
+    * already gated under this SAME two-threshold peel oracle by
+    * `graph_kcore_served` since r15), derived from the adopted
+    * counting-form build instead of two 8-round in-plan peels. The peel
+    * ([[graphKcoreOn]]) remains the spec-pinned reference derivation
+    * (`KcoreSpec` brute law; the `link_served_kcore` probe arm).
+    */
   def graphKcore(spark: SparkSession, dir: String): DataFrame =
-    graphKcoreOn(fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
+    graphCorenessCappedCountingOn(
+        fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
+      .select(col("s_suppkey"),
+        (col("coreness") >= 2).as("core2"), (col("coreness") >= 3).as("core3"))
+      .orderBy("s_suppkey")
 
   private[graft] def graphKcoreOn(pairs: DataFrame,
       rounds: Int = KCoreRounds): DataFrame = {
@@ -1018,10 +1030,11 @@ object Linkage {
     val n = names
     // VERSIONED root (the bigEvents cache lesson): this root first
     // shipped with entities only; adding the coreness chain changed the
-    // artifact set, and a pre-existing `_GRAFT_BUILT` marker would serve
-    // a root with no coreness snapshots forever. Bump on shape change.
+    // artifact set (_v2), and r16 added the landed tombstone batch
+    // (_v3) — a pre-existing `_GRAFT_BUILT` marker would serve a root
+    // missing the newer artifacts forever. Bump on shape change.
     val base = graft.sources.StoreCatalog.root("graft_link_ingest",
-      key + "_v2")
+      key + "_v3")
     val store = graft.streaming.LinkIngest.LinkStores(
       base + "/keys", base + "/edges")
     buildLock.synchronized {
@@ -1034,6 +1047,12 @@ object Linkage {
           foldCorenessSnapshot(spark, store, base + "/entities",
             base + "/coreness", r.toLong)
         }
+        // the registry takedown batch lands beside the chains — the
+        // read-side compose entry's deletion store
+        graft.streaming.DedupEdgeIngest.processTombstones(
+          n.filter(col(idCol) % DelMod === DelRes)
+            .select(col(idCol).cast("long").as("dead_id")),
+          0L, base + "/tombs")
       }
     }
     base
@@ -1127,6 +1146,43 @@ object Linkage {
       nameCol: String): DataFrame = {
     val base = linkIncStores(spark, key, names, idCol, nameCol)
     spark.read.parquet(s"$base/coreness/batch_id=2").orderBy("s_suppkey")
+  }
+
+  /** The graph-label tier's INC + DEL composition — the read-side twin
+    * of the dedup tier's in-chain [[Dedup.foldComponentsSnapshotDel]],
+    * and the MEASURED form of [[foldCorenessSnapshot]]'s documented
+    * compose rule: the fold chain stays insert-only (inserts only merge,
+    * so per-batch folds are cheap star/affected-group work), and
+    * TOMBSTONES compose AT READ by running [[maintainCorenessLocal]]'s
+    * traversal repair over the latest snapshot — takedown-local since
+    * r16, so the read-side compose costs the cascade region, not a
+    * propagation. The snapshot ≡ capped coreness over all landed edges
+    * (`LinkIngestSpec`'s fold law) and the repair ≡ the survivor
+    * decomposition (`CorenessSpec`'s traversal laws), so the entry
+    * shares [[graphCorenessServedDelSql]] verbatim — the same survivor
+    * truth that gates the map-serving deletion entry, now reached
+    * through the ingest-fresh path.
+    *
+    * Scale (100 TB): the fold chain rides the ingest cadence at
+    * O(batch + affected); the read is one snapshot scan + the
+    * tombstone batch's cascade repair — both bounded, neither touches
+    * untouched regions.
+    */
+  def graphCorenessServedIncDel(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessServedIncDelFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+
+  private[graft] def graphCorenessServedIncDelFrames(spark: SparkSession,
+      key: String, names: => DataFrame, idCol: String,
+      nameCol: String): DataFrame = {
+    val base = linkIncStores(spark, key, names, idCol, nameCol)
+    val snap = spark.read.parquet(s"$base/coreness/batch_id=2")
+      .select(col("s_suppkey"), col("coreness"))
+    val edges = graft.Maintenance.readAsOf(spark, s"$base/edges", 2L)
+      .select(col("a_id"), col("b_id"))
+    val dead = spark.read.parquet(s"$base/tombs").select("dead_id")
+    repairCorenessUnderDeletion(snap, edges, dead).orderBy("s_suppkey")
   }
 
   // ---- entity_groups_served_del: tombstoned deletes on the entity tier --
@@ -1513,6 +1569,8 @@ object Linkage {
     "graph_coreness_hindex" -> (graphCorenessHindex _, graphCorenessHindexSql),
     "graph_coreness_served" -> (graphCorenessServed _, graphCorenessSql),
     "graph_coreness_served_inc" -> (graphCorenessServedInc _, graphCorenessSql),
+    "graph_coreness_served_incdel" ->
+      (graphCorenessServedIncDel _, graphCorenessServedDelSql),
     "graph_coreness_served_del" ->
       (graphCorenessServedDel _, graphCorenessServedDelSql),
     "graph_kcore_served_del" ->

@@ -70,6 +70,21 @@ class LinkDeleteSpec extends SparkSpec {
     assert(served != undeleted)
   }
 
+  test("inc+del composed at read ≡ survivor decomposition (the compose rule, measured)") {
+    // the ingest-fresh snapshot repaired at read by the traversal must
+    // equal the from-scratch survivor peel — the same truth that gates
+    // graph_coreness_served_del, reached through the fold chain
+    val sup = Tables.supplier(spark, dir)
+    val got = Linkage.graphCorenessServedIncDel(spark, dir)
+      .collect().map(_.toString).toSeq
+    val scratch = Linkage.graphCorenessOn(
+        Linkage.fuzzyJoinOn(sup.filter(col("s_suppkey") % 7 =!= 3),
+          "s_suppkey", "s_name").select(col("a_id"), col("b_id")))
+      .orderBy("s_suppkey")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == scratch)
+  }
+
   test("coreness del fixture: peeling a clique member lowers survivors' coreness") {
     import spark.implicits._
     // K4 {1,2,4,5} + pendant 8-2; tombstone rule (≡3 mod 7) kills 3 — put
