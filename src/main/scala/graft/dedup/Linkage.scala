@@ -1359,12 +1359,15 @@ object Linkage {
     * with a surviving edge keeps a label ≥ 1 by induction).
     *
     * Scale (100 TB): per round one frontier-semi-joined edge scan + a
-    * frontier-sized h-aggregate; rounds = cascade depth (labels are
-    * integers ≤ k_max that only decrease, so each node re-labels ≤
-    * k_max times). A sparse takedown touches a few clusters and
-    * converges in single-digit rounds; the adversarial uniform rule
-    * (every cluster hit) degrades to work ∝ touched neighborhoods —
-    * still never a full propagation over untouched regions.
+    * frontier-sized h-aggregate in the COUNTING spelling (≤ k_max
+    * partial-aggregated level rows per frontier edge — no per-node
+    * neighbor arrays, so a hub entering the frontier cannot straggle
+    * one task); rounds = cascade depth (labels are integers ≤ k_max
+    * that only decrease, so each node re-labels ≤ k_max times). A
+    * sparse takedown touches a few clusters and converges in
+    * single-digit rounds; the adversarial uniform rule (every cluster
+    * hit) degrades to work ∝ touched neighborhoods — still never a
+    * full propagation over untouched regions.
     *
     * `baseMap`: stored capped labels for SURVIVOR nodes (caller
     * anti-joins the tombstones). `survivorEdges` (a_id, b_id): stored
@@ -1387,15 +1390,25 @@ object Linkage {
     var active = frontier.count() > 0
     while (active && rounds < MaxLocalRounds) {
       before = sc.getPersistentRDDs.keySet
-      // h-index over SURVIVING neighbors' current labels, frontier only;
-      // a frontier node with no surviving edges has no row here → h = 0
+      // h-index over SURVIVING neighbors' current labels, frontier only,
+      // in the COUNTING spelling (labels are capped ≤ k_max here — the
+      // base map is capped and the iteration only decreases — so each
+      // edge explodes to ≤ k_max level rows and the per-(node, level)
+      // counts partial-aggregate: a takedown adjacent to a power-law
+      // hub never collects a degree-sized array on one task, the same
+      // skew hole the build path's counting form closes). A frontier
+      // node with no surviving edges has no row here → h = 0. Neighbor
+      // labels are ≥ 1 by construction (a label reaches 0 only with no
+      // surviving edges, and such a node never appears as a neighbor),
+      // so the sequence is never the count-down trap.
       val h = sym.join(frontier.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(cur.select(col("id").as("v"), col("c").as("nc")), Seq("v"))
-        .groupBy(col("u"))
-        .agg(expr("sort_array(collect_list(nc), false)").as("cs"))
-        .select(col("u").as("id"),
-          expr("CAST(size(filter(transform(cs, (x, i) -> x >= i + 1), b -> b)) AS BIGINT)")
-            .as("h"))
+        .select(col("u"),
+          explode(expr("sequence(CAST(1 AS BIGINT), nc)")).as("lvl"))
+        .groupBy(col("u"), col("lvl")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= col("lvl"))
+        .groupBy(col("u")).agg(max(col("lvl")).as("h"))
+        .select(col("u").as("id"), col("h"))
       val changed = frontier.join(cur, Seq("id"))
         .join(h, Seq("id"), "left")
         .select(col("id"), col("c"),

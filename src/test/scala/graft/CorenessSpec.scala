@@ -185,6 +185,18 @@ class CorenessSpec extends SparkSpec {
       (1L to 11L).map(_ -> 10).toMap)
     assert(localRepair(k13, Set(10L, 11L, 12L, 13L)) ==
       (1L to 9L).map(_ -> 8).toMap)
+    // planted hub: star of degree 200 whose spokes 1-3 also form a
+    // triangle (so {hub, 1, 2, 3} is K4, coreness 3). Deleting spoke 2
+    // drops the clique to a triangle {hub, 1, 3} — coreness 2 — while
+    // pure spokes stay 1: the repair's counting-form h must handle the
+    // hub IN the frontier without a degree-sized array
+    val star = (1L to 200L).map(i => (1000L, i)) ++
+      Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(localRepair(star, Set(2L)) ==
+      ((4L to 200L).map(_ -> 1) ++ Seq(1000L -> 2, 1L -> 2, 3L -> 2)).toMap)
+    // deleting the HUB orphans every pure spoke; the triangle survives
+    assert(localRepair(star, Set(1000L)) ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
     // empty tombstone batch: the repair is the identity on the map
     assert(localRepair(k4tail, Set.empty) ==
       Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 5L -> 1))
