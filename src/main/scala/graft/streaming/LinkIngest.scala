@@ -134,8 +134,13 @@ object LinkIngest {
     * is [[graft.sources.LinkStore.write]] — the batch tier's build, run
     * at whatever cadence serving wants.
     */
-  def compact(spark: SparkSession, store: LinkStores): Unit = {
+  def compact(spark: SparkSession, store: LinkStores,
+      snapshotChains: Seq[String] = Nil): Unit = {
     Maintenance.compactBatchStore(spark, store.edgesPath)
     Maintenance.compactBatchStore(spark, store.keysPath)
+    // derived map snapshot chains (entities / coreness): full maps per
+    // generation, so retained-last-two chains, not folded sets — the
+    // DedupEdgeIngest.compact symmetry (r16)
+    snapshotChains.foreach(Maintenance.compactSnapshotChain(spark, _))
   }
 }

@@ -86,5 +86,16 @@ class LinkIngestSpec extends SparkSpec {
     }
     assert(snapshot(0L).size < snapshot(2L).size,
       "fixture must grow the map across batches")
+    // chain compaction through the linkage-side pass-through: retained
+    // snapshots read identical, generation 0 gone (the MaintenanceSpec
+    // law re-checked at this call site)
+    val lastEnt = snapshot(2L)
+    val lastCor = corSnapshot(2L)
+    LinkIngest.compact(spark, s, Seq(entPath, corPath))
+    assert(snapshot(2L) == lastEnt && corSnapshot(2L) == lastCor)
+    val fs = new org.apache.hadoop.fs.Path(entPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(entPath, "batch_id=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(corPath, "batch_id=0")))
   }
 }
