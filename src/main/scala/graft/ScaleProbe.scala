@@ -1138,11 +1138,11 @@ object ScaleProbe {
       // served graph entries start at stored edges so the wedge/loop
       // term, not the pair-graph rebuild, is what the row prices
       if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))
+          || opSel.exists(_.startsWith("link_coreness"))
           || wanted("entity_groups_served_del")
           || wanted("entity_groups_served_inc")
           || wanted("graph_coreness_served_inc")
-          || wanted("graph_coreness_served_incdel")
-          || wanted("link_coreness_hindex")) {
+          || wanted("graph_coreness_served_incdel")) {
         val namesPath = s"$tmp/names_$copies"
         if (!fs.exists(new org.apache.hadoop.fs.Path(s"$namesPath/_SUCCESS")))
           bigNames(Tables.customer(spark, sfDir), copies)
@@ -1163,6 +1163,15 @@ object ScaleProbe {
         if (wanted("link_served_triangles"))
           time(spark, copies, "link_served_triangles")(guard(
             graft.dedup.Linkage.graphTrianglesOn(
+              graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
+                .select(col("a_id"), col("b_id")))))
+        // local clustering coefficient over the stored graph (r16):
+        // the triangle tier's wedge-close plus one keyed left join —
+        // output grows with the NODE set (per-node scores), unlike the
+        // ranking entry's constant top-20
+        if (wanted("link_served_clustering"))
+          time(spark, copies, "link_served_clustering")(guard(
+            graft.dedup.Linkage.graphClusteringCoeffOn(
               graft.dedup.Linkage.storedEdges(spark, key, names, "id", "name")
                 .select(col("a_id"), col("b_id")))))
         // k-core peel over stored edges: per-replica core structure is

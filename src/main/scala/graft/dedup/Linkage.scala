@@ -270,7 +270,16 @@ object Linkage {
   /** `pairs`: unique undirected edges with a_id < b_id. Output: top-20
     * nodes by triangle participation (count desc, id asc).
     */
-  private[graft] def graphTrianglesOn(pairs: DataFrame): DataFrame = {
+  private[graft] def graphTrianglesOn(pairs: DataFrame): DataFrame =
+    triangleCounts(pairs)
+      .orderBy(col("n_triangles").desc, col("s_suppkey").asc)
+      .limit(20)
+
+  /** Per-node triangle participation, EVERY triangle-bearing node (the
+    * degree-oriented wedge-close derivation [[graphTrianglesOn]] ranks
+    * and [[graphClusteringCoeff]] normalizes — one definition).
+    */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
@@ -293,9 +302,77 @@ object Linkage {
         greatest(col("y"), col("z")) === col("v"))
     tris.select(explode(array(col("x"), col("y"), col("z"))).as("s_suppkey"))
       .groupBy("s_suppkey").agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("s_suppkey").asc)
-      .limit(20)
   }
+
+  // ---- graph_clustering_coeff: local clustering coefficient -------------
+  /** Per-node LOCAL CLUSTERING COEFFICIENT over the fuzzy ≤1 pair graph
+    * — 2·tri(v) / (deg(v)·(deg(v)−1)), the normalized form of the
+    * triangle diagnostic ([[graphTriangles]]'s scaladoc: triangle
+    * density separates clique-like duplicate clusters, safe to collapse,
+    * from chain-like typo drift where transitive merging is risky —
+    * the coefficient IS that separation as a per-node [0, 1] score, so
+    * a linkage pipeline can THRESHOLD it instead of eyeballing a
+    * top-20). Degree-<2 nodes score 0 (no wedge to close).
+    *
+    * Plan: [[triangleCounts]]' degree-oriented wedge-close (one
+    * definition with the ranking entry — sum(out_deg²) ≤ O(m^1.5)
+    * wedges under orientation regardless of skew) left-joined onto the
+    * degree frame; the division is IEEE double over exact integers,
+    * spelled identically in both engines (cast-to-double of the two
+    * integer products), so the gate is bit-exact.
+    *
+    * Scale (100 TB): inherits the triangle tier's economics — every
+    * join hash-partitionable, no adjacency lists, wedge volume bounded
+    * by orientation; the coefficient adds one broadcast-sized... no:
+    * one keyed left join + a per-row projection on top.
+    */
+  def graphClusteringCoeff(spark: SparkSession, dir: String): DataFrame =
+    graphClusteringCoeffOn(fuzzyJoin(spark, dir).select(col("a_id"), col("b_id")))
+
+  private[graft] def graphClusteringCoeffOn(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint(eager = false)
+    val deg = p.select(col("a_id").as("s_suppkey"))
+      .unionAll(p.select(col("b_id").as("s_suppkey")))
+      .groupBy("s_suppkey").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(p), Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy("s_suppkey")
+  }
+
+  val graphClusteringCoeffSql: String =
+    """WITH fp AS (
+      |  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+      |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+      |  WHERE levenshtein(a.s_name, b.s_name) <= 1),
+      |tri AS (
+      |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+      |  FROM fp e1
+      |  JOIN fp e2 ON e2.a_id = e1.b_id
+      |  JOIN fp e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+      |deg AS (
+      |  SELECT id, count(*) AS degree FROM (
+      |    SELECT a_id AS id FROM fp UNION ALL SELECT b_id FROM fp)
+      |  GROUP BY 1),
+      |tcnt AS (
+      |  SELECT id, count(*) AS n_triangles FROM (
+      |    SELECT x AS id FROM tri
+      |    UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY 1)
+      |SELECT d.id AS s_suppkey,
+      |       CAST(d.degree AS BIGINT) AS degree,
+      |       CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+      |       CASE WHEN d.degree >= 2
+      |            THEN CAST(coalesce(t.n_triangles, 0) * 2 AS DOUBLE)
+      |                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+      |            ELSE 0.0 END AS clustering_coeff
+      |FROM deg d LEFT JOIN tcnt t ON d.id = t.id
+      |ORDER BY s_suppkey""".stripMargin
 
   val graphTrianglesSql: String =
     """WITH fp AS (
@@ -1576,6 +1653,8 @@ object Linkage {
     "entity_groups_served_del" -> (entityGroupsServedDel _, entityGroupsServedDelSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
+    "graph_clustering_coeff" ->
+      (graphClusteringCoeff _, graphClusteringCoeffSql),
     "graph_kcore" -> (graphKcore _, graphKcoreSql),
     "graph_kcore_served" -> (graphKcoreServed _, graphKcoreSql),
     "graph_coreness" -> (graphCoreness _, graphCorenessSql),

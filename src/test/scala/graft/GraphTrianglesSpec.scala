@@ -55,6 +55,42 @@ class GraphTrianglesSpec extends SparkSpec {
     assert(got == brute(fp).take(20))
   }
 
+  private def coeffs(p: DataFrame): Map[Long, (Long, Long, Double)] =
+    Linkage.graphClusteringCoeffOn(p)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("local clustering coefficient: fixtures, full-node brute equality") {
+    // K4 + tail: clique members deg 3 / tri 3 / coeff 1.0 except the
+    // articulation (deg 4, tri 3, 6/12 = 0.5); the tail leaf deg 1 → 0
+    val k4tail = pairs(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L)))
+    assert(coeffs(k4tail) == Map(
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((4L, 3L, 0.5)), 5L -> ((1L, 0L, 0.0))))
+    // a path: interior nodes have a wedge but no closure → 0.0
+    val path = pairs((1L to 4L).map(i => (i, i + 1)))
+    assert(coeffs(path).values.forall(v => v._3 == 0.0))
+    // full-node equality vs the brute closure on the real graph —
+    // STRONGER than the ranking entry's top-20 law: every node's
+    // (degree, triangles, coefficient) triple must match
+    val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select("a_id", "b_id").localCheckpoint()
+    val triBrute = brute(fp).toMap
+    val degAll = fp.select(col("a_id").as("id"))
+      .unionAll(fp.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val got = coeffs(fp)
+    assert(got.keySet == degAll.keySet)
+    got.foreach { case (id, (d, t, c)) =>
+      assert(d == degAll(id) && t == triBrute.getOrElse(id, 0L), s"node $id")
+      val want = if (d >= 2) (2.0 * t) / (d * (d - 1)).toDouble else 0.0
+      assert(c == want, s"node $id coeff")
+    }
+    assert(got.values.exists(_._3 > 0.0), "fixture graph must close wedges")
+  }
+
   test("triangle participation is bounded by C(deg, 2)") {
     val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
       .select("a_id", "b_id")
