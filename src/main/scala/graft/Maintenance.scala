@@ -231,6 +231,30 @@ object Maintenance {
     else Some(scala.io.Source.fromInputStream(fs.open(m)).mkString.trim.toLong)
   }
 
+  /** The store's fold horizon, if any compaction recorded one — the
+    * highest real batch id whose per-batch partition no longer exists.
+    * Replay-side folds check this BEFORE reading their own partition: a
+    * `batch_id=N` filter over a store whose N ≤ horizon matches nothing
+    * without error, so an unguarded replay would silently fold an empty
+    * batch (r16 ADVICE, the `updateComponentsDel` id==horizon hole that
+    * [[readAsOf]]'s own `maxBatch ≥ h` require cannot catch).
+    */
+  def foldHorizonOf(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    foldHorizon(root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+  }
+
+  /** True iff `e` is the missing-input-path analysis error — the ONLY
+    * AnalysisException an empty-store/first-batch read may treat as "no
+    * rows yet"; schema and corruption errors must propagate (r16
+    * ADVICE: a catch-all here masks a corrupted store as an empty
+    * batch). Matched on the error condition with a message fallback for
+    * pre-condition-class spellings.
+    */
+  def isMissingPath(e: org.apache.spark.sql.AnalysisException): Boolean =
+    e.getCondition == "PATH_NOT_FOUND" ||
+      Option(e.getMessage).exists(_.contains("Path does not exist"))
+
   /** SNAPSHOT read of a `batch_id=N` store: the rows as of the moment
     * batch `maxBatch` committed — the reproducibility primitive a
     * training run records ("the corpus at snapshot 41") so any later

@@ -1139,6 +1139,7 @@ object ScaleProbe {
       // term, not the pair-graph rebuild, is what the row prices
       if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))
           || opSel.exists(_.startsWith("link_coreness"))
+          || opSel.exists(_.startsWith("link_triangles"))
           || wanted("entity_groups_served_del")
           || wanted("entity_groups_served_inc")
           || wanted("graph_coreness_served_inc")
@@ -1294,6 +1295,68 @@ object ScaleProbe {
           inc.count() // lands batches + folds chains; the read is timed
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           time(spark, copies, "graph_coreness_served_incdel")(guard(inc))
+        }
+        // the diagnostics family's deletion repair (r17 verdict #4):
+        // the (degree, triangles) map built UNTIMED (the one-time wedge
+        // close); the timed read is tombstone land + map scan + the
+        // takedown-local wedge repair — vs `link_served_clustering`'s
+        // full wedge-close per refresh (44.5 s at 100×, r16)
+        if (wanted("link_triangles_del")) {
+          def served = graft.dedup.Linkage.trianglesRepairedFrames(
+            spark, key, names, "id", "name")
+          served.count() // builds the triangle map; serve is timed
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          time(spark, copies, "link_triangles_del")(guard(served))
+        }
+        // the coreness INSERT-fold A/B (r17 verdict #1 — the r16 `weak`
+        // priced): batches 0-1 landed + folded UNTIMED, then the timed
+        // object is the BATCH-2 FOLD ITSELF — the r17 local spelling
+        // (degree pass + candidate region + frontier repair) vs the
+        // r15-r16 component-bounded recompute that degenerated on
+        // giant-component graphs; link_triangles_fold prices the
+        // diagnostics fold the same way
+        if (wanted("link_coreness_fold") || wanted("link_coreness_fold_comp")
+            || wanted("link_triangles_fold")) {
+          val store = graft.streaming.LinkIngest.LinkStores(
+            s"$tmp/fold_probe_$copies/keys", s"$tmp/fold_probe_$copies/edges")
+          val entP = s"$tmp/fold_probe_$copies/entities"
+          val corP = s"$tmp/fold_probe_$copies/coreness"
+          val triP = s"$tmp/fold_probe_$copies/triangles"
+          if (!fs.exists(new org.apache.hadoop.fs.Path(
+              s"$corP/batch_id=1/_SUCCESS"))) {
+            (0 to 2).foreach { r =>
+              graft.streaming.LinkIngest.processBatch(
+                names.filter(col("id") % 3 === r), r.toLong, store,
+                "id", "name")
+            }
+            (0 to 1).foreach { r =>
+              graft.streaming.LinkIngest.updateEntities(
+                spark, store, entP, r.toLong)
+              graft.dedup.Linkage.foldCorenessSnapshot(
+                spark, store, entP, corP, r.toLong)
+              graft.dedup.Linkage.foldTrianglesSnapshot(
+                spark, store, triP, r.toLong)
+            }
+          }
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          if (wanted("link_coreness_fold"))
+            time(spark, copies, "link_coreness_fold")(guard {
+              graft.dedup.Linkage.foldCorenessSnapshot(
+                spark, store, entP, corP, 2L)
+              spark.read.parquet(s"$corP/batch_id=2")
+            })
+          if (wanted("link_coreness_fold_comp"))
+            time(spark, copies, "link_coreness_fold_comp")(guard {
+              graft.dedup.Linkage.foldCorenessSnapshotComponent(
+                spark, store, entP, corP, 2L)
+              spark.read.parquet(s"$corP/batch_id=2")
+            })
+          if (wanted("link_triangles_fold"))
+            time(spark, copies, "link_triangles_fold")(guard {
+              graft.dedup.Linkage.foldTrianglesSnapshot(
+                spark, store, triP, 2L)
+              spark.read.parquet(s"$triP/batch_id=2")
+            })
         }
         // deletion-aware served entities: stores built untimed above;
         // the timed object is the tombstone land + affected-group

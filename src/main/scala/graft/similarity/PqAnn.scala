@@ -442,11 +442,21 @@ object PqAnn {
     knnIvfPqOn(Tables.embeddings(spark, dir),
       membersOf = Similarity.ivfMembersSqrtOn)
 
+  /** @param artifacts persisted (codes, codebook) to serve the encode
+    *   tier from instead of the in-plan train+encode (r17 verdict #3 —
+    *   the PQ-retrain demotion): the query-side tables derive from the
+    *   GIVEN codebook under the operator's own queryPred, so stored and
+    *   in-plan spellings are bit-equal whenever the store was built by
+    *   [[pqArtifacts]] (`PqServedSpec`'s demotion laws).
+    */
   private[graft] def knnIvfPqOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
       tier: Tier = K256,
-      membersOf: DataFrame => DataFrame = Similarity.ivfMembersOn): DataFrame = {
-    val (enc, dtab) = pqEncode(emb, queryPred, tier)
+      membersOf: DataFrame => DataFrame = Similarity.ivfMembersOn,
+      artifacts: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (enc, dtab) = artifacts
+      .map { case (e, cb) => (e, dtabFor(emb.filter(queryPred), cb, tier)) }
+      .getOrElse(pqEncode(emb, queryPred, tier))
     val members = membersOf(emb)
     // BROADCAST CONTRACT (applies to every in-plan ANN tier that ships
     // its routed member stream this way): |members| = |Q|·nprobe·(N/C).
@@ -545,12 +555,17 @@ object PqAnn {
       queryPred: Column = col("vec_id") % QueryMod === 0,
       tier: Tier = K256,
       membersOf: (DataFrame, Column) => DataFrame = null,
-      fetch: Int = 0): DataFrame = {
+      fetch: Int = 0,
+      artifacts: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     val mkMembers: DataFrame => DataFrame =
       if (membersOf != null) membersOf(_, queryPred)
       else IvfTrained.trainedMembersOn(_, queryPred = queryPred)
     val f = if (fetch > 0) fetch else tier.fetch
-    val (enc, dtab) = pqEncode(emb, queryPred, tier)
+    // persisted (codes, codebook) swap the train+encode tier out of the
+    // plan — see [[knnIvfPqOn]]'s artifacts note (r17 verdict #3)
+    val (enc, dtab) = artifacts
+      .map { case (e, cb) => (e, dtabFor(emb.filter(queryPred), cb, tier)) }
+      .getOrElse(pqEncode(emb, queryPred, tier))
     val members = mkMembers(emb)
     // broadcast(members) carries the bounded-query-batch contract
     // documented at [[knnIvfPqOn]]: fine under pinned batches (served
@@ -1062,10 +1077,10 @@ object PqAnn {
     "knn_pq256" -> (knnPq256 _, knnPq256Sql),
     "knn_pq256_balanced" -> (knnPq256Balanced _, knnPq256BalancedSql),
     "knn_served_pq_balanced" -> (knnServedPqBalanced _, knnPq256BalancedSql),
-    "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql),
-    "knn_ivf_pq" -> (knnIvfPq _, knnIvfPqSql),
-    "knn_ivf_pq_sqrt" -> (knnIvfPqSqrt _, knnIvfPqSqrtSql),
-    "knn_ivf_pq_rerank" -> (knnIvfPqRerank _, knnIvfPqRerankSql),
-    "knn_ivf_pq_rerank_sqrt" -> (knnIvfPqRerankSqrt _, knnIvfPqRerankSqrtSql),
-    "knn_ivf_pq_residual" -> (knnIvfPqResidual _, knnIvfPqResidualSql))
+    "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql))
+    // the five knn_ivf_pq* keys moved to RetrievalAnalytics.registry
+    // (r17 verdict #3): their derivations are now artifact-backed — the
+    // in-plan retrain spellings above stay as the spec-pinned reference
+    // derivations (`PqServedSpec`/`PqResServedSpec` demotion laws) and
+    // the UNCHANGED oracles still replay the full train chain per run.
 }

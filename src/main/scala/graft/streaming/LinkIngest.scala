@@ -53,7 +53,10 @@ object LinkIngest {
     try Maintenance.readAsOf(spark, path, maxBatch)
       .select(keysSchema.fieldNames.map(col): _*)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      // ONLY path-missing reads as "nothing landed yet" (r16 ADVICE) —
+      // schema/corruption AnalysisExceptions propagate
+      case e: org.apache.spark.sql.AnalysisException
+          if Maintenance.isMissingPath(e) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           keysSchema)
     }

@@ -231,6 +231,85 @@ class CorenessSpec extends SparkSpec {
     assert(got.nonEmpty && got == survivorTruth(pairs, dead))
   }
 
+  // ---- traversal-based local maintenance under insertion (r17) ---------
+
+  /** The production fold path: previous capped map over the OLD edges,
+    * then [[Linkage.maintainCorenessLocalIns]] over old ∪ batch.
+    */
+  private def localInsert(oldPairs: Seq[(Long, Long)],
+      batch: Seq[(Long, Long)]): Map[Long, Int] = {
+    val prev = Linkage.graphCorenessCappedCountingOn(
+      oldPairs.toDF("a_id", "b_id"))
+    Linkage.maintainCorenessLocalIns(prev,
+        (oldPairs ++ batch).toDF("a_id", "b_id"),
+        batch.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  test("local insertion fold: fixtures (stall trap, jump, new nodes, cap, no-op)") {
+    // the upward-iteration STALL TRAP the scaladoc names: path 1-2-3
+    // plus new edge (1,3) — H(all-1) = 1 everywhere, so a naive upward
+    // h-iteration never reaches the triangle's coreness 2; the inflated
+    // downward repair must
+    assert(localInsert(Seq((1L, 2L), (2L, 3L)), Seq((1L, 3L))) ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // two disjoint edges closed into a 4-cycle: every label 1 → 2, and
+    // every node is a batch endpoint
+    assert(localInsert(Seq((1L, 2L), (3L, 4L)), Seq((2L, 3L), (4L, 1L))) ==
+      Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2))
+    // batch completing K4 from two disjoint edges: coreness JUMPS BY 2
+    // in one fold (1 → 3) — the multi-edge case single-insertion
+    // maintenance theory doesn't cover directly
+    assert(localInsert(Seq((1L, 2L), (3L, 4L)),
+      Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))) ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    // brand-new nodes, disconnected from the stored graph: a new
+    // triangle lands whole; the old edge must pass through untouched
+    assert(localInsert(Seq((1L, 2L)), Seq((5L, 6L), (6L, 7L), (5L, 7L))) ==
+      Map(1L -> 1, 2L -> 1, 5L -> 2, 6L -> 2, 7L -> 2))
+    // saturated pass-through: K4 sits at its own degree (dcap = c), so
+    // it is ineligible and a batch elsewhere must not move it
+    val k4plus = (1L to 4L).flatMap(a => (a + 1 to 4L).map(b => (a, b))) ++
+      Seq((8L, 9L))
+    assert(localInsert(k4plus, Seq((8L, 10L))) ==
+      Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3, 8L -> 1, 9L -> 1, 10L -> 1))
+    // cap crossing: K11 (capped coreness 10) grown to K13 (TRUE 12) —
+    // stored labels must stay at the cap, new members must land there
+    val k11 = (1L to 11L).flatMap(a => (a + 1 to 11L).map(b => (a, b)))
+    val grow = (1L to 11L).map(a => (a, 12L)) ++
+      (1L to 11L).map(a => (a, 13L)) :+ ((12L, 13L))
+    assert(localInsert(k11, grow) == (1L to 13L).map(_ -> 10).toMap)
+    // empty batch: the fold is the identity on the map
+    assert(localInsert(Seq((1L, 2L), (2L, 3L)), Seq.empty) ==
+      Map(1L -> 1, 2L -> 1, 3L -> 1))
+  }
+
+  test("local insertion fold ≡ from-scratch capped truth on random graphs") {
+    val rnd = new scala.util.Random(20260817L)
+    for (_ <- 1 to 6) {
+      val n = 24 + rnd.nextInt(16)
+      // old graph over nodes 1..n; the batch adds fresh edges over
+      // 1..n+4 (so some endpoints are brand-new nodes)
+      val all = (for {
+        a <- 1L to (n + 4).toLong; b <- (a + 1) to (n + 4).toLong
+        if rnd.nextDouble() < 0.18
+      } yield (a, b)).toSeq
+      val (batch, old) = all.partition(_ => rnd.nextDouble() < 0.25)
+      if (old.nonEmpty && batch.nonEmpty)
+        assert(localInsert(old, batch) == brute(old ++ batch, Linkage.CorenessMaxK),
+          s"n=$n old=${old.size} batch=${batch.size}")
+    }
+  }
+
+  test("local insertion fold ≡ one-shot capped truth on the real graph") {
+    val pairs = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSeq
+    val (batch, old) = pairs.partition(e => (e._1 * 31 + e._2) % 3 == 0)
+    assert(old.nonEmpty && batch.nonEmpty)
+    assert(localInsert(old, batch) == brute(pairs, Linkage.CorenessMaxK))
+  }
+
   test("coreness is consistent with graph_kcore membership") {
     val dir = "/root/testdata/sf0.001"
     val kc = Linkage.graphKcore(spark, dir)

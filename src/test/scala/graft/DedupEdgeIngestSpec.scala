@@ -146,6 +146,66 @@ class DedupEdgeIngestSpec extends SparkSpec {
     assert(survivorTruth != fullTruth, "the takedown batch must bite")
   }
 
+  test("tombstone-applied compaction: survivor read identical, stores fold to survivors, horizon guards replay") {
+    GraftExtensions.register(spark)
+    val s = store("tombcomp")
+    val tombs = s.edgesPath.stripSuffix("/edges") + "/tombs"
+    val compPath = s.edgesPath.stripSuffix("/edges") + "/componentsdel"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val inserts = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    val dead = docs.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id").as("dead_id")).localCheckpoint()
+    def compSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.select("doc_id", "component_id", "is_canonical")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // land: insert, insert, takedown, insert (the registry entry's shape)
+    Seq(Left(0), Left(1), Right(()), Left(2)).zipWithIndex.foreach { case (st, i) =>
+      st match {
+        case Left(b)  => DedupEdgeIngest.processBatch(inserts(b), i.toLong, s)
+        case Right(_) => DedupEdgeIngest.processTombstones(dead, i.toLong, tombs)
+      }
+      DedupEdgeIngest.updateComponentsDel(spark, s, tombs, compPath, i.toLong)
+    }
+    def survivorRead(): Set[(Long, Long, Double)] = edgeSet(
+      DedupEdgeIngest.edges(spark, s)
+        .join(dead, col("doc_id_1") === col("dead_id"), "left_anti")
+        .join(dead, col("doc_id_2") === col("dead_id"), "left_anti"))
+    val survBefore = survivorRead()
+    assert(survBefore.nonEmpty &&
+      edgeSet(DedupEdgeIngest.edges(spark, s)) != survBefore,
+      "the takedown batch must bite")
+    DedupEdgeIngest.compact(spark, s, Seq(compPath), tombsPath = Some(tombs))
+    // read-identical law: the survivor-composed read is unchanged...
+    assert(survivorRead() == survBefore)
+    // ...and the raw read now IS the survivor graph ("fold to zero"):
+    // dead rows left every store, the tombstone store reads empty
+    assert(edgeSet(DedupEdgeIngest.edges(spark, s)) == survBefore)
+    assert(spark.read.parquet(tombs).count() == 0)
+    assert(spark.read.parquet(s.setsPath)
+      .filter(col("doc_id") % 9 === 4).count() == 0)
+    assert(spark.read.parquet(s.bandsPath)
+      .filter(col("doc_id") % 9 === 4).count() == 0)
+    // replay at the fold horizon fails LOUD (the r16-ADVICE guard):
+    // batch 3's per-batch history was folded away
+    intercept[IllegalArgumentException] {
+      DedupEdgeIngest.updateComponentsDel(spark, s, tombs, compPath, 3L)
+    }
+    // post-compaction life: a NEW takedown lands beside the emptied
+    // store and composes against the folded survivor graph
+    val dead2 = docs.filter(col("doc_id") % 9 === 7)
+      .select(col("doc_id").as("dead_id")).localCheckpoint()
+    DedupEdgeIngest.processTombstones(dead2, 4L, tombs)
+    DedupEdgeIngest.updateComponentsDel(spark, s, tombs, compPath, 4L)
+    val expected = compSet(Dedup.componentsOn(
+      DedupEdgeIngest.edges(spark, s)
+        .join(dead2, col("doc_id_1") === col("dead_id"), "left_anti")
+        .join(dead2, col("doc_id_2") === col("dead_id"), "left_anti")
+        .select("doc_id_1", "doc_id_2")))
+    assert(compSet(spark.read.parquet(s"$compPath/batch_id=4")) == expected)
+  }
+
   test("live(base prefix + delta) ≡ one-shot dedup, for every prefix split") {
     GraftExtensions.register(spark)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

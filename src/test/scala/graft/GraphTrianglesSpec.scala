@@ -91,6 +91,68 @@ class GraphTrianglesSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 0.0), "fixture graph must close wedges")
   }
 
+  // ---- serving-cell maintenance under deletion (r17) --------------------
+
+  private def mapOf(df: DataFrame): Map[Long, (Long, Long)] =
+    df.select("s_suppkey", "degree", "n_triangles")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def repairDel(es: Seq[(Long, Long)],
+      dead: Set[Long]): Map[Long, (Long, Long)] = {
+    val p = pairs(es).localCheckpoint()
+    mapOf(Linkage.maintainTrianglesUnderDeletion(
+      Linkage.degreeTriangleMapOn(p), p, dead.toSeq.toDF("dead_id")))
+  }
+
+  /** From-scratch truth over survivors — itself pinned against the
+    * brute closure by the coefficient test above.
+    */
+  private def survivorMap(es: Seq[(Long, Long)],
+      dead: Set[Long]): Map[Long, (Long, Long)] = {
+    val surv = es.filter(e => !dead(e._1) && !dead(e._2))
+    if (surv.isEmpty) Map.empty
+    else mapOf(Linkage.degreeTriangleMapOn(pairs(surv)))
+  }
+
+  test("triangle deletion repair ≡ survivor map: fixtures, random, real") {
+    // K4 + tail: deleting the articulation node 4 leaves triangle
+    // {1,2,3} (deg 2, tri 1 each) and edge-orphans the tail node 5
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    assert(repairDel(k4tail, Set(4L)) ==
+      Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((2L, 1L))))
+    // shared-edge cliques K3{8,9,10} + K3{9,10,11}: a triangle with TWO
+    // dead members {9,10} must subtract exactly once from each survivor
+    val shared = Seq((8L, 9L), (8L, 10L), (9L, 10L), (9L, 11L), (10L, 11L))
+    assert(repairDel(shared, Set(9L, 10L)) == Map.empty) // 8, 11 orphaned
+    assert(repairDel(shared, Set(11L)) ==
+      Map(8L -> ((2L, 1L)), 9L -> ((2L, 1L)), 10L -> ((2L, 1L))))
+    // empty takedown: identity on the map
+    assert(repairDel(k4tail, Set.empty) == survivorMap(k4tail, Set.empty))
+    // random graphs
+    val rnd = new scala.util.Random(17L)
+    for (_ <- 1 to 5) {
+      val n = 20 + rnd.nextInt(15)
+      val es = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.2
+      } yield (a, b)).toSeq
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val dead = nodes.filter(_ => rnd.nextDouble() < 0.2).toSet
+      if (es.nonEmpty)
+        assert(repairDel(es, dead) == survivorMap(es, dead), s"n=$n dead=$dead")
+    }
+    // the real fuzzy graph under the registry's %7 rule
+    val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
+      .select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSeq
+    val dead = fp.flatMap(e => Seq(e._1, e._2)).distinct
+      .filter(_ % 7 == 3).toSet
+    assert(dead.nonEmpty)
+    val got = repairDel(fp, dead)
+    assert(got.nonEmpty && got == survivorMap(fp, dead))
+  }
+
   test("triangle participation is bounded by C(deg, 2)") {
     val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
       .select("a_id", "b_id")

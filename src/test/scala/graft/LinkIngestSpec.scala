@@ -66,10 +66,15 @@ class LinkIngestSpec extends SparkSpec {
     def corSnapshot(id: Long): Set[(Long, Int)] =
       spark.read.parquet(s"$corPath/batch_id=$id")
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val triPath = s.edgesPath.stripSuffix("/edges") + "/triangles"
+    def triSnapshot(id: Long): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$triPath/batch_id=$id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     batches.zipWithIndex.foreach { case (b, i) =>
       LinkIngest.processBatch(b, i.toLong, s)
       LinkIngest.updateEntities(spark, s, entPath, i.toLong)
       Linkage.foldCorenessSnapshot(spark, s, entPath, corPath, i.toLong)
+      Linkage.foldTrianglesSnapshot(spark, s, triPath, i.toLong)
       val landed = LinkIngest.edges(spark, s)
       val expected = Dedup.componentsOn(
           landed.select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
@@ -77,25 +82,41 @@ class LinkIngestSpec extends SparkSpec {
       assert(expected.nonEmpty && snapshot(i.toLong) == expected,
         s"entity map after batch $i")
       // the coreness fold law: snapshot ≡ capped coreness derived
-      // from scratch over everything landed so far
+      // from scratch over everything landed so far (the r17 LOCAL fold
+      // rides this unchanged law)
       val corExpected = Linkage.graphCorenessOn(
           landed.select(col("a_id"), col("b_id")))
         .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(corSnapshot(i.toLong) == corExpected,
         s"coreness map after batch $i")
+      // the triangles fold law (r17): snapshot ≡ the degree/triangle
+      // map derived from scratch over everything landed so far
+      val triExpected = Linkage.degreeTriangleMapOn(
+          landed.select(col("a_id"), col("b_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(triSnapshot(i.toLong) == triExpected,
+        s"triangle map after batch $i")
     }
     assert(snapshot(0L).size < snapshot(2L).size,
       "fixture must grow the map across batches")
+    // the retired component-bounded fold spelling (the probe's A/B
+    // reference) must agree with the local fold on the same batch
+    val lastCor = corSnapshot(2L)
+    Linkage.foldCorenessSnapshotComponent(spark, s, entPath, corPath, 2L)
+    assert(corSnapshot(2L) == lastCor,
+      "component-bounded and local folds must produce one snapshot")
     // chain compaction through the linkage-side pass-through: retained
     // snapshots read identical, generation 0 gone (the MaintenanceSpec
     // law re-checked at this call site)
     val lastEnt = snapshot(2L)
-    val lastCor = corSnapshot(2L)
-    LinkIngest.compact(spark, s, Seq(entPath, corPath))
-    assert(snapshot(2L) == lastEnt && corSnapshot(2L) == lastCor)
+    val lastTri = triSnapshot(2L)
+    LinkIngest.compact(spark, s, Seq(entPath, corPath, triPath))
+    assert(snapshot(2L) == lastEnt && corSnapshot(2L) == lastCor &&
+      triSnapshot(2L) == lastTri)
     val fs = new org.apache.hadoop.fs.Path(entPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(!fs.exists(new org.apache.hadoop.fs.Path(entPath, "batch_id=0")) &&
-      !fs.exists(new org.apache.hadoop.fs.Path(corPath, "batch_id=0")))
+      !fs.exists(new org.apache.hadoop.fs.Path(corPath, "batch_id=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(triPath, "batch_id=0")))
   }
 }

@@ -32,6 +32,31 @@ class PqServedSpec extends SparkSpec {
       "codes scan must be partition-pruned:\n" + codeScan)
   }
 
+  // ---- the r17 retrain demotions: stored-artifact forms ≡ in-plan -------
+
+  test("knn_ivf_pq demotion: stored codes ≡ in-plan retrain, both routings") {
+    GraftExtensions.register(spark)
+    val storedFix = RetrievalAnalytics.knnIvfPqStored(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlanFix = PqAnn.knnIvfPq(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(storedFix.nonEmpty && storedFix == inPlanFix)
+    val storedSqrt = RetrievalAnalytics.knnIvfPqSqrtStored(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlanSqrt = PqAnn.knnIvfPqSqrt(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(storedSqrt.nonEmpty && storedSqrt == inPlanSqrt)
+  }
+
+  test("knn_ivf_pq_rerank_sqrt demotion: stored codes + stored √N routing ≡ in-plan") {
+    GraftExtensions.register(spark)
+    val stored = RetrievalAnalytics.knnIvfPqRerankSqrtStored(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlan = PqAnn.knnIvfPqRerankSqrt(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inPlan)
+  }
+
   test("knn_served_pq_del: survivors only, queries filtered, empty batch ≡ base") {
     GraftExtensions.register(spark)
     val del = RetrievalAnalytics.knnServedPqDel(spark, dir).collect()
