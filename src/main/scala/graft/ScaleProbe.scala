@@ -1358,6 +1358,44 @@ object ScaleProbe {
               spark.read.parquet(s"$triP/batch_id=2")
             })
         }
+        // sparse-batch fold arm (the delete side's `_del_sparse` twin):
+        // the registry's id%3 batches are corpus/3 — adversarial by
+        // construction for any local algorithm; a production crawl
+        // increment is a sliver. Prefix = everything but a 0.1% slice,
+        // timed fold = the slice — the +|B| inflation bound should make
+        // this read near the degree-pass floor.
+        if (wanted("link_coreness_fold_sparse")
+            || wanted("link_coreness_fold_sparse_comp")) {
+          val store = graft.streaming.LinkIngest.LinkStores(
+            s"$tmp/fold_sparse_$copies/keys", s"$tmp/fold_sparse_$copies/edges")
+          val entP = s"$tmp/fold_sparse_$copies/entities"
+          val corP = s"$tmp/fold_sparse_$copies/coreness"
+          if (!fs.exists(new org.apache.hadoop.fs.Path(
+              s"$corP/batch_id=0/_SUCCESS"))) {
+            graft.streaming.LinkIngest.processBatch(
+              names.filter(col("id") % 1000 =!= 3), 0L, store, "id", "name")
+            graft.streaming.LinkIngest.processBatch(
+              names.filter(col("id") % 1000 === 3), 1L, store, "id", "name")
+            graft.streaming.LinkIngest.updateEntities(spark, store, entP, 0L)
+            graft.dedup.Linkage.foldCorenessSnapshot(
+              spark, store, entP, corP, 0L)
+          }
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          if (wanted("link_coreness_fold_sparse"))
+            time(spark, copies, "link_coreness_fold_sparse")(guard {
+              graft.dedup.Linkage.foldCorenessSnapshot(
+                spark, store, entP, corP, 1L)
+              spark.read.parquet(s"$corP/batch_id=1")
+            })
+          // the component recompute on the SAME sparse batch — the A/B
+          // that justifies the fold's batch-fraction dispatch
+          if (wanted("link_coreness_fold_sparse_comp"))
+            time(spark, copies, "link_coreness_fold_sparse_comp")(guard {
+              graft.dedup.Linkage.foldCorenessSnapshotComponent(
+                spark, store, entP, corP, 1L)
+              spark.read.parquet(s"$corP/batch_id=1")
+            })
+        }
         // deletion-aware served entities: stores built untimed above;
         // the timed object is the tombstone land + affected-group
         // recompute + untouched pass-through — O(deleted groups), never

@@ -1217,19 +1217,37 @@ object Linkage {
       .orderBy("s_suppkey")
   }
 
+  /** The local insert fold dispatches to the component recompute above
+    * this batch-to-corpus edge fraction — BOTH spellings are measured
+    * at 100× (`link_coreness_fold*` arms, PLANS.md r17): a SPARSE batch
+    * (the production crawl increment, 0.1% arm) folds locally at 9.4 s
+    * where the component recompute pays its flat ~36 s full-propagation
+    * price, but a corpus-scale batch (the registry's id%3 thirds —
+    * adversarial by construction, every fold's candidate region IS the
+    * graph) inverts the trade (49.8 vs 36.5 s): the local machinery's
+    * per-round frontier restriction buys nothing when the frontier is
+    * the graph, and its degree/region/overlay overhead is pure cost.
+    * The crossover sits between the arms; 10% is conservative from the
+    * sparse side.
+    */
+  private[graft] val LocalFoldMaxBatchFraction = 0.10
+
   /** Fold batch `id`'s landed LinkIngest edges into a per-batch
     * capped-CORENESS snapshot — map maintenance under INSERTS, closing
     * the graph-label tier's serving matrix (served + del + inc). Since
-    * r17 the fold is LOCAL ([[maintainCorenessLocalIns]], retiring the
-    * r16 `weak`): one degree pass over the accumulated edges, a
-    * candidate-region inflation bounded by the touched subcores, and
-    * the frontier repair — cost tracks the batch's cascade region, not
-    * the affected component (the previous bound, kept as
-    * [[foldCorenessSnapshotComponent]], degenerates on giant-component
-    * graphs where "affected" ≈ the graph). The law is unchanged
+    * r17 the fold is LOCAL for production-shaped batches
+    * ([[maintainCorenessLocalIns]], retiring the r16 `weak`): one
+    * degree pass over the accumulated edges, a candidate-region
+    * inflation bounded by eligibility × affected membership, and the
+    * frontier repair — cost tracks the batch's cascade region (9.4 vs
+    * the component recompute's ~36 s at the 100× sparse arm). Batches
+    * above [[LocalFoldMaxBatchFraction]] of the accumulated edges
+    * dispatch to the component recompute
+    * ([[foldCorenessSnapshotComponent]]) instead — measured faster
+    * there, see the constant's note. The law is unchanged either way
     * (`LinkIngestSpec`): snapshot after any prefix ≡ capped coreness
-    * over all edges landed so far; the `link_coreness_fold` probe arm
-    * prices both spellings at 1×/10×/100×.
+    * over all edges landed so far; both spellings are law-pinned and
+    * the `link_coreness_fold*` probe arms price them at 1×/10×/100×.
     *
     * TOMBSTONE COMPOSE RULE (r16): this fold is insert-only by design —
     * on the graph-label tier, deletes compose AT READ via
@@ -1249,18 +1267,21 @@ object Linkage {
       .localCheckpoint(eager = false)
     val snapshot =
       if (id == 0) graphCorenessCappedCountingOn(newEdges)
-      else
-        // r17: the LOCAL insert fold (the r16 `weak` retired) — one
-        // degree pass over the accumulated edges + the candidate-region
-        // inflation + frontier repair, instead of a full counting
-        // h-index propagation over the affected components' edges
-        // ([[foldCorenessSnapshotComponent]], kept below as the probe's
-        // A/B reference). Same fold law, same snapshot layout.
-        maintainCorenessLocalIns(
-          spark.read.parquet(s"$corPath/batch_id=${id - 1}"),
-          graft.Maintenance.readAsOf(spark, store.edgesPath, id)
-            .select(col("a_id"), col("b_id")),
-          newEdges)
+      else {
+        val all = graft.Maintenance.readAsOf(spark, store.edgesPath, id)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint(eager = false)
+        // two bounded scalars pick the measured-faster spelling
+        if (newEdges.count() > LocalFoldMaxBatchFraction * all.count())
+          corenessSnapshotComponent(spark, store, entPath, corPath, id,
+            newEdges)
+        else
+          maintainCorenessLocalIns(
+            spark.read.parquet(s"$corPath/batch_id=${id - 1}"),
+            spark.read.parquet(s"$entPath/batch_id=${id - 1}")
+              .select("doc_id", "component_id"),
+            all, newEdges)
+      }
     snapshot.write.mode("overwrite").parquet(s"$corPath/batch_id=$id")
   }
 
@@ -1279,35 +1300,45 @@ object Linkage {
       .localCheckpoint(eager = false)
     val snapshot =
       if (id == 0) graphCorenessCappedCountingOn(newEdges)
-      else {
-        val prevEnt = spark.read.parquet(s"$entPath/batch_id=${id - 1}")
-          .select("doc_id", "component_id")
-        val prevCor = spark.read.parquet(s"$corPath/batch_id=${id - 1}")
-        val touched = newEdges
-          .select(explode(array(col("a_id"), col("b_id"))).as("t_id"))
-          .distinct()
-        val affected = prevEnt
-          .join(broadcast(touched), col("doc_id") === col("t_id"), "left_semi")
-          .select(col("component_id").as("aff_id")).distinct()
-        val untouchedIds = prevEnt
-          .join(broadcast(affected), col("component_id") === col("aff_id"),
-            "left_anti")
-          .select(col("doc_id").as("s_suppkey"))
-        val untouched = prevCor.join(untouchedIds, Seq("s_suppkey"), "left_semi")
-        // the affected groups' accumulated edges: a_id's membership
-        // decides the component (both endpoints share it)
-        val memb = prevEnt.select(col("doc_id").as("a_id"),
-          col("component_id").as("m_id"))
-        val affEdges = graft.Maintenance
-          .readAsOf(spark, store.edgesPath, id - 1)
-          .select(col("a_id"), col("b_id"))
-          .join(memb, Seq("a_id"))
-          .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
-          .select(col("a_id"), col("b_id"))
-        untouched.unionByName(
-          graphCorenessCappedCountingOn(affEdges.unionByName(newEdges)))
-      }
+      else corenessSnapshotComponent(spark, store, entPath, corPath, id,
+        newEdges)
     snapshot.write.mode("overwrite").parquet(s"$corPath/batch_id=$id")
+  }
+
+  /** The affected-component snapshot derivation (id ≥ 1) shared by
+    * [[foldCorenessSnapshotComponent]] and [[foldCorenessSnapshot]]'s
+    * bulk-batch dispatch branch.
+    */
+  private def corenessSnapshotComponent(spark: SparkSession,
+      store: graft.streaming.LinkIngest.LinkStores,
+      entPath: String, corPath: String, id: Long,
+      newEdges: DataFrame): DataFrame = {
+    val prevEnt = spark.read.parquet(s"$entPath/batch_id=${id - 1}")
+      .select("doc_id", "component_id")
+    val prevCor = spark.read.parquet(s"$corPath/batch_id=${id - 1}")
+    val touched = newEdges
+      .select(explode(array(col("a_id"), col("b_id"))).as("t_id"))
+      .distinct()
+    val affected = prevEnt
+      .join(broadcast(touched), col("doc_id") === col("t_id"), "left_semi")
+      .select(col("component_id").as("aff_id")).distinct()
+    val untouchedIds = prevEnt
+      .join(broadcast(affected), col("component_id") === col("aff_id"),
+        "left_anti")
+      .select(col("doc_id").as("s_suppkey"))
+    val untouched = prevCor.join(untouchedIds, Seq("s_suppkey"), "left_semi")
+    // the affected groups' accumulated edges: a_id's membership
+    // decides the component (both endpoints share it)
+    val memb = prevEnt.select(col("doc_id").as("a_id"),
+      col("component_id").as("m_id"))
+    val affEdges = graft.Maintenance
+      .readAsOf(spark, store.edgesPath, id - 1)
+      .select(col("a_id"), col("b_id"))
+      .join(memb, Seq("a_id"))
+      .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
+      .select(col("a_id"), col("b_id"))
+    untouched.unionByName(
+      graphCorenessCappedCountingOn(affEdges.unionByName(newEdges)))
   }
 
   /** [[graphCorenessServed]] with the map maintained INCREMENTALLY on
@@ -1585,13 +1616,13 @@ object Linkage {
     // the previous spelling rewrote + re-checkpointed all N map rows
     // EVERY round — an O(map) state term per round that dominates a
     // deep cascade over a 100 TB map). The cascade's changed labels
-    // accumulate in a CASCADE-SIZED overlay instead; per-round state is
-    // O(cascade), and labels resolve as base ⊕ broadcast(overlay).
-    // BROADCAST CONTRACT (the knnIvfPqOn precedent): the overlay is
-    // bounded by the cascade region — the quantity this operator exists
-    // to keep small; a deployment whose takedown cascades approach the
-    // map size should swap the hint for a plain shuffle join
-    // (bit-identical output, strategy only).
+    // accumulate in a CASCADE-SIZED overlay instead; per-round
+    // PERSISTED state is O(cascade), and labels resolve lazily as
+    // base ⊕ overlay. The overlay join is deliberately UNHINTED: AQE
+    // broadcasts it while the cascade is small and falls back to a
+    // shuffle join when an adversarial takedown grows it toward map
+    // size (a forced broadcast was measured 8× worse on the %7 arm at
+    // 100× — a ~1.3M-row driver collect per round, twice).
     // base's blocks are checkpointed BEFORE the round-tracking snapshot
     // so the per-round hygiene can never release them — base must
     // outlive every round AND the final resolved read.
@@ -1603,7 +1634,7 @@ object Linkage {
     // current labels = base overridden by the overlay, as a lazy plan —
     // never persisted, so no per-round map-sized state
     def resolved: DataFrame = base.as("b")
-      .join(broadcast(overlay.select(col("id").as("ov_id"), col("c").as("ov_c"))),
+      .join(overlay.select(col("id").as("ov_id"), col("c").as("ov_c")),
         col("b.id") === col("ov_id"), "left")
       .select(col("b.id").as("id"), coalesce(col("ov_c"), col("b.c")).as("c"))
     var frontier = seeds.select(col("id")).distinct().localCheckpoint()
@@ -1714,19 +1745,27 @@ object Linkage {
     *     connected to the inserted edge; for a batch, compose the
     *     per-insertion steps — intermediate labels are sandwiched
     *     between c_old and c_new, so every changed node keeps the
-    *     property cumulatively). Every RISEN node x satisfies
+    *     property cumulatively). Two sound restrictions compose:
+    *     (a) ELIGIBILITY — every risen node x satisfies
     *     min(deg_new(x), k_max) > max(c_old(x), k_floor) where k_floor
     *     = min over batch endpoints of their stored label (a step-i
     *     change happens at level k_i ≥ k_floor with c_old(x) ≤ k_i <
-    *     min(deg, k_max)). So R = {nodes connected to a batch endpoint
-    *     through nodes passing that test} ∪ {batch endpoints} contains
-    *     ALL risen nodes — computed as connected components of the
-    *     eligible-induced subgraph, keeping components that touch an
-    *     endpoint.
-    *  2. INFLATED UPPER BOUND — u₀ = min(deg_new, k_max) on R (always ≥
-    *     capped coreness AND ≥ the stored label, since degrees only
-    *     grow under insertion), stored labels elsewhere (exact there,
-    *     by step 1). u₀ ≥ capped c_new pointwise.
+    *     min(deg, k_max)); (b) MEMBERSHIP — following the rise-path
+    *     from x to its first batch-edge crossing uses old edges only,
+    *     so x shares an OLD component with some batch endpoint:
+    *     R = (eligible ∩ affected old components) ∪ batch endpoints,
+    *     ONE broadcast semi-join against the maintained entity
+    *     snapshot. (An earlier spelling computed the eligible-induced
+    *     connected closure instead — measured at 1×/10×, the
+    *     O(diameter) flood cost 3× more than it saved on this chain
+    *     corpus, where eligibility barely restricts connectivity.)
+    *  2. INFLATED UPPER BOUND — u₀ = min(deg_new, k_max, c_old + |B|)
+    *     on R (each single insertion raises any coreness by ≤ 1, so a
+    *     batch of |B| edges raises it by ≤ |B|; degrees only grow, so
+    *     u₀ ≥ the stored label too), stored labels elsewhere (exact
+    *     there, by step 1). u₀ ≥ capped c_new pointwise, and the
+    *     +|B| term bounds every node's descent depth by the batch
+    *     size — a sparse batch converges in ≤ |B| label steps.
     *  3. DOWNWARD REPAIR — [[maintainCorenessLocal]] VERBATIM with
     *     baseMap = u₀, edges = the accumulated graph, seeds = R: the
     *     chaotic iteration of the monotone c ↦ min(c, H(c)) from any
@@ -1734,65 +1773,68 @@ object Linkage {
     *     (the deletion repair's own fixpoint argument), and un-inflated
     *     nodes never re-evaluate below their stored label (their
     *     equation only sees neighbor labels ≥ the fixpoint's).
-    * The worst case is honest: on a chain-like component whose interior
-    * degrees exceed coreness everywhere, R floods the touched component
-    * — the known Ω(subcore) lower bound for exact core maintenance —
-    * but saturated regions (cliques at their degree, untouched
-    * components) never enter R, and the repair's cost is
-    * frontier-local inside it. The `link_coreness_fold` probe arm
-    * prices the fold before/after at 1×/10×/100×.
+    * The worst case is honest and KNOWN: the exact candidate set for
+    * insertion is subcore-bounded (the traversal-algorithm lower
+    * bound), so on a component whose interior degrees exceed coreness
+    * everywhere R floods the touched component — but saturated nodes
+    * (cliques at their degree), untouched components, and everything
+    * below the batch's level floor never enter R, the per-round work is
+    * frontier-restricted rather than affected-edges-wide, and stable
+    * regions quiesce after one evaluation. The `link_coreness_fold`
+    * probe arms price the fold against the retired component recompute
+    * at 1×/10×/100×, registry-shaped and sparse batches both.
     *
     * `prevMap` (s_suppkey, coreness): the previous snapshot's capped
-    * labels. `allEdges` (a_id, b_id): the accumulated graph INCLUDING
-    * the batch. `newEdges`: the batch. Output: (s_suppkey, coreness),
-    * unordered — capped coreness of `allEdges` exactly.
+    * labels. `prevEnt` (doc_id, component_id): the previous entity
+    * snapshot (the membership restriction). `allEdges` (a_id, b_id):
+    * the accumulated graph INCLUDING the batch. `newEdges`: the batch.
+    * Output: (s_suppkey, coreness), unordered — capped coreness of
+    * `allEdges` exactly.
     */
   private[graft] def maintainCorenessLocalIns(prevMap: DataFrame,
-      allEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+      prevEnt: DataFrame, allEdges: DataFrame,
+      newEdges: DataFrame): DataFrame = {
     val all = allEdges.localCheckpoint(eager = false)
     // one partial-aggregated degree pass over the accumulated edges —
-    // the fold's only corpus-graph-sized term (vs the previous
-    // spelling's full multi-round propagation over it)
+    // the fold's only corpus-graph-sized derivation term (vs the
+    // previous spelling's full multi-round propagation over it)
     val deg = all.select(col("a_id").as("id"))
       .unionAll(all.select(col("b_id").as("id")))
       .groupBy("id")
       .agg(least(count(lit(1)), lit(CorenessMaxK.toLong)).as("dcap"))
-      .localCheckpoint(eager = false) // consumers: k_floor, eligibility, inflation
+      .localCheckpoint(eager = false) // consumers: eligibility, inflation
     val lbl = prevMap
       .select(col("s_suppkey").as("id"), col("coreness").cast("long").as("c"))
     val endpoints = newEdges
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-      .localCheckpoint(eager = false) // consumers: k_floor, region roots, region
-    // k_floor: one bounded scalar (min stored label over batch
-    // endpoints; brand-new nodes read 0)
+      .localCheckpoint(eager = false) // consumers: k_floor, affected, region
+    // two bounded scalars: the batch's level floor and its edge count
     val kFloor = endpoints.join(lbl, Seq("id"), "left")
       .agg(min(coalesce(col("c"), lit(0L)))).head() match {
         case r if r.isNullAt(0) => 0L // empty batch: region = ∅ below
         case r => r.getLong(0)
       }
+    val batchEdges = newEdges.count()
     val eligible = deg.join(lbl, Seq("id"), "left")
       .filter(col("dcap") > greatest(coalesce(col("c"), lit(0L)), lit(kFloor)))
       .select("id")
-    val eligPlus = eligible.unionByName(endpoints).distinct()
-      .localCheckpoint(eager = false) // consumers: two induced-edge semi-joins
-    val eligEdges = all
-      .join(eligPlus.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
-      .join(eligPlus.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
-    val comp = Dedup.componentsOn(eligEdges
-        .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+    val entIds = prevEnt
       .select(col("doc_id").as("id"), col("component_id").as("cid"))
-      .localCheckpoint(eager = false) // consumers: hit filter, region
-    val hitComps = comp.join(endpoints, Seq("id"), "left_semi")
+    val affected = entIds.join(endpoints, Seq("id"), "left_semi")
       .select(col("cid")).distinct()
-    val region = comp
-      .join(broadcast(hitComps.select(col("cid").as("hit_cid"))),
-        col("cid") === col("hit_cid"), "left_semi")
+    val inAffected = entIds
+      .join(broadcast(affected.select(col("cid").as("aff_cid"))),
+        col("cid") === col("aff_cid"), "left_semi")
       .select("id")
+    val region = eligible.join(inAffected, Seq("id"), "left_semi")
       .unionByName(endpoints).distinct()
       .localCheckpoint() // consumers: inflation anti/semi joins + seeds
     val inflated = lbl.join(region, Seq("id"), "left_anti")
       .unionByName(region.join(deg, Seq("id"))
-        .select(col("id"), col("dcap").as("c")))
+        .join(lbl, Seq("id"), "left")
+        .select(col("id"),
+          least(col("dcap"),
+            coalesce(col("c"), lit(0L)) + lit(batchEdges)).as("c")))
       .select(col("id").as("s_suppkey"), col("c").as("coreness"))
     maintainCorenessLocal(inflated, all, region)
   }

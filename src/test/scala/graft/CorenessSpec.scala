@@ -233,14 +233,18 @@ class CorenessSpec extends SparkSpec {
 
   // ---- traversal-based local maintenance under insertion (r17) ---------
 
-  /** The production fold path: previous capped map over the OLD edges,
-    * then [[Linkage.maintainCorenessLocalIns]] over old ∪ batch.
+  /** The production fold path: previous capped map + entity snapshot
+    * over the OLD edges, then [[Linkage.maintainCorenessLocalIns]] over
+    * old ∪ batch.
     */
   private def localInsert(oldPairs: Seq[(Long, Long)],
       batch: Seq[(Long, Long)]): Map[Long, Int] = {
     val prev = Linkage.graphCorenessCappedCountingOn(
       oldPairs.toDF("a_id", "b_id"))
-    Linkage.maintainCorenessLocalIns(prev,
+    val prevEnt = graft.dedup.Dedup.componentsOn(
+        oldPairs.toDF("doc_id_1", "doc_id_2"))
+      .select("doc_id", "component_id")
+    Linkage.maintainCorenessLocalIns(prev, prevEnt,
         (oldPairs ++ batch).toDF("a_id", "b_id"),
         batch.toDF("a_id", "b_id"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
