@@ -96,11 +96,21 @@ object Maintenance {
     *               directory schema stays consistent (a flat `-1`
     *               generation next to sub-partitioned batches would
     *               break partition inference).
+    * @param maxBatch fold ONLY generations with batch_id ≤ maxBatch
+    *               (plus the previous consolidated generation); later
+    *               generations keep their per-batch dirs and the fold
+    *               horizon advances only to the max FOLDED id. This is
+    *               the pin a caller needs when the fold must not
+    *               swallow batches that landed after the caller read
+    *               the store (r17 ADVICE: the tombstone fold dropped a
+    *               takedown batch that landed between the dead-set pin
+    *               and the fold's own dir listing — unapplied, silently).
     */
   def compactBatchStore(
       spark: SparkSession, path: String, targetBytes: Long = 512L << 20,
       reduce: DataFrame => DataFrame = identity,
-      subPartitions: Seq[String] = Nil): Unit = {
+      subPartitions: Seq[String] = Nil,
+      maxBatch: Long = Long.MaxValue): Unit = {
     val root = new Path(path)
     val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp  = new Path(root, CompactTmp)
@@ -137,10 +147,13 @@ object Maintenance {
     val batchDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath.getName)
+      .filter(_.stripPrefix("batch_id=").toLong <= maxBatch)
     // nothing to merge: zero or one generation (a re-run is a no-op)
     if (batchDirs.count(_ != s"batch_id=$CompactedId") == 0) return
 
-    val combined = reduce(spark.read.parquet(path).drop("batch_id"))
+    val combined = reduce(spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("batch_id") <= maxBatch)
+      .drop("batch_id"))
     val totalBytes = fs.getContentSummary(root).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     // With sub-partitions, repartition ON them: a round-robin shuffle
@@ -229,6 +242,24 @@ object Maintenance {
     val m = new Path(root, CompactManifest)
     if (!fs.exists(m)) None
     else Some(scala.io.Source.fromInputStream(fs.open(m)).mkString.trim.toLong)
+  }
+
+  /** The highest REAL (≥ 0) landed generation id of a batch store —
+    * None when the store is absent or holds only the consolidated
+    * generation. A compaction that intends to fold rows away pins this
+    * BEFORE reading them, then passes it as [[compactBatchStore]]'s
+    * `maxBatch`, so a batch landing mid-run keeps its per-batch dir
+    * and is processed by the NEXT run instead of vanishing unread.
+    */
+  def maxLandedBatch(spark: SparkSession, path: String): Option[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ >= 0)
+      .sorted.lastOption
   }
 
   /** The store's fold horizon, if any compaction recorded one — the

@@ -1322,8 +1322,12 @@ object ScaleProbe {
           val entP = s"$tmp/fold_probe_$copies/entities"
           val corP = s"$tmp/fold_probe_$copies/coreness"
           val triP = s"$tmp/fold_probe_$copies/triangles"
+          // gate on the LAST artifact the untimed build writes (r17
+          // ADVICE: gating on the coreness chain left a crash window
+          // where the triangles chain was missing batch 1 and a later
+          // link_triangles_fold arm failed on PATH_NOT_FOUND)
           if (!fs.exists(new org.apache.hadoop.fs.Path(
-              s"$corP/batch_id=1/_SUCCESS"))) {
+              s"$triP/batch_id=1/_SUCCESS"))) {
             (0 to 2).foreach { r =>
               graft.streaming.LinkIngest.processBatch(
                 names.filter(col("id") % 3 === r), r.toLong, store,

@@ -1265,23 +1265,87 @@ object Linkage {
     val newEdges = spark.read.parquet(s"${store.edgesPath}/batch_id=$id")
       .select(col("a_id"), col("b_id"))
       .localCheckpoint(eager = false)
-    val snapshot =
-      if (id == 0) graphCorenessCappedCountingOn(newEdges)
+    val newCount = newEdges.count()
+    val (snapshot, allCount) =
+      if (id == 0) (graphCorenessCappedCountingOn(newEdges), newCount)
       else {
         val all = graft.Maintenance.readAsOf(spark, store.edgesPath, id)
           .select(col("a_id"), col("b_id"))
           .localCheckpoint(eager = false)
-        // two bounded scalars pick the measured-faster spelling
-        if (newEdges.count() > LocalFoldMaxBatchFraction * all.count())
-          corenessSnapshotComponent(spark, store, entPath, corPath, id,
-            newEdges)
-        else
-          maintainCorenessLocalIns(
-            spark.read.parquet(s"$corPath/batch_id=${id - 1}"),
-            spark.read.parquet(s"$entPath/batch_id=${id - 1}")
-              .select("doc_id", "component_id"),
-            all, newEdges)
+        // the accumulated count CARRIES FORWARD via the sidecar manifest
+        // (r17 ADVICE: rescanning the whole edge store per fold just to
+        // pick a branch taxed exactly the sparse production path the
+        // dispatch exists to speed up); a missing manifest — first fold
+        // over a pre-manifest chain — falls back to one counting scan
+        val ac = readEdgeCount(spark, corPath, id - 1)
+          .map(_ + newCount)
+          .getOrElse(all.count())
+        val s =
+          if (newCount > LocalFoldMaxBatchFraction * ac)
+            corenessSnapshotComponent(spark, store, entPath, corPath, id,
+              newEdges)
+          else
+            maintainCorenessLocalIns(
+              spark.read.parquet(s"$corPath/batch_id=${id - 1}"),
+              spark.read.parquet(s"$entPath/batch_id=${id - 1}")
+                .select("doc_id", "component_id"),
+              all, newEdges)
+        (s, ac)
       }
+    snapshot.write.mode("overwrite").parquet(s"$corPath/batch_id=$id")
+    writeEdgeCount(spark, corPath, id, allCount)
+  }
+
+  /** Sidecar accumulated-edge-count manifest beside the coreness chain
+    * (r17 ADVICE): `.edge_count_N` records the landed-edge count through
+    * batch N, written AFTER snapshot N (so presence implies the snapshot
+    * exists; a crashed replay deterministically rewrites both). Dot-
+    * prefixed, invisible to partition discovery; bytes, not data.
+    */
+  private def edgeCountFile(corPath: String, id: Long) =
+    new org.apache.hadoop.fs.Path(corPath, s".edge_count_$id")
+
+  private def readEdgeCount(spark: SparkSession, corPath: String,
+      id: Long): Option[Long] = {
+    val p = edgeCountFile(corPath, id)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(scala.io.Source.fromInputStream(fs.open(p)).mkString.trim.toLong)
+  }
+
+  private def writeEdgeCount(spark: SparkSession, corPath: String,
+      id: Long, n: Long): Unit = {
+    val p = edgeCountFile(corPath, id)
+    val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+    out.write(n.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The FORCED-local fold spelling — [[foldCorenessSnapshot]] with the
+    * batch-fraction dispatch bypassed, so the crossover sweep
+    * (`link_coreness_fold_f*` probe arms, r17 verdict #5) can price the
+    * local machinery at batch fractions ABOVE
+    * [[LocalFoldMaxBatchFraction]], where production would dispatch to
+    * the component recompute. Probe-only: production folds go through
+    * the dispatching entry (this twin skips the edge-count manifest —
+    * a probe chain doesn't carry one).
+    */
+  private[graft] def foldCorenessSnapshotLocal(spark: SparkSession,
+      store: graft.streaming.LinkIngest.LinkStores,
+      entPath: String, corPath: String, id: Long): Unit = {
+    val newEdges = spark.read.parquet(s"${store.edgesPath}/batch_id=$id")
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    val snapshot =
+      if (id == 0) graphCorenessCappedCountingOn(newEdges)
+      else maintainCorenessLocalIns(
+        spark.read.parquet(s"$corPath/batch_id=${id - 1}"),
+        spark.read.parquet(s"$entPath/batch_id=${id - 1}")
+          .select("doc_id", "component_id"),
+        graft.Maintenance.readAsOf(spark, store.edgesPath, id)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint(eager = false),
+        newEdges)
     snapshot.write.mode("overwrite").parquet(s"$corPath/batch_id=$id")
   }
 
@@ -1359,6 +1423,21 @@ object Linkage {
     val base = linkIncStores(spark, key, names, idCol, nameCol)
     spark.read.parquet(s"$base/coreness/batch_id=2").orderBy("s_suppkey")
   }
+
+  /** [[graphKcoreServed]] with the map maintained INCREMENTALLY on
+    * ingest — one projection of the SAME coreness inc snapshot
+    * (membership ≡ coreness ≥ k, the decomposition identity
+    * [[graphKcoreServedDel]] already serves the deletion column from),
+    * closing the kcore serving matrix's inc cell (r17 verdict #6).
+    * Shares [[graphKcoreSql]] verbatim, as the map-served entry does.
+    */
+  def graphKcoreServedInc(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessServedIncFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+      .select(col("s_suppkey"),
+        (col("coreness") >= 2).as("core2"), (col("coreness") >= 3).as("core3"))
+      .orderBy("s_suppkey")
 
   /** The graph-label tier's INC + DEL composition — the read-side twin
     * of the dedup tier's in-chain [[Dedup.foldComponentsSnapshotDel]],
@@ -1994,7 +2073,13 @@ object Linkage {
       .join(deadAdj.as("e2"),
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.u").as("d"), col("e1.v").as("x"), col("e2.v").as("y"))
-      .join(e, col("x") === col("a_id") && col("y") === col("b_id"), "left_semi")
+      // close against the NORMALIZED edge list (r17 ADVICE): the store's
+      // a_id<b_id invariant is real today (LinkIngest lands via
+      // least/greatest) but unchecked here — a non-canonical row would
+      // silently undercount lost triangles, so normalize at the join
+      .join(e.select(least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id")),
+        col("x") === col("a_id") && col("y") === col("b_id"), "left_semi")
       .select(expr("array_sort(array(d, x, y))").as("t"))
       .distinct()
     val losses = lostTris.select(explode(col("t")).as("s_suppkey"))
@@ -2130,6 +2215,51 @@ object Linkage {
     spark.read.parquet(s"$base/triangles/batch_id=2")
   }
 
+  /** The diagnostics family's INC + DEL composition (r17 verdict #4) —
+    * the coreness tier's compose-at-read rule
+    * ([[graphCorenessServedIncDelFrames]]) on the (degree, triangles)
+    * map: the fold chain stays insert-only
+    * ([[foldTrianglesSnapshot]] per landed batch), and the landed
+    * takedown batch composes AT READ via
+    * [[maintainTrianglesUnderDeletion]]'s takedown-local wedge repair.
+    * Snapshot ≡ [[degreeTriangleMapOn]] over all landed edges
+    * (`LinkIngestSpec`'s fold law) and the repair ≡ the survivor
+    * recompute (`GraphTrianglesSpec`'s exactness law), so the composed
+    * read shares the survivor oracles verbatim — the same truth that
+    * gates the map-serving deletion cells, reached ingest-fresh.
+    *
+    * Scale (100 TB): the fold chain rides the ingest cadence at
+    * O(batch wedges); the read is one map scan + the takedown batch's
+    * wedge repair — both bounded, neither re-runs the corpus wedge
+    * close.
+    */
+  private[graft] def trianglesIncDelFrames(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
+    val base = linkIncStores(spark, key, names, idCol, nameCol)
+    maintainTrianglesUnderDeletion(
+      spark.read.parquet(s"$base/triangles/batch_id=2"),
+      graft.Maintenance.readAsOf(spark, s"$base/edges", 2L)
+        .select(col("a_id"), col("b_id")),
+      spark.read.parquet(s"$base/tombs").select("dead_id"))
+  }
+
+  /** [[graphTrianglesServedInc]] with the takedown batch composed at
+    * read. Oracle: the ranking chain over the surviving records.
+    */
+  def graphTrianglesServedIncDel(spark: SparkSession, dir: String): DataFrame =
+    triangleRankingFrom(trianglesIncDelFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name"))
+
+  /** [[graphClusteringCoeffServedInc]] with the takedown batch composed
+    * at read — the SAME repaired map normalized.
+    */
+  def graphClusteringCoeffServedIncDel(spark: SparkSession,
+      dir: String): DataFrame =
+    clusteringFrom(trianglesIncDelFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name"))
+
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "fuzzy_join" -> (fuzzyJoin _, fuzzyJoinSql),
     "fuzzy_join2" -> (fuzzyJoin2 _, fuzzyJoin2Sql),
@@ -2144,18 +2274,23 @@ object Linkage {
       (graphTrianglesServedDel _, graphTrianglesServedDelSql),
     "graph_triangles_served_inc" ->
       (graphTrianglesServedInc _, graphTrianglesSql),
+    "graph_triangles_served_incdel" ->
+      (graphTrianglesServedIncDel _, graphTrianglesServedDelSql),
     "graph_clustering_coeff" ->
       (graphClusteringCoeff _, graphClusteringCoeffSql),
     "graph_clustering_coeff_served_del" ->
       (graphClusteringCoeffServedDel _, graphClusteringCoeffServedDelSql),
     "graph_clustering_coeff_served_inc" ->
       (graphClusteringCoeffServedInc _, graphClusteringCoeffSql),
+    "graph_clustering_coeff_served_incdel" ->
+      (graphClusteringCoeffServedIncDel _, graphClusteringCoeffServedDelSql),
     "graph_kcore" -> (graphKcore _, graphKcoreSql),
     "graph_kcore_served" -> (graphKcoreServed _, graphKcoreSql),
     "graph_coreness" -> (graphCoreness _, graphCorenessSql),
     "graph_coreness_hindex" -> (graphCorenessHindex _, graphCorenessHindexSql),
     "graph_coreness_served" -> (graphCorenessServed _, graphCorenessSql),
     "graph_coreness_served_inc" -> (graphCorenessServedInc _, graphCorenessSql),
+    "graph_kcore_served_inc" -> (graphKcoreServedInc _, graphKcoreSql),
     "graph_coreness_served_incdel" ->
       (graphCorenessServedIncDel _, graphCorenessServedDelSql),
     "graph_coreness_served_del" ->

@@ -293,7 +293,12 @@ object DedupEdgeIngest {
     * an EMPTY consolidated generation — its fold-horizon manifest still
     * advances, so a replayed takedown at or below the horizon fails
     * loud ([[updateComponentsDel]]'s guard) rather than silently
-    * re-landing against a store that already folded it. Laws
+    * re-landing against a store that already folded it. The applied
+    * set is PINNED by generation id before any store mutates
+    * ([[graft.Maintenance.maxLandedBatch]]), and the tombstone fold is
+    * bounded by the same pin — a takedown batch landing mid-run keeps
+    * its per-batch dir and is applied at the next compaction, never
+    * dropped unapplied (r17 ADVICE). Laws
     * (`DedupEdgeIngestSpec`): the survivor-composed read (edges minus
     * tombstone-incident) is IDENTICAL before and after; the raw
     * [[edges]] read converges TO that survivor graph (what "fold to
@@ -306,9 +311,16 @@ object DedupEdgeIngest {
   def compact(spark: SparkSession, store: EdgeStores,
       snapshotChains: Seq[String] = Nil,
       tombsPath: Option[String] = None): Unit = {
-    // pin the accumulated takedown batch BEFORE any store mutates
-    val dead = tombsPath.map(tp =>
-      tryRead(spark, tp, Long.MaxValue, tombsSchema)
+    // pin the applied-takedown HORIZON first (the max landed tombstone
+    // generation), then read exactly the batches at or below it — a
+    // takedown batch landing after this pin keeps its per-batch dir
+    // (the tombstone fold below is bounded by the same pin) and is
+    // applied at the NEXT compaction instead of folding away unread
+    // (r17 ADVICE: the unconditional fold lost such a batch silently)
+    val pinnedMax = tombsPath.flatMap(tp =>
+      Maintenance.maxLandedBatch(spark, tp))
+    val dead = pinnedMax.map(m =>
+      tryRead(spark, tombsPath.get, m, tombsSchema)
         .select("dead_id").localCheckpoint())
     val dropDoc: DataFrame => DataFrame = dead match {
       case None => identity
@@ -324,11 +336,13 @@ object DedupEdgeIngest {
     Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge)
     Maintenance.compactBatchStore(spark, store.bandsPath, reduce = dropDoc)
     Maintenance.compactBatchStore(spark, store.setsPath, reduce = dropDoc)
-    // the applied tombstones fold to ZERO rows — horizon advances, data
-    // is already survivor-only above
-    tombsPath.foreach(tp =>
-      Maintenance.compactBatchStore(spark, tp,
-        reduce = _.filter(org.apache.spark.sql.functions.lit(false))))
+    // the APPLIED tombstones fold to ZERO rows — horizon advances only
+    // to the pinned max, data is already survivor-only above; batches
+    // landed after the pin keep their dirs for the next run
+    pinnedMax.foreach(m =>
+      Maintenance.compactBatchStore(spark, tombsPath.get,
+        reduce = _.filter(org.apache.spark.sql.functions.lit(false)),
+        maxBatch = m))
     // derived map snapshot chains (components / coreness / entities):
     // each generation is a FULL map, so these are retained-last-two
     // chains, not folded sets (r15 verdict #5 — without this the chain

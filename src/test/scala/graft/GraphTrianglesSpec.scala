@@ -153,6 +153,50 @@ class GraphTrianglesSpec extends SparkSpec {
     assert(got.nonEmpty && got == survivorMap(fp, dead))
   }
 
+  test("deletion repair normalizes non-canonical stored edges (r17 ADVICE)") {
+    // the same K4+tail fixture with the edge frame handed to the repair
+    // in REVERSED orientation: before the least/greatest normalization
+    // the closing semi-join silently found no lost triangles and the
+    // survivors kept stale counts
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val rev = pairs(k4tail.map { case (a, b) => (b, a) })
+    val got = mapOf(Linkage.maintainTrianglesUnderDeletion(
+      Linkage.degreeTriangleMapOn(pairs(k4tail)), rev,
+      Seq(4L).toDF("dead_id")))
+    assert(got == survivorMap(k4tail, Set(4L)))
+  }
+
+  test("inc + del compose at read: the takedown composes over every insert prefix") {
+    // the diagnostics family's _incdel law (r17 verdict #4): the fold
+    // chain is insert-only, tombstones compose AT READ — so after ANY
+    // prefix of insert folds, snapshot + repair ≡ the survivor map over
+    // the edges landed so far, wherever the takedown batch lands
+    val base = java.nio.file.Files.createTempDirectory("triincdel").toString
+    val store = graft.streaming.LinkIngest.LinkStores(
+      base + "/keys", base + "/edges")
+    val triP = base + "/triangles"
+    val sup = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(col("s_suppkey"), col("s_name")).localCheckpoint()
+    val deadDf = sup.filter(col("s_suppkey") % 7 === 3)
+      .select(col("s_suppkey").cast("long").as("dead_id")).localCheckpoint()
+    val dead = deadDf.as[Long].collect().toSet
+    assert(dead.nonEmpty)
+    (0 to 2).foreach { r =>
+      graft.streaming.LinkIngest.processBatch(
+        sup.filter(col("s_suppkey") % 3 === r), r.toLong, store,
+        "s_suppkey", "s_name")
+      Linkage.foldTrianglesSnapshot(spark, store, triP, r.toLong)
+      val landed = Maintenance.readAsOf(spark, store.edgesPath, r.toLong)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val composed = mapOf(Linkage.maintainTrianglesUnderDeletion(
+        spark.read.parquet(s"$triP/batch_id=$r"), landed, deadDf))
+      val truth = survivorMap(
+        landed.as[(Long, Long)].collect().toSeq, dead)
+      assert(composed == truth, s"prefix through batch $r")
+    }
+  }
+
   test("triangle participation is bounded by C(deg, 2)") {
     val fp = Linkage.fuzzyJoin(spark, "/root/testdata/sf0.001")
       .select("a_id", "b_id")

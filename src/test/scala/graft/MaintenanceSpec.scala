@@ -62,6 +62,37 @@ class MaintenanceSpec extends SparkSpec {
     assert(dataFiles(store).forall(_.toString.contains("batch_id=-1")))
   }
 
+  test("maxBatch-bounded fold: later generations survive, horizon stops at the pin") {
+    import spark.implicits._
+    val store = freshStore(batches = 3, rowsPerBatch = 10)
+    val all = contents(store)
+    val late = contents(s"$store/batch_id=2")
+    // fold only generations ≤ 1 to zero rows (the tombstone-application
+    // shape, r17 ADVICE): batch 2 — a takedown landing after the
+    // caller's pin — must keep its per-batch dir, unread and unfolded
+    Maintenance.compactBatchStore(spark, store,
+      reduce = _.filter(org.apache.spark.sql.functions.lit(false)),
+      maxBatch = 1L)
+    assert(contents(store) == late, "the post-pin batch must survive intact")
+    assert(new java.io.File(s"$store/batch_id=2").exists)
+    // the fold horizon advanced only to the pin: replay guards fire for
+    // ids ≤ 1, and an as-of read of batch 2 still answers
+    assert(Maintenance.foldHorizonOf(spark, store).contains(1L))
+    assert(Maintenance.readAsOf(spark, store, 2L)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == late)
+    // the NEXT unbounded fold applies the surviving batch
+    Maintenance.compactBatchStore(spark, store,
+      reduce = _.filter(org.apache.spark.sql.functions.lit(false)))
+    assert(contents(store).isEmpty)
+    assert(Maintenance.foldHorizonOf(spark, store).contains(2L))
+    // maxLandedBatch pins the highest REAL generation, ignoring -1
+    assert(Maintenance.maxLandedBatch(spark, store).isEmpty)
+    Seq((1L, "x")).toDF("id", "payload").write.parquet(s"$store/batch_id=5")
+    assert(Maintenance.maxLandedBatch(spark, store).contains(5L))
+    assert(all.nonEmpty) // the fixture really had rows to fold
+  }
+
   test("a crash between plan write and rename is recovered by the next run") {
     val store = freshStore(batches = 3, rowsPerBatch = 10)
     val before = contents(store)
