@@ -1244,6 +1244,24 @@ object RetrievalAnalytics {
       s
     }
 
+  /** The persisted contiguous-K256 artifacts as (enc, codebook) frames —
+    * the [[graft.similarity.PqAnn.knnServedPq256]] /
+    * `knnServedPq256Rerank` read path (r18: the retrain-trio demotion).
+    * Resolves the SAME build-once store the IVF-ADC serving tier uses
+    * ([[pqStores]] — one corpus-encode pass feeds both the routed and
+    * unrouted served forms), unpacking the two-longs layout back to
+    * enc's (vec_id, sub, code).
+    */
+  private[graft] def pq256Artifacts(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val key = storeKey(dir)
+    val st = servedStores(spark, key,
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+    val pq = pqStores(spark, key, st, Tables.embeddings(spark, dir))
+    (graft.similarity.PqAnn.unpackCodes(spark.read.parquet(pq.codesPath)),
+      spark.read.parquet(pq.codebookPath))
+  }
+
   /** `knn_ivf_pq_rerank`'s contract (query_id, rank, vec_id, d2) served
     * from PERSISTED PQ artifacts instead of the in-plan train + encode —
     * the r12 review's #3 ask, and the FAISS deployment shape: queries

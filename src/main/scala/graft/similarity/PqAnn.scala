@@ -308,14 +308,15 @@ object PqAnn {
     val subv = subVectorsBalanced(emb, tier)
     val (enc, cb) = pqArtifactsFrom(subv, tier)
     val dtab = dtabFrom(subv.filter(queryPred), cb)
-    pqBalancedAdcRank(enc, dtab)
+    pqAdcRank(enc, dtab)
   }
 
-  /** The balanced tier's ADC ranking suffix — shared verbatim by the
-    * in-plan entry and the served twin so the two are bit-identical by
+  /** The full-scan ADC ranking suffix — tier-agnostic (the enc/dtab
+    * pair carries the permutation), shared verbatim by the in-plan
+    * entries and their served twins so each pair is bit-identical by
     * construction.
     */
-  private def pqBalancedAdcRank(enc: DataFrame, dtab: DataFrame): DataFrame =
+  private def pqAdcRank(enc: DataFrame, dtab: DataFrame): DataFrame =
     enc.join(broadcast(dtab), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -380,7 +381,7 @@ object PqAnn {
     * codebook (never re-derived), corpus codes unpack from the same
     * 16 B/vector two-longs layout as [[graft.analytics
     * .RetrievalAnalytics.knnServedPq]], and the ranking suffix is
-    * [[pqBalancedAdcRank]] shared verbatim — so this entry is
+    * [[pqAdcRank]] shared verbatim — so this entry is
     * bit-identical to `knn_pq256_balanced` (`PqBalancedSpec`'s served
     * law) and shares [[knnPq256BalancedSql]].
     *
@@ -403,13 +404,70 @@ object PqAnn {
     val dm = spark.read.parquet(st.dimMapPath)
     val cb = spark.read.parquet(st.codebookPath)
     val dtab = dtabFrom(subVectorsWithMap(emb.filter(queryPred), dm), cb)
-    val enc = spark.read.parquet(st.codesPath)
+    pqAdcRank(unpackCodes(spark.read.parquet(st.codesPath)), dtab)
+  }
+
+  /** Unpack the serving tier's two-longs/16 B code layout back to enc's
+    * (vec_id, sub, code) frame — the read-side inverse of the packing
+    * in [[graft.analytics.RetrievalAnalytics]]'s store build (sum of
+    * disjoint bitfields; `shiftrightunsigned` is immune to the top
+    * field wrapping the sign bit).
+    */
+  private[graft] def unpackCodes(packed: DataFrame): DataFrame =
+    packed
       .select(col("vec_id"), col("codes_lo"), col("codes_hi"),
         explode(expr("sequence(0, 15)")).as("sub"))
       .select(col("vec_id"), col("sub"),
         expr("cast(shiftrightunsigned(if(sub < 8, codes_lo, codes_hi), 8 * (sub % 8)) & 255 as bigint)")
           .as("code"))
-    pqBalancedAdcRank(enc, dtab)
+
+  // ---- knn_pq256 / knn_pq256_rerank served (r18: the retrain-trio
+  // demotion — r17 verdict #1) ------------------------------------------
+
+  /** `knn_pq256` SERVED from the persisted contiguous-tier artifacts
+    * (the codes/codebook store [[graft.analytics.RetrievalAnalytics]]
+    * already builds for the IVF-ADC serving tier): the corpus ADC scan
+    * reads 16 B/vector packed codes instead of re-running the Lloyd
+    * train + encode per read, query-side tables derive from the
+    * PERSISTED codebook via [[dtabFor]], and the ranking suffix is
+    * [[pqAdcRank]] shared verbatim with the in-plan entry — so this
+    * form is bit-identical to [[knnPq256]] (`PqServedSpec`'s trio
+    * demotion law) and shares [[knnPq256Sql]]. The in-plan retrain
+    * stays as the spec-pinned reference derivation.
+    *
+    * Scale (100 TB): train/encode is the one-time corpus pass; a served
+    * read scans M=16 bytes/vector (16 GB per billion vectors) plus a
+    * Q·M·K broadcast table — the serving economics the five `knn_ivf_
+    * pq*` demotions already bought, extended to the unrouted tier.
+    */
+  def knnServedPq256(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val (enc, cb) = graft.analytics.RetrievalAnalytics.pq256Artifacts(spark, dir)
+    pqAdcRank(enc, dtabFor(
+      Tables.embeddings(spark, dir).filter(col("vec_id") % QueryMod === 0), cb))
+  }
+
+  /** `knn_pq256_rerank` SERVED: the [[knnServedPq256]] scored stream
+    * over-fetches the K256 tier's shortlist, then the exact integer
+    * rerank runs [[pqExactRerank]] shared verbatim with the in-plan
+    * entry — bit-identical to [[knnPq256Rerank]] under the unchanged
+    * oracle. Only fetch·Q full vectors leave the float tier.
+    */
+  def knnServedPq256Rerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val (enc, cb) = graft.analytics.RetrievalAnalytics.pq256Artifacts(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queryPred = col("vec_id") % QueryMod === 0
+    val dtab = dtabFor(emb.filter(queryPred), cb)
+    val shortlist = enc.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("d2"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, ${K256.fetch})").as("top"))
+      .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    pqExactRerank(shortlist,
+      qScaledVectors(emb).localCheckpoint(eager = false), queryPred)
   }
 
   // ---- knn_ivf_pq: the IVF-ADC composition -----------------------------
@@ -619,14 +677,22 @@ object PqAnn {
   private[graft] def knnPqRerankOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
       tier: Tier = K16): DataFrame = {
-    val qv = emb.select(col("vec_id"),
-      expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
-        .as("qv"))
-      .localCheckpoint(eager = false)
+    val qv = qScaledVectors(emb).localCheckpoint(eager = false)
     val shortlist = pqScored(emb, queryPred, tier)
       .groupBy(col("query_id"))
       .agg(expr(s"topk_by_score(CAST(-d2 AS DOUBLE), vec_id, ${tier.fetch})").as("top"))
       .select(col("query_id"), explode(expr("transform(top, t -> t.id)")).as("vec_id"))
+    pqExactRerank(shortlist, qv, queryPred)
+  }
+
+  /** The exact integer-L2 rerank suffix over a (query_id, vec_id)
+    * shortlist against a (vec_id, qv) quantized-vector frame — shared
+    * verbatim by the in-plan rerank entries and the served trio twin so
+    * each pair is bit-identical by construction. `queryPred` picks the
+    * query rows of `qv` (a bounded batch, so the qq side broadcasts).
+    */
+  private def pqExactRerank(shortlist: DataFrame, qv: DataFrame,
+      queryPred: Column): DataFrame =
     shortlist
       .join(qv, "vec_id")
       .join(broadcast(qv.filter(queryPred)
@@ -639,7 +705,6 @@ object PqAnn {
         col("col.id").as("vec_id"),
         (-col("col.score")).cast("long").as("d2"))
       .orderBy("query_id", "rank")
-  }
 
   /** The per-subspace Lloyd rounds + encode + ADC ranking unrolled into
     * DuckDB CTEs — [[KMeansExact.kmeansFitSql]] with a subspace key.
@@ -1074,13 +1139,18 @@ object PqAnn {
   val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "knn_pq" -> (knnPq _, knnPqSql),
     "knn_pq_rerank" -> (knnPqRerank _, knnPqRerankSql),
-    "knn_pq256" -> (knnPq256 _, knnPq256Sql),
-    "knn_pq256_balanced" -> (knnPq256Balanced _, knnPq256BalancedSql),
+    "knn_pq256" -> (knnServedPq256 _, knnPq256Sql),
+    "knn_pq256_balanced" -> (knnServedPqBalanced _, knnPq256BalancedSql),
     "knn_served_pq_balanced" -> (knnServedPqBalanced _, knnPq256BalancedSql),
-    "knn_pq256_rerank" -> (knnPq256Rerank _, knnPq256RerankSql))
+    "knn_pq256_rerank" -> (knnServedPq256Rerank _, knnPq256RerankSql))
     // the five knn_ivf_pq* keys moved to RetrievalAnalytics.registry
-    // (r17 verdict #3): their derivations are now artifact-backed — the
-    // in-plan retrain spellings above stay as the spec-pinned reference
-    // derivations (`PqServedSpec`/`PqResServedSpec` demotion laws) and
-    // the UNCHANGED oracles still replay the full train chain per run.
+    // (r17 verdict #3) and the K=256 trio above is artifact-backed as of
+    // r18 (r17 verdict #1 — the board's last in-plan retrain cluster):
+    // each key's derivation reads the persisted codes/codebook while the
+    // in-plan retrain spellings (knnPq256/knnPq256Balanced/
+    // knnPq256Rerank) stay as the spec-pinned reference derivations
+    // (`PqServedSpec`/`PqBalancedSpec` demotion laws) and the UNCHANGED
+    // oracles still replay the full train chain per run. The K=16
+    // demonstration tier stays in-plan by design — it exists to price
+    // what 4-bit codes lose, not to serve.
 }

@@ -48,6 +48,22 @@ class PqServedSpec extends SparkSpec {
     assert(storedSqrt.nonEmpty && storedSqrt == inPlanSqrt)
   }
 
+  // ---- the r18 retrain-trio demotion: served K=256 forms ≡ in-plan -----
+
+  test("knn_pq256 trio demotion: served flat ADC + rerank ≡ in-plan retrains") {
+    GraftExtensions.register(spark)
+    val servedFlat = PqAnn.knnServedPq256(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlanFlat = PqAnn.knnPq256(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(servedFlat.nonEmpty && servedFlat == inPlanFlat)
+    val servedRr = PqAnn.knnServedPq256Rerank(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlanRr = PqAnn.knnPq256Rerank(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(servedRr.nonEmpty && servedRr == inPlanRr)
+  }
+
   test("knn_ivf_pq_rerank_sqrt demotion: stored codes + stored √N routing ≡ in-plan") {
     GraftExtensions.register(spark)
     val stored = RetrievalAnalytics.knnIvfPqRerankSqrtStored(spark, dir)
