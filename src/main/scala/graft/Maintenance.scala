@@ -251,15 +251,23 @@ object Maintenance {
     * `maxBatch`, so a batch landing mid-run keeps its per-batch dir
     * and is processed by the NEXT run instead of vanishing unread.
     */
-  def maxLandedBatch(spark: SparkSession, path: String): Option[Long] = {
+  def maxLandedBatch(spark: SparkSession, path: String): Option[Long] =
+    landedBatchIds(spark, path).lastOption
+
+  /** All REAL (≥ 0) landed generation ids of a batch store, ascending —
+    * empty when the store is absent or holds only the consolidated
+    * generation. The per-generation walk a chain-repairing compaction
+    * runs ([[graft.streaming.LinkIngest.compact]]).
+    */
+  def landedBatchIds(spark: SparkSession, path: String): Seq[Long] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) None
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
       .filter(_ >= 0)
-      .sorted.lastOption
+      .sorted
   }
 
   /** The store's fold horizon, if any compaction recorded one — the

@@ -1140,6 +1140,7 @@ object ScaleProbe {
       if (opSel.contains("all") || opSel.exists(_.startsWith("link_served"))
           || opSel.exists(_.startsWith("link_coreness"))
           || opSel.exists(_.startsWith("link_triangles"))
+          || opSel.exists(_.startsWith("link_incdel"))
           || wanted("entity_groups_served_del")
           || wanted("entity_groups_served_inc")
           || wanted("graph_coreness_served_inc")
@@ -1369,13 +1370,22 @@ object ScaleProbe {
         // timed fold = the slice — the +|B| inflation bound should make
         // this read near the degree-pass floor.
         if (wanted("link_coreness_fold_sparse")
-            || wanted("link_coreness_fold_sparse_comp")) {
+            || wanted("link_coreness_fold_sparse_comp")
+            || wanted("link_triangles_fold_sparse")) {
           val store = graft.streaming.LinkIngest.LinkStores(
             s"$tmp/fold_sparse_$copies/keys", s"$tmp/fold_sparse_$copies/edges")
           val entP = s"$tmp/fold_sparse_$copies/entities"
           val corP = s"$tmp/fold_sparse_$copies/coreness"
+          val triP = s"$tmp/fold_sparse_$copies/triangles"
           if (!fs.exists(new org.apache.hadoop.fs.Path(
               s"$corP/batch_id=0/_SUCCESS"))) {
+            // the first tryKeys read needs the store ROOT present (a
+            // fresh probe tmp otherwise surfaces a raw FileNotFound
+            // from the datasource's metadata probe, not the
+            // missing-path AnalysisException the reader treats as
+            // "nothing landed yet")
+            fs.mkdirs(new org.apache.hadoop.fs.Path(
+              s"$tmp/fold_sparse_$copies"))
             graft.streaming.LinkIngest.processBatch(
               names.filter(col("id") % 1000 =!= 3), 0L, store, "id", "name")
             graft.streaming.LinkIngest.processBatch(
@@ -1384,6 +1394,11 @@ object ScaleProbe {
             graft.dedup.Linkage.foldCorenessSnapshot(
               spark, store, entP, corP, 0L)
           }
+          // the triangles chain joined this store after its first ship:
+          // gate its base build on its OWN artifact
+          if (!fs.exists(new org.apache.hadoop.fs.Path(
+              s"$triP/batch_id=0/_SUCCESS")))
+            graft.dedup.Linkage.foldTrianglesSnapshot(spark, store, triP, 0L)
           Maintenance.releaseCachedBlocks(spark, blocking = true)
           if (wanted("link_coreness_fold_sparse"))
             time(spark, copies, "link_coreness_fold_sparse")(guard {
@@ -1399,6 +1414,114 @@ object ScaleProbe {
                 spark, store, entP, corP, 1L)
               spark.read.parquet(s"$corP/batch_id=1")
             })
+          // the diagnostics insert fold on the production-shaped batch
+          // (r17 lesson: always price the sparse arm, not just the
+          // adversarial corpus-third one) — two equi-joins of a sliver
+          // against the accumulated adjacency should read near the
+          // degree-pass floor, vs the 43.2 s corpus-third fold at 100×
+          if (wanted("link_triangles_fold_sparse"))
+            time(spark, copies, "link_triangles_fold_sparse")(guard {
+              graft.dedup.Linkage.foldTrianglesSnapshot(spark, store, triP, 1L)
+              spark.read.parquet(s"$triP/batch_id=1")
+            })
+        }
+        // the insert-fold dispatch crossover sweep (r17 verdict #5):
+        // LocalFoldMaxBatchFraction was set from TWO points (the 0.1%
+        // sparse arm and the 33% registry thirds); these arms measure
+        // BOTH spellings at intermediate batch fractions so the 10%
+        // constant is a measurement, not an interpolation. Each
+        // fraction gets its own store: prefix = all ids outside the
+        // slice (one bulk batch), timed fold = the slice, forced
+        // through each spelling explicitly (never the dispatcher —
+        // the sweep must see both sides of the crossover).
+        Seq(10, 30, 100, 200).foreach { permille =>
+          val local = s"link_coreness_fold_swp$permille"
+          val comp  = s"link_coreness_fold_swp${permille}_comp"
+          if (wanted(local) || wanted(comp)) {
+            val root = s"$tmp/fold_swp${permille}_$copies"
+            val store = graft.streaming.LinkIngest.LinkStores(
+              s"$root/keys", s"$root/edges")
+            val entP = s"$root/entities"
+            val corP = s"$root/coreness"
+            if (!fs.exists(new org.apache.hadoop.fs.Path(
+                s"$corP/batch_id=0/_SUCCESS"))) {
+              fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+              graft.streaming.LinkIngest.processBatch(
+                names.filter(col("id") % 1000 >= permille), 0L, store,
+                "id", "name")
+              graft.streaming.LinkIngest.processBatch(
+                names.filter(col("id") % 1000 < permille), 1L, store,
+                "id", "name")
+              graft.streaming.LinkIngest.updateEntities(spark, store, entP, 0L)
+              graft.dedup.Linkage.foldCorenessSnapshot(
+                spark, store, entP, corP, 0L)
+            }
+            Maintenance.releaseCachedBlocks(spark, blocking = true)
+            if (wanted(local))
+              time(spark, copies, local)(guard {
+                graft.dedup.Linkage.foldCorenessSnapshotLocal(
+                  spark, store, entP, corP, 1L)
+                spark.read.parquet(s"$corP/batch_id=1")
+              })
+            if (wanted(comp))
+              time(spark, copies, comp)(guard {
+                graft.dedup.Linkage.foldCorenessSnapshotComponent(
+                  spark, store, entP, corP, 1L)
+                spark.read.parquet(s"$corP/batch_id=1")
+              })
+          }
+        }
+        // tombstone application at compaction, priced (r17 verdict #3's
+        // receipt): the PRE arm reads the incdel compose while the bulk
+        // takedown (id%7=3, ~14%) still sits in the tombstone store —
+        // every read re-pays its full cascade; the POST arm reads the
+        // SAME compose after LinkIngest.compact applied it (chains
+        // repaired in place, stores survivor-only, tombstones folded)
+        // and a fresh 0.1% takedown landed — the read now pays only the
+        // takedowns SINCE compaction. The store rebuilds from scratch
+        // each invocation: a reused half-compacted store would make the
+        // pre arm silently measure the post shape.
+        if (wanted("link_incdel_read_pre") || wanted("link_incdel_read_post")) {
+          val root = s"$tmp/incdel_$copies"
+          fs.delete(new org.apache.hadoop.fs.Path(root), true)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+          val store = graft.streaming.LinkIngest.LinkStores(
+            s"$root/keys", s"$root/edges")
+          val entP = s"$root/entities"
+          val corP = s"$root/coreness"
+          val triP = s"$root/triangles"
+          val tombs = s"$root/tombs"
+          (0 to 2).foreach { r =>
+            graft.streaming.LinkIngest.processBatch(
+              names.filter(col("id") % 3 === r), r.toLong, store, "id", "name")
+            graft.streaming.LinkIngest.updateEntities(
+              spark, store, entP, r.toLong)
+            graft.dedup.Linkage.foldCorenessSnapshot(
+              spark, store, entP, corP, r.toLong)
+            graft.dedup.Linkage.foldTrianglesSnapshot(
+              spark, store, triP, r.toLong)
+          }
+          graft.streaming.DedupEdgeIngest.processTombstones(
+            names.filter(col("id") % 7 === 3)
+              .select(col("id").cast("long").as("dead_id")), 3L, tombs)
+          def composedRead = graft.dedup.Linkage.repairCorenessUnderDeletion(
+            spark.read.parquet(s"$corP/batch_id=2"),
+            Maintenance.readAsOf(spark, store.edgesPath, 2L)
+              .select(col("a_id"), col("b_id")),
+            spark.read.parquet(tombs).select("dead_id"))
+          Maintenance.releaseCachedBlocks(spark, blocking = true)
+          if (wanted("link_incdel_read_pre"))
+            time(spark, copies, "link_incdel_read_pre")(guard(composedRead))
+          if (wanted("link_incdel_read_post")) {
+            graft.streaming.LinkIngest.compact(spark, store,
+              tombsPath = Some(tombs), entitiesChain = Some(entP),
+              corenessChain = Some(corP), trianglesChain = Some(triP))
+            graft.streaming.DedupEdgeIngest.processTombstones(
+              names.filter(col("id") % 1000 === 7)
+                .select(col("id").cast("long").as("dead_id")), 4L, tombs)
+            Maintenance.releaseCachedBlocks(spark, blocking = true)
+            time(spark, copies, "link_incdel_read_post")(guard(composedRead))
+          }
         }
         // deletion-aware served entities: stores built untimed above;
         // the timed object is the tombstone land + affected-group

@@ -1979,6 +1979,37 @@ object Linkage {
     * base labels from (stored capped map, stored edges, tombstones),
     * then run [[maintainCorenessLocal]].
     */
+  /** Affected-group component repair under NODE deletion — the
+    * frame-based core of [[entityGroupsServedDelFrames]], shared with
+    * the link tier's tombstone-applying compaction
+    * ([[graft.streaming.LinkIngest.compact]]): groups containing no
+    * dead member pass through untouched; only the affected groups
+    * re-run min-label propagation over their SURVIVING edges (exact
+    * because edge removal never merges groups — the served-del entry's
+    * law). `entMap` is a (doc_id, component_id, is_canonical) snapshot;
+    * `edges` (a_id, b_id) are the accumulated pairs the snapshot was
+    * folded from; `dead` broadcasts.
+    */
+  private[graft] def repairComponentsUnderDeletion(entMap: DataFrame,
+      edges: DataFrame, dead: DataFrame): DataFrame = {
+    val deadB = broadcast(dead.select(col(dead.columns.head).as("dead_id")))
+    val affected = entMap
+      .join(deadB, col("doc_id") === col("dead_id"), "left_semi")
+      .select(col("component_id").as("aff_id")).distinct()
+    val untouched = entMap
+      .join(broadcast(affected), col("component_id") === col("aff_id"),
+        "left_anti")
+    val memb = entMap.select(col("doc_id").as("a_id"),
+      col("component_id").as("m_id"))
+    val affEdges = edges.select(col("a_id"), col("b_id"))
+      .join(memb, Seq("a_id"))
+      .join(broadcast(affected), col("m_id") === col("aff_id"), "left_semi")
+      .join(deadB, col("a_id") === col("dead_id"), "left_anti")
+      .join(deadB, col("b_id") === col("dead_id"), "left_anti")
+    untouched.unionByName(Dedup.componentsOn(
+      affEdges.select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2"))))
+  }
+
   private[graft] def repairCorenessUnderDeletion(corMap: DataFrame,
       edges: DataFrame, dead: DataFrame): DataFrame = {
     val seeds = edges

@@ -136,14 +136,88 @@ object LinkIngest {
     * the bk-bucketed read-optimized catalog table from the folded keys
     * is [[graft.sources.LinkStore.write]] — the batch tier's build, run
     * at whatever cadence serving wants.
+    *
+    * TOMBSTONE APPLICATION (r18, the r17-verdict carry-low — the dedup
+    * tier's r17 machinery extended to the graph side): when `tombsPath`
+    * is given, the accumulated takedowns APPLY during the fold instead
+    * of accumulating per-batch files forever and re-paying their full
+    * cascade on EVERY served `_del`/`_incdel` read. Dead records' rows
+    * leave the keys store, dead-incident pairs leave the edge store,
+    * and each typed snapshot chain is REPAIRED IN PLACE with exactly
+    * the operator its read-side compose runs — entities via
+    * [[graft.dedup.Linkage.repairComponentsUnderDeletion]], coreness
+    * via [[graft.dedup.Linkage.repairCorenessUnderDeletion]], triangles
+    * via [[graft.dedup.Linkage.maintainTrianglesUnderDeletion]] — so
+    * the survivor-composed read is IDENTICAL before and after by
+    * construction, and a read between compactions pays only the
+    * takedowns landed SINCE (`LinkIngestSpec`'s compaction laws,
+    * `ScaleProbe`'s `link_incdel_read_*` arms). The tombstone store
+    * itself folds to an EMPTY consolidated generation with the fold
+    * horizon advanced, so a replayed takedown at or below the horizon
+    * fails loud. The applied set is PINNED by generation id before any
+    * store mutates ([[Maintenance.maxLandedBatch]]) and every fold is
+    * bounded by the pin — a takedown landing mid-run keeps its
+    * per-batch dir for the next run, never dropped unapplied (the
+    * dedup tier's r17-ADVICE rule).
+    *
+    * Ordering is load-bearing: chains repair FIRST (their repairs read
+    * edges AS-OF each retained generation — history the edge-store fold
+    * destroys), then the data stores fold survivor-only, then the
+    * tombstones fold away. Each repaired generation is eagerly
+    * materialized before its in-place overwrite; a crash at any point
+    * re-runs to the same state (repairs are idempotent over
+    * already-filtered data — the dead anti-joins no-op).
     */
   def compact(spark: SparkSession, store: LinkStores,
-      snapshotChains: Seq[String] = Nil): Unit = {
-    Maintenance.compactBatchStore(spark, store.edgesPath)
-    Maintenance.compactBatchStore(spark, store.keysPath)
-    // derived map snapshot chains (entities / coreness): full maps per
-    // generation, so retained-last-two chains, not folded sets — the
-    // DedupEdgeIngest.compact symmetry (r16)
+      snapshotChains: Seq[String] = Nil,
+      tombsPath: Option[String] = None,
+      entitiesChain: Option[String] = None,
+      corenessChain: Option[String] = None,
+      trianglesChain: Option[String] = None): Unit = {
+    val pinnedMax = tombsPath.flatMap(tp =>
+      Maintenance.maxLandedBatch(spark, tp))
+    val dead = pinnedMax.map(m =>
+      Maintenance.readAsOf(spark, tombsPath.get, m)
+        .select("dead_id").localCheckpoint())
+    def repairChain(path: Option[String],
+        repair: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit =
+      (path, dead) match {
+        case (Some(p), Some(d)) =>
+          // retain-2 first (drops pre-horizon generations), then repair
+          // what remains — each against edges AS-OF its own batch
+          Maintenance.compactSnapshotChain(spark, p)
+          Maintenance.landedBatchIds(spark, p).foreach { id =>
+            val snap = spark.read.parquet(s"$p/batch_id=$id")
+            val edges = Maintenance.readAsOf(spark, store.edgesPath, id)
+              .select(col("a_id"), col("b_id"))
+            val repaired = repair(snap, edges, d).localCheckpoint()
+            repaired.write.mode("overwrite").parquet(s"$p/batch_id=$id")
+          }
+        case (Some(p), None) => Maintenance.compactSnapshotChain(spark, p)
+        case _ => ()
+      }
+    repairChain(entitiesChain, Linkage.repairComponentsUnderDeletion)
+    repairChain(corenessChain, Linkage.repairCorenessUnderDeletion)
+    repairChain(trianglesChain, Linkage.maintainTrianglesUnderDeletion)
+    val dropEdge: DataFrame => DataFrame = dead match {
+      case None => identity
+      case Some(d) => df =>
+        df.join(broadcast(d), col("a_id") === col("dead_id"), "left_anti")
+          .join(broadcast(d), col("b_id") === col("dead_id"), "left_anti")
+    }
+    val dropKey: DataFrame => DataFrame = dead match {
+      case None => identity
+      case Some(d) => df =>
+        df.join(broadcast(d), col("k_id") === col("dead_id"), "left_anti")
+    }
+    Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge)
+    Maintenance.compactBatchStore(spark, store.keysPath, reduce = dropKey)
+    // the APPLIED tombstones fold to ZERO rows — horizon advances only
+    // to the pinned max; batches landed after the pin keep their dirs
+    pinnedMax.foreach(m =>
+      Maintenance.compactBatchStore(spark, tombsPath.get,
+        reduce = _.filter(lit(false)), maxBatch = m))
+    // untyped derived chains (no tombstone semantics): retained-last-two
     snapshotChains.foreach(Maintenance.compactSnapshotChain(spark, _))
   }
 }

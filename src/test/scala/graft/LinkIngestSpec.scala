@@ -119,4 +119,99 @@ class LinkIngestSpec extends SparkSpec {
       !fs.exists(new org.apache.hadoop.fs.Path(corPath, "batch_id=0")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(triPath, "batch_id=0")))
   }
+
+  test("tombstone-applied compaction: composed reads identical, chains repaired to survivors, horizon guards replay") {
+    import graft.dedup.Dedup
+    import graft.streaming.DedupEdgeIngest
+    GraftExtensions.register(spark)
+    val s = store("tombcomp")
+    val base = s.edgesPath.stripSuffix("/edges")
+    val entPath = base + "/entities"
+    val corPath = base + "/coreness"
+    val triPath = base + "/triangles"
+    val tombs = base + "/tombs"
+    val sup = Tables.supplier(spark, "/root/testdata/sf0.001")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      .localCheckpoint()
+    (0 to 2).foreach { r =>
+      LinkIngest.processBatch(sup.filter(col("id") % 3 === r), r.toLong, s)
+      LinkIngest.updateEntities(spark, s, entPath, r.toLong)
+      Linkage.foldCorenessSnapshot(spark, s, entPath, corPath, r.toLong)
+      Linkage.foldTrianglesSnapshot(spark, s, triPath, r.toLong)
+    }
+    val dead = sup.filter(col("id") % 7 === 3)
+      .select(col("id").cast("long").as("dead_id")).localCheckpoint()
+    DedupEdgeIngest.processTombstones(dead, 3L, tombs)
+    // the three *_incdel composed reads (snapshot + landed tombstones
+    // through the read-side repair operators)
+    def landedDead() = spark.read.parquet(tombs).select("dead_id")
+    def asOfEdges() = graft.Maintenance.readAsOf(spark, s.edgesPath, 2L)
+      .select(col("a_id"), col("b_id"))
+    def composedEnt(): Set[(Long, Long, Boolean)] =
+      Linkage.repairComponentsUnderDeletion(
+          spark.read.parquet(s"$entPath/batch_id=2"), asOfEdges(), landedDead())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    def composedCor(): Set[(Long, Int)] =
+      Linkage.repairCorenessUnderDeletion(
+          spark.read.parquet(s"$corPath/batch_id=2"), asOfEdges(), landedDead())
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def composedTri(): Set[(Long, Long, Long)] =
+      Linkage.maintainTrianglesUnderDeletion(
+          spark.read.parquet(s"$triPath/batch_id=2"), asOfEdges(), landedDead())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val entBefore = composedEnt()
+    val corBefore = composedCor()
+    val triBefore = composedTri()
+    def corSnapshot(): Set[(Long, Int)] =
+      spark.read.parquet(s"$corPath/batch_id=2")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(corSnapshot() != corBefore, "the takedown batch must bite")
+    LinkIngest.compact(spark, s, tombsPath = Some(tombs),
+      entitiesChain = Some(entPath), corenessChain = Some(corPath),
+      trianglesChain = Some(triPath))
+    // law 1 — the survivor-composed reads are IDENTICAL before and
+    // after (the tombstone store now reads empty; the repairs no-op)
+    assert(composedEnt() == entBefore && composedCor() == corBefore &&
+      composedTri() == triBefore)
+    assert(spark.read.parquet(tombs).count() == 0)
+    // law 2 — the raw reads converged TO the survivor truth: chains
+    // equal from-scratch derivations over the survivor edges, the edge
+    // store holds no dead-incident pair, the key store no dead key
+    val survEdges = asOfEdges().localCheckpoint()
+    assert(survEdges
+      .join(dead, col("a_id") === col("dead_id"), "left_semi")
+      .union(survEdges.join(dead, col("b_id") === col("dead_id"), "left_semi"))
+      .count() == 0, "edge store must be survivor-only")
+    assert(spark.read.parquet(s.keysPath)
+      .join(dead, col("k_id") === col("dead_id"), "left_semi")
+      .count() == 0, "key store must be survivor-only")
+    assert(corSnapshot() == Linkage.graphCorenessOn(survEdges)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    assert(spark.read.parquet(s"$triPath/batch_id=2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == Linkage.degreeTriangleMapOn(survEdges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    assert(spark.read.parquet(s"$entPath/batch_id=2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      == Dedup.componentsOn(survEdges
+          .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+    // law 3 — replay below the fold horizon fails LOUD (the as-of read
+    // of the compacted key store refuses, never silently under-reads)
+    intercept[IllegalArgumentException] {
+      LinkIngest.processBatch(sup.filter(col("id") % 3 === 1), 1L, s)
+    }
+    // law 4 — post-compaction life: a NEW takedown lands beside the
+    // emptied store and composes against the repaired chain, paying
+    // only ITS cascade; the composed read equals the from-scratch
+    // truth over (survivors minus the new dead set)
+    val dead2 = sup.filter(col("id") % 9 === 5)
+      .select(col("id").cast("long").as("dead_id")).localCheckpoint()
+    DedupEdgeIngest.processTombstones(dead2, 4L, tombs)
+    val surv2 = survEdges
+      .join(dead2, col("a_id") === col("dead_id"), "left_anti")
+      .join(dead2, col("b_id") === col("dead_id"), "left_anti")
+    assert(composedCor() == Linkage.graphCorenessOn(surv2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
 }
