@@ -105,12 +105,22 @@ object Maintenance {
     *               the store (r17 ADVICE: the tombstone fold dropped a
     *               takedown batch that landed between the dead-set pin
     *               and the fold's own dir listing — unapplied, silently).
+    * @param mustRewrite rewrite the consolidated generation even when it
+    *               is the ONLY generation present. The default skips
+    *               that case (nothing to merge, a rewrite is pure
+    *               churn) — but a tombstone-applying caller passes
+    *               `reduce` as the row DROP itself, and skipping it
+    *               when only takedowns landed since the last run would
+    *               leave dead rows in the store while the tombstone
+    *               fold still empties: the takedown silently lost.
+    *               Callers set this iff their reduce must bite.
     */
   def compactBatchStore(
       spark: SparkSession, path: String, targetBytes: Long = 512L << 20,
       reduce: DataFrame => DataFrame = identity,
       subPartitions: Seq[String] = Nil,
-      maxBatch: Long = Long.MaxValue): Unit = {
+      maxBatch: Long = Long.MaxValue,
+      mustRewrite: Boolean = false): Unit = {
     val root = new Path(path)
     val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp  = new Path(root, CompactTmp)
@@ -148,8 +158,12 @@ object Maintenance {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
       .map(_.getPath.getName)
       .filter(_.stripPrefix("batch_id=").toLong <= maxBatch)
-    // nothing to merge: zero or one generation (a re-run is a no-op)
-    if (batchDirs.count(_ != s"batch_id=$CompactedId") == 0) return
+    // nothing to merge: zero or one generation (a re-run is a no-op) —
+    // unless the caller's reduce must bite (mustRewrite: a consolidated-
+    // only store still holds rows a tombstone-applying fold must drop)
+    if (batchDirs.isEmpty ||
+        (!mustRewrite && batchDirs.count(_ != s"batch_id=$CompactedId") == 0))
+      return
 
     val combined = reduce(spark.read.parquet(path)
       .filter(org.apache.spark.sql.functions.col("batch_id") <= maxBatch)

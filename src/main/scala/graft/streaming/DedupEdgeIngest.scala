@@ -333,9 +333,16 @@ object DedupEdgeIngest {
         df.join(broadcast(d), col("doc_id_1") === col("dead_id"), "left_anti")
           .join(broadcast(d), col("doc_id_2") === col("dead_id"), "left_anti")
     }
-    Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge)
-    Maintenance.compactBatchStore(spark, store.bandsPath, reduce = dropDoc)
-    Maintenance.compactBatchStore(spark, store.setsPath, reduce = dropDoc)
+    // mustRewrite when a dead set is pinned: with no new insert batches
+    // since the last run the stores hold only the consolidated
+    // generation, and the default skip would leave the dead rows in
+    // place while the tombstone fold below still empties
+    Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge,
+      mustRewrite = dead.nonEmpty)
+    Maintenance.compactBatchStore(spark, store.bandsPath, reduce = dropDoc,
+      mustRewrite = dead.nonEmpty)
+    Maintenance.compactBatchStore(spark, store.setsPath, reduce = dropDoc,
+      mustRewrite = dead.nonEmpty)
     // the APPLIED tombstones fold to ZERO rows — horizon advances only
     // to the pinned max, data is already survivor-only above; batches
     // landed after the pin keep their dirs for the next run

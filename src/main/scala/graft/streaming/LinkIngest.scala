@@ -179,6 +179,15 @@ object LinkIngest {
     val dead = pinnedMax.map(m =>
       Maintenance.readAsOf(spark, tombsPath.get, m)
         .select("dead_id").localCheckpoint())
+    // generations whose as-of edge history a PREVIOUS run's edge fold
+    // already destroyed cannot be repaired exactly — and never need to
+    // be: nothing may read them as survivor truth (replay at or below
+    // the edge horizon fails loud), only the at-or-above-horizon
+    // generations serve reads. Without this clamp the second compaction
+    // of a weekly cadence throws readAsOf's horizon require on the
+    // retained predecessor generation, and so does a crash re-run that
+    // lands after the edge fold.
+    val edgeHorizon = Maintenance.foldHorizonOf(spark, store.edgesPath)
     def repairChain(path: Option[String],
         repair: (DataFrame, DataFrame, DataFrame) => DataFrame): Unit =
       (path, dead) match {
@@ -186,7 +195,9 @@ object LinkIngest {
           // retain-2 first (drops pre-horizon generations), then repair
           // what remains — each against edges AS-OF its own batch
           Maintenance.compactSnapshotChain(spark, p)
-          Maintenance.landedBatchIds(spark, p).foreach { id =>
+          Maintenance.landedBatchIds(spark, p)
+            .filter(id => edgeHorizon.forall(id >= _))
+            .foreach { id =>
             val snap = spark.read.parquet(s"$p/batch_id=$id")
             val edges = Maintenance.readAsOf(spark, store.edgesPath, id)
               .select(col("a_id"), col("b_id"))
@@ -210,8 +221,14 @@ object LinkIngest {
       case Some(d) => df =>
         df.join(broadcast(d), col("k_id") === col("dead_id"), "left_anti")
     }
-    Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge)
-    Maintenance.compactBatchStore(spark, store.keysPath, reduce = dropKey)
+    // mustRewrite when a dead set is pinned: with no new insert batches
+    // since the last run the stores hold only the consolidated
+    // generation, and the default skip would leave the dead rows in
+    // place while the tombstone fold below still empties
+    Maintenance.compactBatchStore(spark, store.edgesPath, reduce = dropEdge,
+      mustRewrite = dead.nonEmpty)
+    Maintenance.compactBatchStore(spark, store.keysPath, reduce = dropKey,
+      mustRewrite = dead.nonEmpty)
     // the APPLIED tombstones fold to ZERO rows — horizon advances only
     // to the pinned max; batches landed after the pin keep their dirs
     pinnedMax.foreach(m =>

@@ -213,5 +213,38 @@ class LinkIngestSpec extends SparkSpec {
       .join(dead2, col("b_id") === col("dead_id"), "left_anti")
     assert(composedCor() == Linkage.graphCorenessOn(surv2)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // law 5 — the SECOND compaction cycle, with ONLY takedowns landed
+    // since the first: the chain walk must clamp to the edge store's
+    // fold horizon (the retained predecessor generation's as-of edge
+    // history is gone — repairing it would throw), and the data-store
+    // folds must still bite on a consolidated-only store (the default
+    // nothing-to-merge skip would leave dead2's rows in place while the
+    // tombstone store folds empty — the takedown silently lost)
+    LinkIngest.compact(spark, s, tombsPath = Some(tombs),
+      entitiesChain = Some(entPath), corenessChain = Some(corPath),
+      trianglesChain = Some(triPath))
+    assert(spark.read.parquet(tombs).count() == 0)
+    val survEdges2 = spark.read.parquet(s.edgesPath)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    assert(survEdges2
+      .join(dead2, col("a_id") === col("dead_id"), "left_semi")
+      .union(survEdges2.join(dead2, col("b_id") === col("dead_id"), "left_semi"))
+      .count() == 0, "second compaction must drop dead2-incident edges")
+    assert(spark.read.parquet(s"$corPath/batch_id=2")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      == Linkage.graphCorenessOn(surv2)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // and post-compaction life continues: a NEW insert batch lands (the
+    // previously-dead records re-crawled), folds against the repaired
+    // chain, and the snapshot equals the from-scratch truth
+    LinkIngest.processBatch(sup.filter(col("id") % 7 === 3), 3L, s)
+    LinkIngest.updateEntities(spark, s, entPath, 3L)
+    Linkage.foldCorenessSnapshot(spark, s, entPath, corPath, 3L)
+    assert(spark.read.parquet(s"$corPath/batch_id=3")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      == Linkage.graphCorenessOn(
+          graft.Maintenance.readAsOf(spark, s.edgesPath, 3L)
+            .select(col("a_id"), col("b_id")))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
   }
 }
