@@ -1217,6 +1217,41 @@ object Linkage {
       .orderBy("s_suppkey")
   }
 
+  /** [[entityGroupsServedInc]] with the landed takedown batch composed
+    * AT READ — the entity tier's incdel cell, closing the last open
+    * composition in the linkage family's serving matrix: the fold chain
+    * stays insert-only ([[graft.streaming.LinkIngest.updateEntities]]
+    * per batch — inserts only merge groups, so per-batch folds are
+    * cheap star work), and the takedown composes through
+    * [[repairComponentsUnderDeletion]] — untouched groups pass through
+    * the ingest-fresh snapshot, only affected groups re-run min-label
+    * over their surviving as-of edges (exact because edge removal never
+    * merges groups). Snapshot ≡ components over the landed edges
+    * (`LinkIngestSpec`'s fold law) and the repair ≡ the survivor
+    * rebuild (`LinkDeleteSpec`'s law), so the entry shares
+    * [[entityGroupsServedDelSql]] verbatim — the same survivor truth
+    * that gates the map-serving deletion entry, reached ingest-fresh.
+    *
+    * Scale (100 TB): the fold chain rides the ingest cadence at
+    * O(batch + affected); the read is one snapshot scan + the affected
+    * groups' edge lists — bounded by takedown volume × group size,
+    * never the graph.
+    */
+  def entityGroupsServedIncDel(spark: SparkSession, dir: String): DataFrame = {
+    val base = linkIncStores(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+    repairComponentsUnderDeletion(
+        spark.read.parquet(s"$base/entities/batch_id=2")
+          .select(col("doc_id"), col("component_id"), col("is_canonical")),
+        graft.Maintenance.readAsOf(spark, s"$base/edges", 2L)
+          .select(col("a_id"), col("b_id")),
+        spark.read.parquet(s"$base/tombs").select("dead_id"))
+      .select(col("doc_id").as("s_suppkey"),
+        col("component_id").as("entity_id"), col("is_canonical"))
+      .orderBy("s_suppkey")
+  }
+
   /** The local insert fold dispatches to the component recompute above
     * this batch-to-corpus edge fraction — BOTH spellings are measured
     * at 100× (`link_coreness_fold*` arms, PLANS.md r17): a SPARSE batch
@@ -1433,6 +1468,23 @@ object Linkage {
     */
   def graphKcoreServedInc(spark: SparkSession, dir: String): DataFrame =
     graphCorenessServedIncFrames(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
+      Tables.supplier(spark, dir), "s_suppkey", "s_name")
+      .select(col("s_suppkey"),
+        (col("coreness") >= 2).as("core2"), (col("coreness") >= 3).as("core3"))
+      .orderBy("s_suppkey")
+
+  /** [[graphKcoreServedInc]] with the takedown batch composed at read —
+    * one projection of the SAME repaired coreness frame
+    * ([[graphCorenessServedIncDelFrames]]; membership ≡ coreness ≥ k,
+    * the identity every kcore serving cell rides), completing the kcore
+    * column's incdel cell so the two label tiers expose the same
+    * serve/inc/del/incdel matrix. Shares [[graphKcoreServedDelSql]]:
+    * the repair equals the survivor decomposition (`CorenessSpec`'s
+    * traversal laws), and thresholding commutes with it.
+    */
+  def graphKcoreServedIncDel(spark: SparkSession, dir: String): DataFrame =
+    graphCorenessServedIncDelFrames(spark,
       graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
       Tables.supplier(spark, dir), "s_suppkey", "s_name")
       .select(col("s_suppkey"),
@@ -2282,6 +2334,21 @@ object Linkage {
       graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
       Tables.supplier(spark, dir), "s_suppkey", "s_name"))
 
+  /** [[graphClusteringCoeff]] SERVED from the persisted
+    * (degree, n_triangles) map — the diagnostics family's plain served
+    * cell (the matrix previously served the coefficient only through
+    * its inc/del columns; the ranking entry [[graphTrianglesServed]]
+    * re-ran the wedge close over stored edges). One map scan + the
+    * normalization projection; [[storedTriangleMap]] ≡
+    * [[degreeTriangleMapOn]] over the stored pair graph by
+    * construction, so the entry shares [[graphClusteringCoeffSql]]
+    * verbatim.
+    */
+  def graphClusteringCoeffServed(spark: SparkSession, dir: String): DataFrame =
+    clusteringFrom(storedTriangleMap(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir),
+      Tables.supplier(spark, dir), "s_suppkey", "s_name"))
+
   /** [[graphClusteringCoeffServedInc]] with the takedown batch composed
     * at read — the SAME repaired map normalized.
     */
@@ -2299,6 +2366,8 @@ object Linkage {
     "entity_groups_served" -> (entityGroupsServed _, entityGroupsSql),
     "entity_groups_served_inc" -> (entityGroupsServedInc _, entityGroupsSql),
     "entity_groups_served_del" -> (entityGroupsServedDel _, entityGroupsServedDelSql),
+    "entity_groups_served_incdel" ->
+      (entityGroupsServedIncDel _, entityGroupsServedDelSql),
     "graph_triangles" -> (graphTriangles _, graphTrianglesSql),
     "graph_triangles_served" -> (graphTrianglesServed _, graphTrianglesSql),
     "graph_triangles_served_del" ->
@@ -2309,6 +2378,8 @@ object Linkage {
       (graphTrianglesServedIncDel _, graphTrianglesServedDelSql),
     "graph_clustering_coeff" ->
       (graphClusteringCoeff _, graphClusteringCoeffSql),
+    "graph_clustering_coeff_served" ->
+      (graphClusteringCoeffServed _, graphClusteringCoeffSql),
     "graph_clustering_coeff_served_del" ->
       (graphClusteringCoeffServedDel _, graphClusteringCoeffServedDelSql),
     "graph_clustering_coeff_served_inc" ->
@@ -2324,6 +2395,8 @@ object Linkage {
     "graph_kcore_served_inc" -> (graphKcoreServedInc _, graphKcoreSql),
     "graph_coreness_served_incdel" ->
       (graphCorenessServedIncDel _, graphCorenessServedDelSql),
+    "graph_kcore_served_incdel" ->
+      (graphKcoreServedIncDel _, graphKcoreServedDelSql),
     "graph_coreness_served_del" ->
       (graphCorenessServedDel _, graphCorenessServedDelSql),
     "graph_kcore_served_del" ->

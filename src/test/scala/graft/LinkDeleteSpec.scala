@@ -85,6 +85,46 @@ class LinkDeleteSpec extends SparkSpec {
     assert(got.nonEmpty && got == scratch)
   }
 
+  test("entity inc+del composed at read ≡ survivor rebuild (the entity tier's incdel cell)") {
+    // the ingest-fresh entity snapshot with the landed takedown composed
+    // through repairComponentsUnderDeletion must equal the from-scratch
+    // survivor rebuild — the same truth that gates entity_groups_served_del
+    val sup = Tables.supplier(spark, dir)
+    val got = Linkage.entityGroupsServedIncDel(spark, dir)
+      .collect().map(_.toString).toSeq
+    val scratch = Dedup.componentsOn(
+        Linkage.fuzzyJoinOn(sup.filter(col("s_suppkey") % 7 =!= 3),
+          "s_suppkey", "s_name")
+          .select(col("a_id").as("doc_id_1"), col("b_id").as("doc_id_2")))
+      .select(col("doc_id").as("s_suppkey"), col("component_id").as("entity_id"),
+        col("is_canonical"))
+      .orderBy("s_suppkey")
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == scratch)
+    // and it must differ from the undeleted inc read, or the compose is a no-op
+    val undeleted = Linkage.entityGroupsServedInc(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(got != undeleted)
+  }
+
+  test("kcore inc+del ≡ threshold projection of the composed coreness (shared repair)") {
+    val viaCoreness = Linkage.graphCorenessServedIncDel(spark, dir)
+      .select(col("s_suppkey"),
+        (col("coreness") >= 2).as("core2"), (col("coreness") >= 3).as("core3"))
+      .collect().map(_.toString).toSeq
+    val got = Linkage.graphKcoreServedIncDel(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == viaCoreness)
+  }
+
+  test("clustering coeff served from the persisted map ≡ the in-plan entry") {
+    val got = Linkage.graphClusteringCoeffServed(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlan = Linkage.graphClusteringCoeff(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty && got == inPlan)
+  }
+
   test("coreness del fixture: peeling a clique member lowers survivors' coreness") {
     import spark.implicits._
     // K4 {1,2,4,5} + pendant 8-2; tombstone rule (≡3 mod 7) kills 3 — put
