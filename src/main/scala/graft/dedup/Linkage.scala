@@ -1253,17 +1253,20 @@ object Linkage {
   }
 
   /** The local insert fold dispatches to the component recompute above
-    * this batch-to-corpus edge fraction — BOTH spellings are measured
-    * at 100× (`link_coreness_fold*` arms, PLANS.md r17): a SPARSE batch
-    * (the production crawl increment, 0.1% arm) folds locally at 9.4 s
-    * where the component recompute pays its flat ~36 s full-propagation
-    * price, but a corpus-scale batch (the registry's id%3 thirds —
-    * adversarial by construction, every fold's candidate region IS the
-    * graph) inverts the trade (49.8 vs 36.5 s): the local machinery's
-    * per-round frontier restriction buys nothing when the frontier is
-    * the graph, and its degree/region/overlay overhead is pure cost.
-    * The crossover sits between the arms; 10% is conservative from the
-    * sparse side.
+    * this batch-to-corpus edge fraction. r17 set 10% from two points
+    * (the 0.1% sparse arm, local 9.4 s vs component 24.2, and the
+    * registry corpus-thirds, 49.8 vs 36.5 — the inversion: frontier
+    * restriction buys nothing when the frontier is the graph); the r18
+    * sweep (`link_coreness_fold_swp*` arms at 100×, batch-edge
+    * fractions measured from the landed stores, PLANS.md r18) BRACKETS
+    * the crossover around the constant instead of interpolating across
+    * a 300× gap: local wins at 1.5% (33.1 vs 42.9 s) and 4.4%
+    * (35.3 vs 47.3), component wins at 12.6% (45.6 vs 49.6) and 24.6%
+    * (32.6 vs 39.8). The crossover sits in (4.4%, 12.6%) — 10% is
+    * CONFIRMED, and both mis-dispatch margins at the bracket edges are
+    * ≤ 1.34× (worst: the 4.4%-adjacent band), so a batch landing right
+    * at the constant pays at most a small single-digit-percent penalty
+    * whichever side it falls on.
     */
   private[graft] val LocalFoldMaxBatchFraction = 0.10
 
@@ -2233,6 +2236,16 @@ object Linkage {
     * because the store's first-derivable-once layout makes batch
     * partitions disjoint, so "new triangle" ≡ "contains ≥ 1 batch
     * edge".
+    *
+    * Priced at BOTH batch shapes (100×, PLANS.md r17/r18): the
+    * production-shaped sparse batch (`link_triangles_fold_sparse`,
+    * 0.18% of edges) folds in 6.5 s and the adversarial corpus-third
+    * batch (`link_triangles_fold`) in 43.2 s — both beat the 65.2 s
+    * full wedge-close, so unlike the coreness fold there is no
+    * dispatch: the fold wins at every measured batch shape (at a
+    * corpus-third, ~2/3 of wedge volume is batch-incident — near the
+    * full close's work by construction — yet the equi-join form still
+    * clears it).
     */
   private[graft] def foldTrianglesSnapshot(spark: SparkSession,
       store: graft.streaming.LinkIngest.LinkStores,
