@@ -1601,6 +1601,49 @@ object RetrievalAnalytics {
       .select(col("query_id"), col("vec_id"))
   }
 
+  /** `knn_ivf_trained` SERVED from the hybrid store's persisted K-row
+    * trained centroid table + corpus assignment (the r18 demotion — the
+    * pair was the tape's last in-plan Lloyd-retrain cluster, drifting
+    * as a family on unchanged code): probes route the query batch
+    * against the stored centroids, members come from the vectors
+    * store's (vec_id, centroid_id) — written at build time by the SAME
+    * [[graft.similarity.IvfTrained.assignOn]] over the same bit-exact
+    * fixed-point centroids, so the member stream is row-identical to
+    * [[graft.similarity.IvfTrained.trainedMembersOn]] and the entry
+    * shares `knnIvfTrainedSql` verbatim (`IvfServedSpec` demotion law).
+    */
+  def knnIvfTrainedStored(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val st = servedStores(spark, storeKey(dir), Tables.documents(spark, dir), emb)
+    val cents = spark.read.parquet(st.centroidsPath)
+    val members = graft.similarity.IvfTrained
+      .probesOn(graft.similarity.IvfTrained.scaledQuantized(
+          emb.filter(col("vec_id") % graft.similarity.IvfTrained.QueryMod === 0)),
+        cents, graft.similarity.IvfTrained.NProbe)
+      .join(spark.read.parquet(st.vectorsPath)
+        .select(col("vec_id"), col("centroid_id")), "centroid_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    graft.similarity.Similarity.scoreMembers(
+      graft.similarity.Similarity.withNorms(emb), members)
+  }
+
+  /** `knn_ivf_trained_sqrt` SERVED from the persisted `sqrtcents`/
+    * `sqrtasg` artifacts via [[storedSqrtMembers]] — the same member
+    * stream `knn_ivf_pq_rerank_sqrt` already routes through, scored by
+    * the exact-cosine rerank instead of ADC. Shares
+    * `knnIvfTrainedSqrtSql` verbatim.
+    */
+  def knnIvfTrainedSqrtStored(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    graft.similarity.Similarity.scoreMembers(
+      graft.similarity.Similarity.withNorms(emb),
+      storedSqrtMembers(spark, storeKey(dir), emb,
+        col("vec_id") % graft.similarity.IvfTrained.QueryMod === 0))
+  }
+
   /** `knn_ivf_pq_rerank` served — [[knnServedPq]] verbatim (already
     * proven bit-equal by `PqServedSpec`); the registry key now points
     * here so the tape pays the serve, not the retrain.
@@ -1664,6 +1707,12 @@ object RetrievalAnalytics {
       (knnIvfPqRerankSqrtStored _, graft.similarity.PqAnn.knnIvfPqRerankSqrtSql),
     "knn_ivf_pq_residual" -> (knnServedPqResidual _,
       graft.similarity.PqAnn.knnIvfPqResidualSql),
+    // the trained-routing pair, artifact-backed as of r18 (the tape's
+    // last in-plan Lloyd retrain cluster) under the UNCHANGED oracles
+    "knn_ivf_trained" -> (knnIvfTrainedStored _,
+      graft.similarity.IvfTrained.knnIvfTrainedSql),
+    "knn_ivf_trained_sqrt" -> (knnIvfTrainedSqrtStored _,
+      graft.similarity.IvfTrained.knnIvfTrainedSqrtSql),
     "bm25_search_served" -> (bm25SearchServed _, bm25SearchServedSql),
     "phrase_search"     -> (phraseSearch _, phraseSearchSql),
     "phrase_search_served" -> (phraseSearchServed _, phraseSearchSql),

@@ -37,7 +37,7 @@ import org.apache.spark.sql.functions._
 object IvfTrained {
 
   private val TopK     = 10
-  private val QueryMod = 100
+  private[graft] val QueryMod = 100
   private val CScale   = KMeansExact.CScale
 
   /** Probed buckets per query, chosen from the measured nprobe-recall
@@ -213,8 +213,13 @@ object IvfTrained {
   val knnIvfTrainedSql: String = scoredSqlOver(trainedMembersSqlChain)
   val knnIvfTrainedSqrtSql: String = scoredSqlOver(trainedMembersSqrtSqlChain)
 
-  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "knn_ivf_trained" -> (knnIvfTrained _, knnIvfTrainedSql),
-    "knn_ivf_trained_sqrt" -> (knnIvfTrainedSqrt _, knnIvfTrainedSqrtSql),
-  )
+  // the two knn_ivf_trained* keys moved to RetrievalAnalytics.registry
+  // (r18 — the PqAnn precedent): both retrained centroids AND re-ran the
+  // N·C corpus assignment in-plan per read while the hybrid store
+  // already persists the K-row trained centroid table + assignment and
+  // the √N tier's sqrtcents/sqrtasg artifacts. The in-plan spellings
+  // above ([[knnIvfTrained]]/[[knnIvfTrainedSqrt]]) stay as the
+  // spec-pinned reference derivations (`IvfServedSpec` demotion laws)
+  // and the UNCHANGED oracles still replay the full kmeans chain.
+  val registry: Map[String, ((SparkSession, String) => DataFrame, String)] = Map()
 }
