@@ -46,4 +46,17 @@ class PcaPowerSpec extends SparkSpec {
       dims = 8, rounds = 3).collect()
     assert(base.sameElements(shuffled))
   }
+
+  test("projection demotion: stored component ≡ in-plan fit (r18)") {
+    // the artifact-backed registry form must equal the in-plan spelling
+    // bit-for-bit: the persisted (i, w) is exact integers, so the only
+    // way they can differ is a real build/serve drift — which this law
+    // exists to catch
+    val dir = "/root/testdata/sf0.001"
+    val stored = PcaPower.embeddingPcaProjectStored(spark, dir)
+      .collect().map(_.toString).toSeq
+    val inPlan = PcaPower.embeddingPcaProject(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(stored.nonEmpty && stored == inPlan)
+  }
 }
