@@ -629,6 +629,24 @@ object TextAnalytics {
        |       ${hash60Sql("text")} AS content_h60
        |FROM documents""".stripMargin
 
+  /** The near-dup removal set (distinct higher doc_id of every verified
+    * pair) read from the persisted verified-edge store
+    * ([[graft.dedup.Dedup.storedPairs]]) — the r18 demotion for the three
+    * governance consumers (`corpus_curation`, `curation_audit`,
+    * `source_profile`) that each re-ran the full in-plan
+    * shingle → band → candidate-join → verify chain per read just to
+    * derive this set. The store IS `dedupMinhashOn`'s output written
+    * once, so the set is bit-identical and the oracles are unchanged
+    * (`DedupStoreConsumersSpec` pins each entry against its
+    * in-plan-pairs spelling frame-for-frame); `dedup_minhash` itself
+    * stays the spec-pinned in-plan reference derivation.
+    */
+  private def removedSet(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup
+      .storedPairs(spark, RetrievalAnalytics.storeKey(dir),
+        Tables.documents(spark, dir))
+      .select(col("doc_id_2").as("doc_id")).distinct()
+
   // ---- corpus_curation: the integrated training-data pipeline ----------
   /** Quality filter → near-dup removal → deterministic sample, reported as
     * per-stage corpus stats — the composed curation flow a training-data
@@ -640,7 +658,15 @@ object TextAnalytics {
     *  3. sample: md5-hash-based 30% subsample (deterministic, reproducible
     *     on any engine — no RNG state).
     */
-  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame =
+    corpusCurationOn(spark, dir, removedSet(spark, dir))
+
+  /** [[corpusCuration]] over an explicit removal set — the demotion-law
+    * seam (`DedupStoreConsumersSpec` feeds the in-plan pair set here and
+    * pins frame equality against the store-fed registry entry).
+    */
+  private[graft] def corpusCurationOn(spark: SparkSession, dir: String,
+      removed: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("text"),
@@ -648,8 +674,6 @@ object TextAnalytics {
         expr("size(filter(toks, t -> array_contains(array('the', 'a'), t)))").as("n_stop"))
     val quality = docs.filter(col("n_tokens") >= 20
       && col("n_stop") / col("n_tokens") <= 0.2)
-    val removed = graft.dedup.Dedup
-      .dedupMinhash(spark, dir).select(col("doc_id_2").as("doc_id")).distinct()
     val deduped = quality.join(removed, Seq("doc_id"), "left_anti")
     val sampled = deduped.filter(pmod(hash60(col("text")), lit(10)) < 3)
 
@@ -703,16 +727,21 @@ object TextAnalytics {
     * consequences. Same plan skeleton as the funnel: per-row predicates
     * in codegen, the removal set broadcast, no extra shuffles.
     */
-  def curationAudit(spark: SparkSession, dir: String): DataFrame = {
+  def curationAudit(spark: SparkSession, dir: String): DataFrame =
+    curationAuditOn(spark, dir, removedSet(spark, dir))
+
+  /** [[curationAudit]] over an explicit removal set (the demotion-law
+    * seam, as [[corpusCurationOn]]).
+    */
+  private[graft] def curationAuditOn(spark: SparkSession, dir: String,
+      removedIds: DataFrame): DataFrame = {
     val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("text"),
         size(col("toks")).as("n_tokens"),
         expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").as("n_stop"))
-    val removed = graft.dedup.Dedup.dedupMinhash(spark, dir)
-      .select(col("doc_id_2").as("doc_id")).distinct()
-      .withColumn("is_dup", lit(1))
+    val removed = removedIds.withColumn("is_dup", lit(1))
     docs.join(broadcast(removed), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(!(col("n_tokens") >= 20 && col("n_stop") / col("n_tokens") <= 0.2), "quality")
@@ -1380,7 +1409,14 @@ object TextAnalytics {
     * removal and contamination sets are near-dup-sized (≪ corpus) and
     * broadcast into left joins; one hash aggregate on ~20 source keys.
     */
-  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame =
+    sourceProfileOn(spark, dir, removedSet(spark, dir))
+
+  /** [[sourceProfile]] over an explicit removal set (the demotion-law
+    * seam, as [[corpusCurationOn]]).
+    */
+  private[graft] def sourceProfileOn(spark: SparkSession, dir: String,
+      removedIds: DataFrame): DataFrame = {
     val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
     val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
@@ -1401,9 +1437,7 @@ object TextAnalytics {
           .cast("long"))
       .withColumn("flagged",
         col("d2") > 0.2 || col("d3") > 0.18 || col("tt") > 0.2)
-    val removed = graft.dedup.Dedup.dedupMinhash(spark, dir)
-      .select(col("doc_id_2").as("doc_id")).distinct()
-      .withColumn("is_dup", lit(1))
+    val removed = removedIds.withColumn("is_dup", lit(1))
     val contam = decontam(spark, dir)
       .select(col("doc_id")).withColumn("is_cont", lit(1))
     perDoc

@@ -1238,8 +1238,20 @@ object Dedup {
   def bandIndex(sets: DataFrame): DataFrame = {
     graft.GraftExtensions.register(sets.sparkSession)
     sets
+      // Filter on the INPUT, not the signature: minhash_sig is null
+      // exactly when the set is null/empty ([[graft.functions.MinHashSig]]
+      // nullSafeEval; hashedSets elements are never null — xxhash64 maps
+      // null to the seed, not to null), so `size(sh) > 0` drops the same
+      // rows a `sig IS NOT NULL` filter would. The sig spelling was the
+      // r18 plan audit's one surviving instance of the pushed-filter
+      // double-eval class the word-level tier already documents
+      // (`filter(col("sig").isNotNull)` is pushed below the doc_id
+      // exchange and rewritten to `isnotnull(minhash_sig(sh, k))` — the
+      // full k-permutation fold ran once in that filter and AGAIN in the
+      // projection feeding the band explode, per row, in every band
+      // build: dedup_minhash and all its consumers, both ingest tiers).
+      .filter(size(col("sh")) > 0)
       .withColumn("sig", expr(s"minhash_sig(sh, $NumHashes)"))
-      .filter(col("sig").isNotNull)
       .select(col("doc_id"), posexplode(lshBands("sig", NumBands, RowsPerBand)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
@@ -1388,15 +1400,31 @@ object Dedup {
     * shuffle on doc_id). Nothing here adds corpus-scale work to the
     * dedup pass it piggybacks on.
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
-    splitLeakageOn(Tables.documents(spark, dir))
+  // The registry entry reads the persisted verified-edge store (the
+  // r18 governance-consumer demotion class — the auditor/fixer pair are
+  // pure CONSUMERS of the pair graph, like corpus_curation; the pair
+  // chain's in-plan reference spellings stay `dedup_minhash` /
+  // `dedup_jaccard`): the store IS dedupMinhashOn's output, so the
+  // audited pair set is bit-identical and the oracle is unchanged
+  // (`DedupStoreConsumersSpec` pins registry ≡ in-plan spelling).
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    splitLeakageFrom(docs, storedPairs(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir), docs))
+  }
 
-  private[graft] def splitLeakageOn(docs: DataFrame): DataFrame = {
+  /** In-plan spelling — the scale probes and the demotion law feed the
+    * derived pair chain here.
+    */
+  private[graft] def splitLeakageOn(docs: DataFrame): DataFrame =
+    splitLeakageFrom(docs, dedupMinhashOn(shingleSets(docs)))
+
+  private[graft] def splitLeakageFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val split = docs.select(
       col("doc_id"),
       when(pmod(hash60(col("doc_id").cast("string")), lit(100)) < TrainPct,
         lit("train")).otherwise(lit("val")).as("split"))
-    dedupMinhashOn(shingleSets(docs))
+    pairs
       .join(split.select(col("doc_id").as("doc_id_1"), col("split").as("split_1")), "doc_id_1")
       .join(split.select(col("doc_id").as("doc_id_2"), col("split").as("split_2")), "doc_id_2")
       .filter(col("split_1") =!= col("split_2"))
@@ -1438,11 +1466,20 @@ object Dedup {
     * the corpus plus a per-row hash — the labels broadcast at any
     * realistic dup density.
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame =
-    splitAssignOn(Tables.documents(spark, dir))
+  // Registry entry off the persisted edge store (see [[splitLeakage]] —
+  // the same consumer-demotion class and law).
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    splitAssignFrom(docs, storedPairs(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir), docs))
+  }
 
-  private[graft] def splitAssignOn(docs: DataFrame): DataFrame = {
-    val comp = componentsOn(dedupMinhashOn(shingleSets(docs)))
+  /** In-plan spelling — probes and the demotion law. */
+  private[graft] def splitAssignOn(docs: DataFrame): DataFrame =
+    splitAssignFrom(docs, dedupMinhashOn(shingleSets(docs)))
+
+  private[graft] def splitAssignFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = componentsOn(pairs)
       .select(col("doc_id"), col("component_id"))
     docs.select(col("doc_id"))
       .join(comp, Seq("doc_id"), "left")
