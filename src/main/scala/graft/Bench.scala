@@ -55,6 +55,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Maintenance.quietKnownWarnSpam()
 
     // JVM + codegen + parquet-footer warmup: run EVERY query once on the
     // tiniest SF so per-query timings measure the query, not first-use

@@ -28,6 +28,7 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Maintenance.quietKnownWarnSpam()
 
     // 1. producer → wire → consumer (S1, S4-S8)
     val wire   = KafkaIO.encodeTicks(TickGenerator.batch(spark, 50000))

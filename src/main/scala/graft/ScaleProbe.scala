@@ -199,6 +199,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Maintenance.quietKnownWarnSpam()
 
     scales.foreach { copies =>
       val docsPath = s"$tmp/docs_$copies"

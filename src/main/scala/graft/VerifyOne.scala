@@ -26,6 +26,7 @@ object VerifyOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Maintenance.quietKnownWarnSpam()
     new java.io.File(outDir).mkdirs()
     val unknown = names.diff(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")

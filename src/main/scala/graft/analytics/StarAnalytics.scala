@@ -1116,33 +1116,41 @@ object StarAnalytics {
   // ---- lone late suppliers (TPC-H Q21 shape) ---------------------------
   /** The Q21 decorrelation: suppliers who were the ONLY late shipper on a
     * multi-supplier order — the classic EXISTS + NOT-EXISTS pair against
-    * the same fact table with different predicates, decorrelated into one
-    * LEFT SEMI and one LEFT ANTI join on (orderkey, suppkey ≠). Lateness
-    * here is `l_shipdate > o_orderdate + 60 days` (this lineitem carries
-    * no commit/receipt dates — the predicate adapts, the shape doesn't).
+    * the same fact table with different predicates. Lateness here is
+    * `l_shipdate > o_orderdate + 60 days` (this lineitem carries no
+    * commit/receipt dates — the predicate adapts, the shape doesn't).
     *
-    * Scale: late/all (orderkey, suppkey) pair sets are distinct-reduced
-    * before the joins (orders of magnitude under raw lineitem); both
-    * semi/anti joins are orderkey-equi with a residual suppkey filter —
-    * no correlated per-row subquery ever executes, which is the entire
-    * point of the decorrelation at 100 TB.
+    * Scale: both subqueries decorrelate into per-ORDER aggregates (the
+    * count-based Q21 rewrite — see the inline note): no correlated
+    * per-row subquery, no pair-set self-joins; the only corpus-sized
+    * shuffles are the orderkey exchanges under two map-side-partial
+    * aggregates, which the equi-join then reuses co-partitioned.
     */
   def loneLateSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    val late = Tables.lineitem(spark, dir)
+    // r19: the EXISTS/NOT-EXISTS pair decorrelates further, into per-order
+    // AGGREGATES instead of semi/anti self-joins of the pair sets (the
+    // count-based Q21 rewrite): "no OTHER late supplier" on a late pair
+    // (o,s) ⟺ o has exactly ONE distinct late suppkey ⟺ min = max of its
+    // late suppkeys (and s IS that min); "EXISTS another supplier" ⟺ o has
+    // ≥ 2 distinct suppkeys over all its lineitems ⟺ min ≠ max. min/max
+    // aggregate in one phase each — no DISTINCT expansion, no pair-set
+    // materialization, no self-joins: two orderkey aggregates (partial
+    // map-side, so the shuffles carry ~one row per order per task) joined
+    // co-partitioned on orderkey. At 100 TB that replaces the two
+    // lineitem-pair shuffles + semi/anti joins with order-count-sized
+    // exchanges the planner reuses across the join.
+    val lateLone = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-      .select(col("l_orderkey").as("orderkey"), col("l_suppkey").as("suppkey"))
-      .distinct()
-      .localCheckpoint(eager = false)
-    val allOther = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("osuppkey")).distinct()
-    val lateOther = late.select(col("orderkey").as("o3"), col("suppkey").as("lsuppkey"))
-    val lone = late
-      .join(allOther,
-        col("orderkey") === col("o2") && col("suppkey") =!= col("osuppkey"), "left_semi")
-      .join(lateOther,
-        col("orderkey") === col("o3") && col("suppkey") =!= col("lsuppkey"), "left_anti")
-    lone.groupBy(col("suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("suppkey"), max(col("l_suppkey")).as("mx"))
+      .filter(col("suppkey") === col("mx"))
+    val multiSupp = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_suppkey")).as("mn_all"), max(col("l_suppkey")).as("mx_all"))
+      .filter(col("mn_all") =!= col("mx_all"))
+    lateLone.join(multiSupp, Seq("l_orderkey"))
+      .groupBy(col("suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir)), col("suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))

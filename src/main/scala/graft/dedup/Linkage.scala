@@ -1207,6 +1207,57 @@ object Linkage {
     base
   }
 
+  /** The COMPACTED incremental linkage-ingest root — the r19
+    * compose-over-compacted-store read for the `_incdel` cells (the r18
+    * verdict's #2 ask): same fold chains as [[linkIncStores]] under a
+    * sibling key, then the landed takedown batch runs through the link
+    * tier's tombstone-applying compaction
+    * ([[graft.streaming.LinkIngest.compact]], the r18 machinery) as part
+    * of the one-time build — snapshots repair IN the store with exactly
+    * the operator the read-side compose runs, the edge store folds
+    * survivor-only, and the tombstone store folds to EMPTY with the
+    * horizon advanced. The `_incdel` reads keep their compose spelling
+    * but now pay only takedowns landed SINCE compaction (none at
+    * registry cadence): one snapshot scan + a no-op repair, instead of
+    * re-paying the full 14%-batch cascade on every read — the
+    * `link_incdel_read_post` probe economics, landed on the registry
+    * keys. Identity is the compaction law (`LinkIngestSpec`): the
+    * repaired snapshot ≡ the read-time repair, so the oracles are
+    * unchanged. The uncompacted root stays: the `_inc` cells read its
+    * pre-takedown snapshots (a different truth).
+    */
+  private def linkIncCompactedStores(spark: SparkSession, key: String,
+      names: => DataFrame, idCol: String, nameCol: String): String = {
+    val n = names
+    val base = graft.sources.StoreCatalog.root("graft_link_ingest",
+      key + "_cpt_v1")
+    val store = graft.streaming.LinkIngest.LinkStores(
+      base + "/keys", base + "/edges")
+    buildLock.synchronized {
+      graft.sources.StoreCatalog.ensureBuilt(spark, base) {
+        (0 to 2).foreach { r =>
+          graft.streaming.LinkIngest.processBatch(
+            n.filter(col(idCol) % 3 === r), r.toLong, store, idCol, nameCol)
+          graft.streaming.LinkIngest.updateEntities(
+            spark, store, base + "/entities", r.toLong)
+          foldCorenessSnapshot(spark, store, base + "/entities",
+            base + "/coreness", r.toLong)
+          foldTrianglesSnapshot(spark, store, base + "/triangles", r.toLong)
+        }
+        graft.streaming.DedupEdgeIngest.processTombstones(
+          n.filter(col(idCol) % DelMod === DelRes)
+            .select(col(idCol).cast("long").as("dead_id")),
+          3L, base + "/tombs")
+        graft.streaming.LinkIngest.compact(spark, store,
+          tombsPath = Some(base + "/tombs"),
+          entitiesChain = Some(base + "/entities"),
+          corenessChain = Some(base + "/coreness"),
+          trianglesChain = Some(base + "/triangles"))
+      }
+    }
+    base
+  }
+
   private[graft] def entityGroupsServedIncFrames(spark: SparkSession,
       key: String, names: => DataFrame, idCol: String,
       nameCol: String): DataFrame = {
@@ -1233,12 +1284,14 @@ object Linkage {
     * that gates the map-serving deletion entry, reached ingest-fresh.
     *
     * Scale (100 TB): the fold chain rides the ingest cadence at
-    * O(batch + affected); the read is one snapshot scan + the affected
-    * groups' edge lists — bounded by takedown volume × group size,
-    * never the graph.
+    * O(batch + affected); since r19 the root is COMPACTED
+    * ([[linkIncCompactedStores]]) so the read composes only takedowns
+    * landed since compaction — one snapshot scan + a repair bounded by
+    * the pending set (empty at registry cadence), never the landed
+    * batch's full cascade.
     */
   def entityGroupsServedIncDel(spark: SparkSession, dir: String): DataFrame = {
-    val base = linkIncStores(spark,
+    val base = linkIncCompactedStores(spark,
       graft.analytics.RetrievalAnalytics.storeKey(dir) + "_incmap",
       Tables.supplier(spark, dir), "s_suppkey", "s_name")
     repairComponentsUnderDeletion(
@@ -1510,9 +1563,10 @@ object Linkage {
     * through the ingest-fresh path.
     *
     * Scale (100 TB): the fold chain rides the ingest cadence at
-    * O(batch + affected); the read is one snapshot scan + the
-    * tombstone batch's cascade repair — both bounded, neither touches
-    * untouched regions.
+    * O(batch + affected); since r19 the root is COMPACTED
+    * ([[linkIncCompactedStores]]) so the read is one snapshot scan + a
+    * repair bounded by the takedowns landed since compaction (empty at
+    * registry cadence) — the cascade was paid once, at compaction.
     */
   def graphCorenessServedIncDel(spark: SparkSession, dir: String): DataFrame =
     graphCorenessServedIncDelFrames(spark,
@@ -1522,7 +1576,7 @@ object Linkage {
   private[graft] def graphCorenessServedIncDelFrames(spark: SparkSession,
       key: String, names: => DataFrame, idCol: String,
       nameCol: String): DataFrame = {
-    val base = linkIncStores(spark, key, names, idCol, nameCol)
+    val base = linkIncCompactedStores(spark, key, names, idCol, nameCol)
     val snap = spark.read.parquet(s"$base/coreness/batch_id=2")
       .select(col("s_suppkey"), col("coreness"))
     val edges = graft.Maintenance.readAsOf(spark, s"$base/edges", 2L)
@@ -2325,13 +2379,15 @@ object Linkage {
     * gates the map-serving deletion cells, reached ingest-fresh.
     *
     * Scale (100 TB): the fold chain rides the ingest cadence at
-    * O(batch wedges); the read is one map scan + the takedown batch's
-    * wedge repair — both bounded, neither re-runs the corpus wedge
-    * close.
+    * O(batch wedges); since r19 the root is COMPACTED
+    * ([[linkIncCompactedStores]]) so the read is one map scan + a wedge
+    * repair bounded by takedowns landed since compaction (empty at
+    * registry cadence) — the batch's wedge repair ran once, in the
+    * compaction fold.
     */
   private[graft] def trianglesIncDelFrames(spark: SparkSession, key: String,
       names: => DataFrame, idCol: String, nameCol: String): DataFrame = {
-    val base = linkIncStores(spark, key, names, idCol, nameCol)
+    val base = linkIncCompactedStores(spark, key, names, idCol, nameCol)
     maintainTrianglesUnderDeletion(
       spark.read.parquet(s"$base/triangles/batch_id=2"),
       graft.Maintenance.readAsOf(spark, s"$base/edges", 2L)

@@ -22,12 +22,24 @@ class DedupStoreConsumersSpec extends SparkSpec {
   private def inPlanRemoved = Dedup.dedupMinhash(spark, dir)
     .select(col("doc_id_2").as("doc_id")).distinct()
 
+  private def inPlanContam = TextAnalytics.decontam(spark, dir)
+    .select(col("doc_id"))
+
   test("source_profile store-fed ≡ in-plan-pairs spelling") {
     val served = TextAnalytics.sourceProfile(spark, dir)
       .collect().map(_.toString).toSeq
-    val inPlan = TextAnalytics.sourceProfileOn(spark, dir, inPlanRemoved)
+    val inPlan = TextAnalytics
+      .sourceProfileOn(spark, dir, inPlanRemoved, inPlanContam)
       .collect().map(_.toString).toSeq
     assert(served.nonEmpty && served == inPlan)
+  }
+
+  test("contam-id store ≡ in-plan decontam flagged set (r19 demotion)") {
+    val stored = TextAnalytics.storedContamIds(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val inPlan = inPlanContam
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(stored.nonEmpty && stored == inPlan)
   }
 
   test("corpus_curation store-fed ≡ in-plan-pairs spelling") {
