@@ -1481,9 +1481,16 @@ object RetrievalAnalytics {
       .localCheckpoint(eager = false)
     val probeIds = probes.select("centroid_id").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded: ≤ K cell ids
-    val dtab = graft.similarity.PqAnn.residualDtab(probes,
+    // r19: the decomposed residual tables (see
+    // [[graft.similarity.PqAnn.residualDtabSplit]]) — query-only +
+    // store-side terms plus one scalar per probe, replacing the
+    // per-(query, probed cell) monolithic tables. Same d2 bit-for-bit
+    // (exact-integer identity, law in PqResServedSpec); table build and
+    // broadcast shrink ~nprobe-fold.
+    val (qtab, ctab, adj) = graft.similarity.PqAnn.residualDtabSplit(probes,
       qSq.select(col("vec_id").as("query_id"), col("sqv")),
-      cents, spark.read.parquet(pq.codebookPath))
+      cents.filter(col("centroid_id").isin(probeIds: _*)),
+      spark.read.parquet(pq.codebookPath))
     spark.read.parquet(pq.codesPath)
       .filter(col("centroid_id").isin(probeIds: _*))
       .join(broadcast(probes), "centroid_id")
@@ -1494,9 +1501,12 @@ object RetrievalAnalytics {
       .select(col("query_id"), col("centroid_id"), col("vec_id"), col("sub"),
         expr("cast(shiftrightunsigned(if(sub < 8, codes_lo, codes_hi), 8 * (sub % 8)) & 255 as bigint)")
           .as("code"))
-      .join(broadcast(dtab), Seq("query_id", "centroid_id", "sub", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dt")).as("d2"))
+      .join(broadcast(qtab), Seq("query_id", "sub", "code"))
+      .join(broadcast(ctab), Seq("centroid_id", "sub", "code"))
+      .groupBy(col("query_id"), col("centroid_id"), col("vec_id"))
+      .agg(sum(col("bt") + col("ct")).as("s"))
+      .join(broadcast(adj), Seq("query_id", "centroid_id"))
+      .select(col("query_id"), col("vec_id"), (col("adj") + col("s")).as("d2"))
       .groupBy(col("query_id"))
       .agg(expr("topk_by_score(CAST(-d2 AS DOUBLE), vec_id, 10)").as("top"))
       .select(col("query_id"), posexplode(col("top")))

@@ -134,7 +134,11 @@ object Dedup {
     candidates
       .join(s1, "doc_id_1")
       .join(s2, "doc_id_2")
-      .withColumn("jaccard", expr("jaccard_sorted(sh1, sh2)"))
+      // ComputeOnce: without the barrier the threshold filter collapses
+      // into the join condition and the two-pointer merge runs 2x per
+      // candidate pair (once in the condition, once in the output)
+      .withColumn("jaccard",
+        graft.functions.ComputeOnce.once(expr("jaccard_sorted(sh1, sh2)")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_id_1"), col("doc_id_2"), col("jaccard"))
   }
@@ -384,7 +388,11 @@ object Dedup {
         col("cs").as("cs1"), col("na2")), "id1")
       .join(packed.select(col("doc_id").as("id2"), col("ks").as("ks2"),
         col("cs").as("cs2"), col("na2").as("nb2")), "id2")
-      .withColumn("dot", expr("dot_sorted(ks1, cs1, ks2, cs2)"))
+      // ComputeOnce: dot appears squared in the integer predicate and
+      // once in the output ratio — un-barriered, the native loop ran 3x
+      // per candidate pair (r19 plan audit)
+      .withColumn("dot",
+        graft.functions.ComputeOnce.once(expr("dot_sorted(ks1, cs1, ks2, cs2)")))
       // Exactness bound: the integer predicate needs dot²·CosDen² and
       // na2·nb2·CosNum² < 2⁶³, i.e. per-doc squared norms na2 = Σc² up
       // to ~3.3e8 (a doc repeating one 3-gram ~18k times). Past that,
@@ -472,7 +480,10 @@ object Dedup {
     cands
       .join(s1, "doc_in")
       .join(s2, "doc_out")
-      .withColumn("c", expr("overlap_sorted(sh1, sh2)"))
+      // ComputeOnce: the barrier keeps the two-pointer overlap count at
+      // one evaluation per pair (predicate + output ratio)
+      .withColumn("c",
+        graft.functions.ComputeOnce.once(expr("overlap_sorted(sh1, sh2)")))
       .filter(col("c") * ThreshDen >= size(col("sh1")).cast("long") * ThreshNum)
       .select(col("doc_in"), col("doc_out"),
         (col("c").cast("double") / size(col("sh1"))).as("containment"))
@@ -501,7 +512,11 @@ object Dedup {
 
   def dedupMinhashOn(rawSets: DataFrame): DataFrame = {
     val sets = hashedSets(rawSets).repartition(col("doc_id"))
-    val banded = bandIndex(sets)
+    // materialize the band index once (r19 plan audit): the self-join's
+    // build side is a BroadcastExchange, so exchange reuse cannot fire
+    // and BOTH sides re-ran the 128-permutation minhash_sig fold per
+    // document; the checkpointed index is 32 (doc, band, hash) rows/doc
+    val banded = bandIndex(sets).localCheckpoint(eager = false)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash")
@@ -561,9 +576,17 @@ object Dedup {
     */
   private[graft] def componentsOn(pairs: DataFrame): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    val edges = pairs
+    // Materialize the pair derivation ONCE before the symmetrize union
+    // (r19 plan audit): both union branches are full physical subtrees,
+    // so an in-plan pair derivation (band self-join, fuzzy join, live
+    // delta probe) executed TWICE when `edges` first materialized —
+    // measured as doubled minhash_sig/levenshtein nodes in every
+    // in-plan components consumer's plan. Pair graphs are sparse, so
+    // the checkpointed rows are edge-sized.
+    val p0 = pairs.localCheckpoint(eager = false)
+    val edges = p0
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
-      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .union(p0.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
       .persist()
     var before = sc.getPersistentRDDs.keySet
     var labels = edges.select(col("src").as("v")).distinct()
@@ -619,7 +642,11 @@ object Dedup {
   private[graft] def componentsAltStarOn(pairs: DataFrame): DataFrame =
     componentsAltStarCounted(pairs)._1
 
-  private[graft] def componentsAltStarCounted(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def componentsAltStarCounted(pairs0: DataFrame): (DataFrame, Int) = {
+    // one materialization of the pair derivation for the three readers
+    // below (verts' two union branches + the edge seed) — the
+    // componentsOn union-doubling fix, ×3 here
+    val pairs = pairs0.localCheckpoint(eager = false)
     val sc = pairs.sparkSession.sparkContext
 
     def largeStar(e: DataFrame): DataFrame = {
@@ -1259,7 +1286,8 @@ object Dedup {
 
   def dedupIncrementalOn(rawSets: DataFrame): DataFrame = {
     val sets   = hashedSets(rawSets).repartition(col("doc_id"))
-    val banded = bandIndex(sets)
+    // one sig pass for the new/corpus sides (the dedupMinhashOn fix)
+    val banded = bandIndex(sets).localCheckpoint(eager = false)
     val isNew  = col("doc_id") % NewMod === NewRem
     val candidates = banded.filter(isNew).as("a")
       .join(banded.filter(!isNew).as("b"),
@@ -1543,6 +1571,10 @@ object Dedup {
         least(col("src_1"), col("src_2")).as("source_a"),
         greatest(col("src_1"), col("src_2")).as("source_b"),
         col("doc_id_1"), col("doc_id_2"), col("jaccard"))
+      // materialize once (r19 plan audit): the n_pairs and n_docs
+      // branches below each re-ran the whole band + verify chain —
+      // labeled is pair-graph-sized, so the checkpoint is ≪ corpus
+      .localCheckpoint(eager = false)
     val nPairs = labeled.groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
     val nDocs = labeled
@@ -1612,7 +1644,9 @@ object Dedup {
       .join(s1, "doc_id_1")
       .join(s2, "doc_id_2")
       .select(col("doc_id_1"), col("doc_id_2"),
-        expr("overlap_sorted(sh1, sh2)").as("c"),
+        // ComputeOnce: c appears twice in the t_min predicate and once
+        // in the per-threshold stream — 3 evaluations un-barriered
+        graft.functions.ComputeOnce.once(expr("overlap_sorted(sh1, sh2)")).as("c"),
         size(col("sh1")).as("n1"), size(col("sh2")).as("n2"))
       .filter(col("c") * minDen >= (col("n1") + col("n2") - col("c")) * minNum)
     val bands = CurveThresholds

@@ -1030,6 +1030,56 @@ object PqAnn {
         expr("sq_dist_i64(qs, cv)").as("dt"))
   }
 
+  /** The r19 DECOMPOSITION of [[residualDtab]] into query-only,
+    * store-side and per-(query,cell) scalar terms — the exact-integer
+    * A+B+C split r18 parked. Identity (all in int64, so sums are exact
+    * and the served d2 is BIT-IDENTICAL to the monolithic tables):
+    *
+    *   Σ_sub ‖r_sub − cb‖²  with  r = q − c
+    *     = adj(q,c) + Σ_sub [ bt(q,sub,code) + ct(c,sub,code) ]
+    *   bt  = ‖q_sub − cb‖²                      (query × codebook)
+    *   ct  = ‖cb‖² − ‖c_sub − cb‖²              (centroid × codebook)
+    *   adj = ‖q − c‖² − ‖q‖² + ‖c‖²             (one scalar per probe)
+    *
+    * (expand each square: the ‖q_sub‖²/‖c_sub‖² terms telescope against
+    * adj, leaving the exact per-sub cross terms −2(q−c)_sub·cb + ‖cb‖².)
+    *
+    * Economics: the monolithic tables compute Q·nprobe·M·K sub-distances
+    * (the residual differs per probed cell), every one a d/M-dim loop;
+    * the split computes (Q + C_probed)·M·K — at nprobe = 8 roughly an
+    * 8× smaller table build and broadcast — at the price of one extra
+    * broadcast hash join on the member stream. The norms run on
+    * control-plane-sized frames (Q rows, C rows, M·K codebook rows), so
+    * the interpreted `aggregate` HOF there costs nothing measurable.
+    */
+  private[graft] def residualDtabSplit(probes: DataFrame, qSq: DataFrame,
+      cents: DataFrame, cb: DataFrame, tier: Tier = K256)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.GraftExtensions.register(probes.sparkSession)
+    def sqNorm(c: String) =
+      expr(s"aggregate($c, cast(0 as bigint), (s, x) -> s + x * x)")
+    val cbN = cb.select(col("sub"), col("code"), col("cv").as("bv"),
+      sqNorm("cv").as("nb"))
+    val qtab = qSq
+      .select(col("query_id"), explode(resSubSlices("sqv", tier)).as("t"))
+      .select(col("query_id"), col("t.sub").as("sub"), col("t.qs").as("qs"))
+      .join(broadcast(cbN), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        expr("sq_dist_i64(qs, bv)").as("bt"))
+    val ctab = cents
+      .select(col("centroid_id"), explode(resSubSlices("cv", tier)).as("t"))
+      .select(col("centroid_id"), col("t.sub").as("sub"), col("t.qs").as("cs"))
+      .join(broadcast(cbN), Seq("sub"))
+      .select(col("centroid_id"), col("sub"), col("code"),
+        (col("nb") - expr("sq_dist_i64(cs, bv)")).as("ct"))
+    val adj = probes
+      .join(qSq, "query_id")
+      .join(broadcast(cents), "centroid_id")
+      .select(col("query_id"), col("centroid_id"),
+        (expr("sq_dist_i64(sqv, cv)") - sqNorm("sqv") + sqNorm("cv")).as("adj"))
+    (qtab, ctab, adj)
+  }
+
   private[graft] def knnIvfPqResidualOn(emb: DataFrame,
       queryPred: Column = col("vec_id") % QueryMod === 0,
       nprobe: Int = IvfTrained.NProbe): DataFrame = {
