@@ -169,6 +169,21 @@ object ScaleProbe {
         (col("event_id") + col("c") * 1000000000L).as("event_id"),
         col("ts"), col("event_type"), col("value"))
 
+  /** [[bigEvents]] with each replica time-shifted c months later: the
+    * HISTORY axis grows with scale (≈ 3 + copies − 1 calendar months)
+    * while the final in-flight month stays one replica's volume — the
+    * steady-state shape of the live warehouse read, where the landed
+    * base store dwarfs the delta. User streams stay replica-local, so
+    * each replica's island structure (and its facts' as-of months) is
+    * the base corpus' shifted verbatim.
+    */
+  def bigEventsMonthSpread(base: DataFrame, copies: Int): DataFrame =
+    base.withColumn("c", explode(sequence(lit(0), lit(copies - 1))))
+      .select((col("user_id") + col("c") * 10000000L).as("user_id"),
+        (col("event_id") + col("c") * 1000000000L).as("event_id"),
+        expr("timestampadd(MONTH, CAST(c AS INT), ts)").as("ts"),
+        col("event_type"), col("value"))
+
   private def guard(df: DataFrame): DataFrame =
     df.filter(hash(df.columns.map(col): _*) =!= lit(42))
 
@@ -1077,6 +1092,35 @@ object ScaleProbe {
         served.count() // builds the base store; live read is the timed object
         Maintenance.releaseCachedBlocks(spark, blocking = true)
         time(spark, copies, "scd2_lookup_live")(guard(served))
+      }
+      // compose-vs-rebuild crossover for the live warehouse read (the
+      // evidence behind StarAnalytics.LiveDeltaMaxMonthFraction): the
+      // month-spread corpus grows the LANDED history with scale while
+      // the in-flight month stays one replica's volume (delta fraction
+      // ≈ 1/(copies+2)), pricing the compose (landed-interval scan +
+      // O(delta) merge) against the from-scratch window rebuild
+      // (shuffle+sort of the whole history) at matched inputs. Both
+      // arms read the same parquet; the base store and the month list
+      // are built/collected untimed, as in the registry read's build
+      // path (the dispatch itself needs the month list either way).
+      if (wanted("scd2_live_xover")) {
+        val evPath = s"$tmp/events_mspread_$copies"
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$evPath/_SUCCESS")))
+          bigEventsMonthSpread(Tables.events(spark, sfDir), copies)
+            .repartition(par).write.mode("overwrite").parquet(evPath)
+        val ev = spark.read.parquet(evPath)
+        val dimEv = ev.filter(col("event_type") =!= "purchase")
+        val months = dimEv
+          .select(date_trunc("month", col("ts")).as("m"))
+          .distinct().orderBy("m").collect().map(_.get(0))
+        val key = graft.analytics.RetrievalAnalytics.storeKey(evPath) + "_xover"
+        def compose = graft.analytics.StarAnalytics.scd2LookupLiveCompose(
+          spark, key, ev, dimEv, months)
+        compose.count() // builds the base store; the read is the timed object
+        Maintenance.releaseCachedBlocks(spark, blocking = true)
+        time(spark, copies, s"scd2_xover_compose_m${months.length}")(guard(compose))
+        time(spark, copies, s"scd2_xover_rebuild_m${months.length}")(guard(
+          graft.analytics.StarAnalytics.scd2LookupOn(ev)))
       }
       // served PQ ANN: train/encode/pack paid untimed (the build pass);
       // the timed serve reads Q·nprobe cells of 16 B/vector codes +

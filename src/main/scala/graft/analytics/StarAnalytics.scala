@@ -1055,6 +1055,34 @@ object StarAnalytics {
     val months = dimEvents
       .select(date_trunc("month", col("ts")).as("m"))
       .distinct().orderBy("m").collect().map(_.get(0))
+    if (months.length <= 1)
+      // Dispatch (r19, the `LocalFoldMaxBatchFraction` precedent on this
+      // tier): when the dimension's WHOLE history is the in-flight month
+      // — the registry corpora, whose dim events all land in one
+      // calendar month — the landed base is EMPTY and the compose is a
+      // strict superset of the rebuild's work (`mergedRows` runs
+      // [[scd2IntervalsOn]] over carry ∪ delta, i.e. the full interval
+      // derivation, PLUS two store probes, merge-on-read resolution and
+      // a presentation sort). Structural, not a tuned constant; measured
+      // 2.64 s compose vs 1.14 s rebuild at sf0.1/local[32] (min-of-3),
+      // and rebuild also won the multi-month ScaleProbe `scd2_live_xover`
+      // arms at probe scale (OPTIMIZATION_r19.md). Both spellings are
+      // law-pinned to the same truth (`Scd2LiveSpec`), so dispatch
+      // changes cost, never rows.
+      scd2LookupOn(ev)
+    else
+      // a landed multi-month base exists: serve the freshness
+      // composition off the maintained store (the r13 serving ask)
+      scd2LookupLiveCompose(spark, key, ev, dimEvents, months)
+  }
+
+  /** The base-store + in-flight-delta COMPOSE spelling — the seam the
+    * steady-state probe arm and the law tests exercise regardless of
+    * [[LiveDeltaMaxMonthFraction]]'s verdict on a given corpus.
+    */
+  private[graft] def scd2LookupLiveCompose(spark: SparkSession, key: String,
+      ev: DataFrame, dimEvents: DataFrame,
+      months: Array[Any]): DataFrame = {
     val baseMonths = months.dropRight(1)
     val store = scd2BuildLock.synchronized {
       val base = graft.sources.StoreCatalog.root("graft_scd2_store", key)

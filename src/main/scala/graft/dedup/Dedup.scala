@@ -1340,12 +1340,17 @@ object Dedup {
     dedupSimhashOn(shingleSets(spark, dir))
 
   def dedupSimhashOn(sets: DataFrame): DataFrame = {
-    // one exchange under both self-join sides → signatures computed once.
+    // Signatures computed ONCE for both self-join sides. The repartition
+    // alone does not guarantee it (r19 plan audit): the planner turns
+    // one side into a BroadcastExchange, which cannot reuse the shuffle
+    // exchange, so both sides re-ran the md5-per-shingle + 96-bit vote
+    // fold — the checkpoint materializes the (doc_id, 2 longs) rows.
     // No isNotNull filter on the computed words: filter pushdown would
     // substitute (and so re-evaluate) the whole md5+fold chain into the
     // predicate; null words (empty sets) instead yield null block keys
     // below, which match nothing in the equi-join — same outcome, free.
     val sigs = simhashesOn(sets).repartition(col("doc_id"))
+      .localCheckpoint(eager = false)
     // Hamming ≤ 10 damages at most 10 of the 12 blocks, so at least TWO
     // blocks survive intact (pigeonhole) — candidates only need pairs that
     // agree on a block PAIR, which squares the per-block collision rate

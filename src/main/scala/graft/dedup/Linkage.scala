@@ -280,7 +280,14 @@ object Linkage {
     * and [[graphClusteringCoeff]] normalizes — one definition).
     */
   private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
+    // materialize the edge list once (r19 plan audit): it feeds FOUR
+    // consumers (both degree union branches, the orientation join, the
+    // wedge close) and `oriented` feeds the wedge self-join's two sides
+    // — un-checkpointed, an in-plan pair derivation (the Levenshtein
+    // fuzzy join) appeared 11x in graph_triangles' physical plan. Both
+    // frames are edge-sized.
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint(eager = false)
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -292,6 +299,7 @@ object Linkage {
     val oriented = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
       when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint(eager = false)
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
@@ -674,8 +682,12 @@ object Linkage {
         expr("CAST(size(filter(transform(cs, (x, i) -> x >= i + 1), b -> b)) AS BIGINT)")
           .as("c"))
 
-  private def hindexFixpoint(pairs: DataFrame, rounds: Int,
+  private def hindexFixpoint(pairs0: DataFrame, rounds: Int,
       checkConverged: Boolean): DataFrame = {
+    // one evaluation of the pair derivation under the symmetrize union
+    // (the componentsOn union-doubling fix — graph_coreness_hindex paid
+    // its fuzzy join twice per read)
+    val pairs = pairs0.localCheckpoint(eager = false)
     val sc = pairs.sparkSession.sparkContext
     val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -787,8 +799,12 @@ object Linkage {
     * the fixed-round + one-extra-round assert (the r15-ADVICE
     * convergence guarantee is preserved by construction).
     */
-  private[graft] def graphCorenessCappedCountingOn(pairs: DataFrame,
+  private[graft] def graphCorenessCappedCountingOn(pairs0: DataFrame,
       kMax: Int = CorenessMaxK): DataFrame = {
+    // one evaluation of the pair derivation under the symmetrize union
+    // (the componentsOn union-doubling fix): graph_coreness/graph_kcore
+    // pass the in-plan fuzzy join here, which ran twice per read
+    val pairs = pairs0.localCheckpoint(eager = false)
     val sc = pairs.sparkSession.sparkContext
     val sym = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
@@ -1795,7 +1811,11 @@ object Linkage {
     * of deleted edges. Output: (s_suppkey, coreness), unordered.
     */
   private[graft] def maintainCorenessLocal(baseMap: DataFrame,
-      survivorEdges: DataFrame, seeds: DataFrame): DataFrame = {
+      survivorEdges0: DataFrame, seeds: DataFrame): DataFrame = {
+    // one evaluation of the survivor-edge derivation (scan + tombstone
+    // anti-joins) under the symmetrize union — the componentsOn
+    // union-doubling fix
+    val survivorEdges = survivorEdges0.localCheckpoint(eager = false)
     val sc = baseMap.sparkSession.sparkContext
     val sym = survivorEdges.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(survivorEdges.select(col("b_id").as("u"), col("a_id").as("v")))

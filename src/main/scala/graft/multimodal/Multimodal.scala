@@ -694,9 +694,13 @@ object Multimodal {
       s"""aggregate(sequence(0, ${PhashBits - 1}), 0L, (acc, k) ->
          |  acc + IF(${gray("(k div 7)*8 + k % 7 + 1")} > ${gray("(k div 7)*8 + k % 7")},
          |           shiftleft(1L, cast(k as int)), 0L))""".stripMargin
-    // one exchange under both self-join sides (the dedup_simhash shape)
+    // hashes computed ONCE for both self-join sides (the dedup_simhash
+    // shape): the repartition alone is defeated by the broadcast build
+    // side (r19 plan audit — the full synthesize + decode + fold chain
+    // ran twice); the checkpoint pins the (doc_id, long) rows
     val hashes = rast.select(col("doc_id"), expr(phashExpr).as("phash"))
       .repartition(col("doc_id"))
+      .localCheckpoint(eager = false)
     val blocks = hashes.select(col("doc_id"), col("phash"),
       explode(expr(
         s"""transform(sequence(0, ${PhashBlocks - 1}), b ->

@@ -1027,7 +1027,11 @@ object Similarity {
     // the driver and embedded as a literal (the componentsOn pattern),
     // removing a per-iteration broadcast exchange; the math is written
     // identically to the oracle (`0.15/N + 0.85·s`, double / bigint).
+    // pairs checkpointed BEFORE the symmetrize union (the componentsOn
+    // union-doubling fix): both union branches are full subtrees, so the
+    // banded-cosine pair derivation ran twice when edges materialized
     val pairs = pairStream.select("vec_id_1", "vec_id_2")
+      .localCheckpoint(eager = false)
     val edges = pairs.select(col("vec_id_1").as("src"), col("vec_id_2").as("dst"))
       .union(pairs.select(col("vec_id_2").as("src"), col("vec_id_1").as("dst")))
       .localCheckpoint(eager = false)

@@ -147,7 +147,11 @@ object Scd2Ingest {
     resolve(spark.read.parquet(store.intervalsPath))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("gen", "batch_id")
-      .orderBy("user_id", "version")
+      // NO presentation sort here (r19, guide §2.1): every consumer
+      // either re-sorts (the as-of lookup entries enforce their own
+      // distribution/ordering via AsofJoin + a final orderBy) or
+      // compares order-insensitively (the spec laws) — the global sort
+      // was one wasted Exchange+Sort per scd2_lookup_served read
 
   /** The LIVE dimension: the landed store plus an IN-FLIGHT delta batch
     * composed at read time — the freshness composition the vector
@@ -172,7 +176,7 @@ object Scd2Ingest {
         .unionByName(mergedRows(delta, deltaId, store)))
       .withColumn("is_current", col("valid_to").isNull)
       .drop("gen", "batch_id")
-      .orderBy("user_id", "version")
+      // no presentation sort — see [[current]]
   }
 
   /** Store compaction: resolve latest-per-key, keep ONE generation.

@@ -66,4 +66,26 @@ class Scd2LiveSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(live.nonEmpty && live == plan)
   }
+
+  test("dispatch law: the compose arm ≡ the rebuild arm on the registry corpus") {
+    // the r19 empty-base dispatch picks the rebuild on the registry
+    // corpus (its whole dim history is one in-flight month), so the
+    // end-to-end law above no longer drives scd2LookupLiveCompose —
+    // force the compose arm here and pin it to the same truth, so BOTH
+    // dispatch spellings stay bit-identical
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val dimEvents = ev.filter(col("event_type") =!= "purchase")
+    val months = dimEvents
+      .select(date_trunc("month", col("ts")).as("m"))
+      .distinct().orderBy("m").collect().map(_.get(0))
+    assert(months.length <= 1,
+      "registry corpus should dispatch to the rebuild — refresh this law if not")
+    val composed = StarAnalytics.scd2LookupLiveCompose(spark,
+      graft.analytics.RetrievalAnalytics.storeKey(dir) + "_livedispatchspec",
+      ev, dimEvents, months).collect().map(_.toString).toSeq
+    val rebuilt = StarAnalytics.scd2LookupOn(ev)
+      .collect().map(_.toString).toSeq
+    assert(composed.nonEmpty && composed == rebuilt)
+  }
 }
