@@ -1027,11 +1027,14 @@ object Similarity {
     // the driver and embedded as a literal (the componentsOn pattern),
     // removing a per-iteration broadcast exchange; the math is written
     // identically to the oracle (`0.15/N + 0.85·s`, double / bigint).
-    // pairs checkpointed BEFORE the symmetrize union (the componentsOn
-    // union-doubling fix): both union branches are full subtrees, so the
-    // banded-cosine pair derivation ran twice when edges materialized
+    // NO checkpoint on pairs before the symmetrize union, DELIBERATELY
+    // (r19 measured): unlike componentsOn, the union's result is itself
+    // checkpointed one line down, so the pair derivation's double eval
+    // happens exactly once (at edges' materialization) — adding a pairs
+    // checkpoint traded that one saved eval for a materialization
+    // barrier + cache IO and cost +0.5 s on doc_pagerank at sf0.1
+    // (1.43 → 2.00 min-of-3, idle; reverted same-round).
     val pairs = pairStream.select("vec_id_1", "vec_id_2")
-      .localCheckpoint(eager = false)
     val edges = pairs.select(col("vec_id_1").as("src"), col("vec_id_2").as("dst"))
       .union(pairs.select(col("vec_id_2").as("src"), col("vec_id_1").as("dst")))
       .localCheckpoint(eager = false)
